@@ -1,0 +1,96 @@
+"""Bilinear sampling / warping kernels (NHWC / HWC).
+
+``warp_flow`` replaces the reference's ``cv2.remap`` flow warp
+(reference: pipeline.py:425-439 — map = grid + flow, INTER_LINEAR,
+BORDER_REPLICATE). ``rotate_image`` replaces ``cv2.warpAffine`` rotation used
+for mask animation (reference: region_blend.py:25-47).
+
+All are expressed as gathers with static shapes so they fuse under jit; no
+host round-trip per frame.
+"""
+
+import jax.numpy as jnp
+
+
+def bilinear_sample(
+    img: jnp.ndarray,
+    map_x: jnp.ndarray,
+    map_y: jnp.ndarray,
+    *,
+    border: str = "replicate",
+    border_value: float = 0.0,
+) -> jnp.ndarray:
+    """Sample ``img`` (HWC or HW) at float coords (map_x, map_y), bilinear.
+
+    border: "replicate" clamps coords (cv2.BORDER_REPLICATE);
+            "constant" uses ``border_value`` outside (cv2.BORDER_CONSTANT).
+    Returns an array shaped like ``map_x`` (+ channel dim if img has one).
+    """
+    squeeze = False
+    if img.ndim == 2:
+        img = img[..., None]
+        squeeze = True
+    h, w = img.shape[0], img.shape[1]
+    x = map_x.astype(jnp.float32)
+    y = map_y.astype(jnp.float32)
+
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+
+    def gather(yi, xi):
+        yc = jnp.clip(yi.astype(jnp.int32), 0, h - 1)
+        xc = jnp.clip(xi.astype(jnp.int32), 0, w - 1)
+        return img[yc, xc]
+
+    v00 = gather(y0, x0)
+    v01 = gather(y0, x0 + 1)
+    v10 = gather(y0 + 1, x0)
+    v11 = gather(y0 + 1, x0 + 1)
+    top = v00 * (1 - fx) + v01 * fx
+    bot = v10 * (1 - fx) + v11 * fx
+    out = top * (1 - fy) + bot * fy
+
+    if border == "constant":
+        inside = ((x >= 0) & (x <= w - 1) & (y >= 0) & (y <= h - 1))[..., None]
+        out = jnp.where(inside, out, jnp.asarray(border_value, out.dtype))
+    if squeeze:
+        out = out[..., 0]
+    return out.astype(img.dtype)
+
+
+def warp_flow(img: jnp.ndarray, flow: jnp.ndarray, *, border: str = "replicate") -> jnp.ndarray:
+    """Warp HWC image by dense flow (H, W, 2) where flow[y, x] = (dx, dy).
+
+    Samples img at (x + dx, y + dy) — identical to the reference's
+    grid-plus-flow cv2.remap call (pipeline.py:430-438).
+    """
+    h, w = flow.shape[0], flow.shape[1]
+    gx = jnp.arange(w, dtype=jnp.float32)[None, :]
+    gy = jnp.arange(h, dtype=jnp.float32)[:, None]
+    map_x = gx + flow[..., 0]
+    map_y = gy + flow[..., 1]
+    return bilinear_sample(img, map_x, map_y, border=border)
+
+
+def rotate_image(
+    img: jnp.ndarray,
+    angle_deg: jnp.ndarray | float,
+    *,
+    border: str = "constant",
+    border_value: float = 0.0,
+) -> jnp.ndarray:
+    """Rotate HWC/HW image about its center by ``angle_deg`` (counter-clockwise
+    for positive angles, matching cv2.getRotationMatrix2D + warpAffine).
+    """
+    h, w = img.shape[0], img.shape[1]
+    theta = jnp.deg2rad(jnp.asarray(angle_deg, jnp.float32))
+    cos, sin = jnp.cos(theta), jnp.sin(theta)
+    cx, cy = (w - 1) * 0.5, (h - 1) * 0.5
+    gx = jnp.arange(w, dtype=jnp.float32)[None, :] - cx
+    gy = jnp.arange(h, dtype=jnp.float32)[:, None] - cy
+    # Inverse rotation: source = R(-theta) @ dest.
+    map_x = cos * gx - sin * gy + cx
+    map_y = sin * gx + cos * gy + cy
+    return bilinear_sample(img, map_x, map_y, border=border, border_value=border_value)

@@ -1,0 +1,37 @@
+"""Test harness config.
+
+Tests run on CPU jax with 8 virtual devices so multi-chip sharding logic is
+exercised without TPU hardware (the driver separately dry-runs the multichip
+path). The container's sitecustomize pre-imports jax with the axon TPU
+backend selected, so env vars alone are too late — override the live config
+before any backend is initialized.
+"""
+
+import os
+import sys
+from pathlib import Path
+
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+if str(REPO_ROOT) not in sys.path:
+    sys.path.insert(0, str(REPO_ROOT))
+
+REFERENCE = Path("/root/reference")
+
+import pytest
+
+
+@pytest.fixture(scope="session")
+def reference_path():
+    """Path to the read-only reference checkout (oracle for parity tests)."""
+    if not REFERENCE.exists():
+        pytest.skip("reference repo not mounted")
+    return REFERENCE
