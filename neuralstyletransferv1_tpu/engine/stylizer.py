@@ -1,0 +1,136 @@
+"""The stylizer bank: weights resident in HBM, one jitted graph per batch.
+
+This replaces the reference's per-frame, per-model ``.to(device)``/``.cpu()``
+round-trips (reference: pipeline.py:1444-1486 — each of up to 8 models does a
+host↔device hop per frame) with a model bank loaded once and a fused
+preprocess→net→postprocess program applied to whole NHWC frame batches.
+
+Speed path: params and activations in bfloat16 (MXU-native), conv
+accumulation in f32, instance-norm statistics in f32. Parity path: f32 with
+HIGHEST precision.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+
+from ..io import checkpoints as ckpt
+from ..models import io_presets as iop
+from ..models import reconet, transformer_net, transformer_net_nst
+
+ARCH_APPLY = {
+    "johnson": transformer_net.apply,
+    "nst": transformer_net_nst.apply,
+    "reconet": reconet.apply,
+}
+
+
+@dataclass
+class StyleModel:
+    """One loaded slot of the model bank (reference slots A-H,
+    pipeline.py:623-1008)."""
+
+    arch: str  # johnson | nst | reconet
+    params: dict
+    io_preset: str
+    name: str = ""
+    model_type: str = "transformer"  # reference backend name
+
+    def cast(self, dtype) -> "StyleModel":
+        params = jax.tree.map(
+            lambda a: a.astype(dtype) if hasattr(a, "astype") and jnp.issubdtype(a.dtype, jnp.floating) else a,
+            self.params,
+        )
+        return StyleModel(self.arch, params, self.io_preset, self.name, self.model_type)
+
+
+def load_model(
+    path: str | Path,
+    *,
+    model_type: str = "transformer",
+    io_preset: str = "auto",
+    name: str | None = None,
+) -> StyleModel:
+    """Load a reference-format checkpoint into a StyleModel.
+
+    Arch auto-detection and preset resolution mirror the reference
+    (pipeline.py:72-79, 610-614, 2518-2527).
+    """
+    path = Path(path)
+    sd = ckpt.load_state_dict(str(path))
+    if model_type == "reconet":
+        params = ckpt.import_reconet(sd)
+        arch = "reconet"
+    else:
+        arch = detect_arch = ckpt.detect_transformer_arch(sd)
+        if detect_arch == "nst":
+            params = ckpt.import_transformer_nst(sd)
+        else:
+            params = ckpt.import_transformer(sd)
+    if io_preset == "auto":
+        io_preset = iop.resolve_auto_preset(model_type, arch=arch)
+    elif arch == "nst" and io_preset in ("raw_255", "imagenet_255"):
+        # NST_Train checkpoints force raw_01 (reference: pipeline.py:610-614).
+        io_preset = "raw_01"
+    params = jax.tree.map(jnp.asarray, params)
+    return StyleModel(arch, params, io_preset, name or path.stem, model_type)
+
+
+def make_random_model(
+    arch: str = "johnson", *, seed: int = 0, io_preset: str | None = None
+) -> StyleModel:
+    """Random-weight model (tests/bench when no checkpoints are mounted)."""
+    rng = jax.random.key(seed)
+    inits = {
+        "johnson": (transformer_net.init, "imagenet_255"),
+        "nst": (transformer_net_nst.init, "raw_01"),
+        "reconet": (reconet.init, "imagenet_01"),
+    }
+    init_fn, preset = inits[arch]
+    return StyleModel(arch, init_fn(rng), io_preset or preset, f"random_{arch}", "transformer")
+
+
+def stylize(model_arch: str, params: dict, io_preset: str, x01: jnp.ndarray) -> jnp.ndarray:
+    """Pure fn: [0,1] NHWC batch → stylized [0,1] NHWC batch. Jittable."""
+    from ..ops.resize import resize_bilinear
+
+    apply_fn = ARCH_APPLY[model_arch]
+    xin = iop.preprocess(io_preset, x01)
+    y = apply_fn(params, xin)
+    out = iop.postprocess(io_preset, y)
+    # Lock stylized output to the content size — the Johnson net grows odd
+    # dims to the next multiple of 4 (reference: pipeline.py:1514-1518).
+    if out.shape[1:3] != x01.shape[1:3]:
+        out = resize_bilinear(out, (x01.shape[1], x01.shape[2]))
+    return out
+
+
+def jit_stylizer(model: StyleModel, *, dtype=jnp.float32):
+    """Compile a stylize fn for one model; returns f(batch01) -> batch01.
+
+    ``dtype=jnp.bfloat16`` selects the MXU speed path (params cast once).
+    """
+    m = model.cast(dtype) if dtype != jnp.float32 else model
+
+    @jax.jit
+    def fn(x01):
+        x = x01.astype(dtype)
+        y = stylize(m.arch, m.params, m.io_preset, x)
+        return y.astype(jnp.float32)
+
+    return fn
+
+
+def blend_outputs(outputs: list[jnp.ndarray], weights: list[float]) -> jnp.ndarray:
+    """RGB weighted blend of stylized batches (reference: pipeline.py:1872-1879;
+    weights validated to sum to 1 at pipeline.py:502-521)."""
+    total = sum(weights)
+    acc = outputs[0] * (weights[0] / total)
+    for o, w in zip(outputs[1:], weights[1:]):
+        acc = acc + o * (w / total)
+    return jnp.clip(acc, 0.0, 1.0)

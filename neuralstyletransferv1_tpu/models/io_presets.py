@@ -37,16 +37,20 @@ def resolve_auto_preset(model_type: str, arch: str | None = None) -> str:
 
 
 def preprocess(preset: str, x01: jnp.ndarray) -> jnp.ndarray:
-    """[0,1] NHWC RGB → model-input tensor for ``preset``."""
+    """[0,1] NHWC RGB → model-input tensor for ``preset``.
+
+    Constants are cast to the input dtype so the bf16 fast path stays bf16.
+    """
+    dt = x01.dtype
     if preset == "tanh":
         return x01 * 2.0 - 1.0
     if preset == "imagenet_01":
-        return (x01 - IMAGENET_MEAN) / IMAGENET_STD
+        return (x01 - IMAGENET_MEAN.astype(dt)) / IMAGENET_STD.astype(dt)
     if preset == "imagenet_255":
-        return (x01 * 255.0 - IMAGENET_MEAN * 255.0) / (IMAGENET_STD * 255.0)
+        return (x01 * 255.0 - (IMAGENET_MEAN * 255.0).astype(dt)) / (IMAGENET_STD * 255.0).astype(dt)
     if preset == "caffe_bgr":
         x_bgr = x01[..., ::-1] * 255.0
-        return x_bgr - CAFFE_MEAN_BGR
+        return x_bgr - CAFFE_MEAN_BGR.astype(dt)
     if preset == "raw_01":
         return x01
     # raw_255 and any unknown preset fall through to the 0..255 branch
@@ -56,10 +60,11 @@ def preprocess(preset: str, x01: jnp.ndarray) -> jnp.ndarray:
 
 def postprocess(preset: str, y: jnp.ndarray) -> jnp.ndarray:
     """Model output → [0,1] NHWC RGB (clipped)."""
+    dt = y.dtype
     if preset == "tanh":
         out = (y + 1.0) * 0.5
     elif preset == "imagenet_01":
-        out = y * IMAGENET_STD + IMAGENET_MEAN
+        out = y * IMAGENET_STD.astype(dt) + IMAGENET_MEAN.astype(dt)
     elif preset == "imagenet_255":
         out = y / 255.0
     elif preset == "caffe_bgr":

@@ -1,0 +1,167 @@
+"""Temporal-coherence stages as in-graph scans.
+
+The reference runs three recurrences per frame, on host, in sequence
+(reference: pipeline.py:1884-1940 flow EMA, 1942-1978 LAB EMA,
+2072-2092 motion-adaptive blend). Frame t depends on t-1, so the stylizer
+batch axis can't be a pure map — here the whole chain is a single
+``lax.scan`` over the batch's time axis, fused into one XLA program. Across
+chips, each shard scans its chunk and the boundary frame travels over the ICI
+ring (parallel.mesh.temporal_halo_exchange).
+
+Constants mirror the reference (pipeline.py:1074-1077): MOTION_NORM=8px,
+MIN_ALPHA=0.40, GAUSS_SIGMA=3.0.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.blur import gaussian_blur
+from ..ops.color import lab_u8_to_rgb, rgb_to_lab_u8
+from ..ops.warp import warp_flow
+
+MOTION_NORM = 8.0
+MIN_ALPHA = 0.40
+GAUSS_SIGMA = 3.0
+
+
+def flow_ema_fuse(
+    curr_styled01: jnp.ndarray,
+    prev_styled01: jnp.ndarray,
+    flow: jnp.ndarray,
+    alpha: float,
+) -> jnp.ndarray:
+    """a*curr + (1-a)*warp(prev, flow), clipped (reference: pipeline.py:1925-1929)."""
+    prev_warp = warp_flow(prev_styled01, flow, border="replicate")
+    a = jnp.clip(alpha, 0.0, 1.0)
+    return jnp.clip(a * curr_styled01 + (1.0 - a) * prev_warp, 0.0, 1.0)
+
+
+def lab_ema_step(
+    rgb01: jnp.ndarray,
+    prev_lab: jnp.ndarray | None,
+    *,
+    smooth_alpha: float = 0.7,
+    chroma_alpha: float = 0.85,
+    smooth_lightness: bool = True,
+    smooth_chroma: bool = False,
+):
+    """One LAB EMA step on an HWC frame; returns (rgb01_out, new_prev_lab).
+
+    EMA runs on PIL-convention LAB byte planes (reference:
+    pipeline.py:1944-1978): L_sm = a*L + (1-a)*prev; prev ← L_sm.
+    """
+    lab = rgb_to_lab_u8(rgb01)
+    if prev_lab is None:
+        prev_lab = lab
+    a_l = smooth_alpha if smooth_lightness else 1.0
+    a_c = chroma_alpha if smooth_chroma else 1.0
+    alphas = jnp.array([a_l, a_c, a_c], jnp.float32)
+    sm = alphas * lab + (1.0 - alphas) * prev_lab
+    out = lab_u8_to_rgb(jnp.clip(sm, 0.0, 255.0))
+    return out, sm
+
+
+def motion_adaptive_blend(
+    styled01: jnp.ndarray,
+    orig01: jnp.ndarray,
+    flow: jnp.ndarray,
+    blend: float,
+) -> jnp.ndarray:
+    """Per-pixel blend by flow magnitude (reference: pipeline.py:2072-2086).
+
+    alpha = blend − (blend − 0.40)·blur(clip(|flow|/8, 0, 1), σ=3).
+    """
+    mag = jnp.sqrt(flow[..., 0] ** 2 + flow[..., 1] ** 2)
+    m = jnp.clip(mag / MOTION_NORM, 0.0, 1.0)
+    m = gaussian_blur(m, GAUSS_SIGMA)
+    alpha = blend - (blend - MIN_ALPHA) * m
+    alpha = alpha[..., None]
+    return jnp.clip(alpha * styled01 + (1.0 - alpha) * orig01, 0.0, 1.0)
+
+
+def uniform_blend(styled01: jnp.ndarray, orig01: jnp.ndarray, blend: float) -> jnp.ndarray:
+    """Global style/original blend (reference: pipeline.py:2089-2092)."""
+    if 0.0 <= blend < 1.0:
+        return jnp.clip(blend * styled01 + (1.0 - blend) * orig01, 0.0, 1.0)
+    return styled01
+
+
+class TemporalState(NamedTuple):
+    """Carry for the temporal scan (reference caches at pipeline.py:1064-1071)."""
+
+    prev_styled01: jnp.ndarray  # pre-LAB stylized frame t-1, HWC
+    prev_lab: jnp.ndarray  # smoothed LAB planes, HWC(3)
+
+
+def temporal_postprocess_scan(
+    styled01: jnp.ndarray,
+    orig01: jnp.ndarray,
+    flows: jnp.ndarray | None,
+    *,
+    flow_ema: bool = False,
+    flow_alpha: float = 0.6,
+    smooth_lightness: bool = True,
+    smooth_chroma: bool = False,
+    smooth_alpha: float = 0.7,
+    chroma_alpha: float = 0.85,
+    motion_blend: bool = False,
+    blend: float = 1.0,
+    init: TemporalState | None = None,
+) -> tuple[jnp.ndarray, TemporalState]:
+    """Run the full per-frame temporal chain over a THWC batch in one scan.
+
+    flows[t] is the dense flow from frame t-1 → t (flows[0] is ignored for
+    the first frame when ``init`` is None, matching the reference's warm-up
+    behavior). Returns (output THWC, final state for the next chunk).
+    """
+    T = styled01.shape[0]
+    use_lab = smooth_lightness or smooth_chroma
+
+    if flows is None:
+        flows = jnp.zeros(styled01.shape[:3] + (2,), jnp.float32)
+
+    if init is None:
+        init_state = TemporalState(styled01[0], rgb_to_lab_u8(styled01[0]))
+        first_is_warmup = True
+    else:
+        init_state = init
+        first_is_warmup = False
+
+    ts = jnp.arange(T)
+
+    def step(state: TemporalState, inp):
+        t, curr, orig, flow = inp
+        out = curr
+        if flow_ema:
+            fused = flow_ema_fuse(curr, state.prev_styled01, flow, flow_alpha)
+            # Frame 0 of a fresh video has no predecessor: keep it unfused.
+            skip = jnp.logical_and(t == 0, first_is_warmup)
+            out = jnp.where(skip, curr, fused)
+        new_prev_styled = out
+        if use_lab:
+            lab = rgb_to_lab_u8(out)
+            a_l = smooth_alpha if smooth_lightness else 1.0
+            a_c = chroma_alpha if smooth_chroma else 1.0
+            alphas = jnp.array([a_l, a_c, a_c], jnp.float32)
+            prev_lab = jnp.where(
+                jnp.logical_and(t == 0, first_is_warmup), lab, state.prev_lab
+            )
+            sm = alphas * lab + (1.0 - alphas) * prev_lab
+            out = lab_u8_to_rgb(jnp.clip(sm, 0.0, 255.0))
+            new_lab = sm
+        else:
+            new_lab = state.prev_lab
+        if motion_blend:
+            blended = motion_adaptive_blend(out, orig, flow, blend)
+            skip = jnp.logical_and(t == 0, first_is_warmup)
+            out = jnp.where(skip, uniform_blend(out, orig, blend), blended)
+        else:
+            out = uniform_blend(out, orig, blend)
+        return TemporalState(new_prev_styled, new_lab), out
+
+    final_state, outs = jax.lax.scan(step, init_state, (ts, styled01, orig01, flows))
+    return outs, final_state

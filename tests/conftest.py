@@ -11,14 +11,20 @@ import os
 import sys
 from pathlib import Path
 
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+if not jax.config.jax_num_cpu_devices or jax.config.jax_num_cpu_devices < 8:
+    try:
+        jax.config.update("jax_num_cpu_devices", 8)
+    except RuntimeError:
+        # Backends already initialized (axon sitecustomize); reset them.
+        from jax.extend.backend import clear_backends
+
+        clear_backends()
+        jax.config.update("jax_num_cpu_devices", 8)
 
 REPO_ROOT = Path(__file__).resolve().parent.parent
 if str(REPO_ROOT) not in sys.path:
