@@ -1,0 +1,115 @@
+"""CLI flag surface — parity with the reference's ~90-flag argparse
+(reference: pipeline.py:2156-2412). Flags that only tuned the torch/CUDA
+host runtime (--threads, --device, --gpu_memory_limit) are accepted and
+ignored so existing scripts keep working.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+MODEL_TYPES = ["transformer", "torch7", "magenta", "reconet"]
+IO_PRESET_CHOICES = ["auto", "raw_255", "raw_01", "imagenet_255", "imagenet_01", "tanh", "caffe_bgr"]
+
+
+def _add_slot(ap: argparse.ArgumentParser, letter: str):
+    l = letter.lower()
+    ap.add_argument(f"--model_{l}", type=str, default=None)
+    ap.add_argument(f"--model_{l}_type", choices=MODEL_TYPES, default="transformer")
+    ap.add_argument(f"--io_preset_{l}", choices=IO_PRESET_CHOICES, default="auto")
+    ap.add_argument(f"--magenta_style_{l}", type=str, default=None)
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        description="Extract → Style → Assemble (with temporal smoothing) — TPU-native engine"
+    )
+    ap.add_argument("--input_video", default=None)
+    ap.add_argument("--output_video", default=None)
+    ap.add_argument("--model", default=None)
+    ap.add_argument("--work_dir", default="./_work")
+    ap.add_argument("--fps", type=int, default=None)
+    ap.add_argument("--pre_fps", type=int, default=None)
+    ap.add_argument("--scale", type=int, default=None)
+    ap.add_argument("--canvas", type=str, default=None)
+    ap.add_argument("--image_ext", choices=["png", "jpg"], default="png")
+    ap.add_argument("--jpeg_quality", type=int, default=85)
+    ap.add_argument("--threads", type=int, default=4)  # accepted, XLA owns threading
+    ap.add_argument("--stride", type=int, default=1)
+    ap.add_argument("--max_frames", type=int, default=None)
+    ap.add_argument("--device", choices=["cpu", "mps", "cuda", "tpu"], default="tpu")
+    ap.add_argument("--gpu_memory_limit", type=int, default=32000)  # accepted, unused
+    ap.add_argument("--inference_res", type=int, default=0)
+    ap.add_argument("--io_preset", choices=IO_PRESET_CHOICES, default="auto")
+    # image modes
+    ap.add_argument("--input_image", type=str)
+    ap.add_argument("--output_image", type=str)
+    ap.add_argument("--input_dir", type=str)
+    ap.add_argument("--output_dir", type=str)
+    ap.add_argument("--pattern", type=str, default=None)
+    ap.add_argument("--keep_ext", action="store_true")
+    ap.add_argument("--output_suffix", type=str, default="")
+    ap.add_argument("--output_prefix", type=str, default="styled_frame")
+    # temporal smoothing
+    ap.add_argument("--smooth_lightness", action="store_true", default=True)
+    ap.add_argument("--no-smooth_lightness", action="store_false", dest="smooth_lightness")
+    ap.add_argument("--smooth_alpha", type=float, default=0.7)
+    ap.add_argument("--smooth_chroma", action="store_true", default=False)
+    ap.add_argument("--chroma_alpha", type=float, default=0.85)
+    ap.add_argument("--blend", type=float, default=1.0)
+    # masks
+    ap.add_argument("--mask", type=str, default=None)
+    ap.add_argument("--mask_invert", action="store_true")
+    ap.add_argument("--mask_feather", type=int, default=0)
+    ap.add_argument("--mask_dir", type=str, default=None)
+    ap.add_argument("--mask_feather_pct", type=float, default=0.0)
+    ap.add_argument("--mask_autofix", action="store_true", default=True)
+    ap.add_argument("--mask_force_transpose", action="store_true")
+    ap.add_argument("--mask_debug_overlay", action="store_true")
+    ap.add_argument("--mask_debug_alpha", action="store_true")
+    ap.add_argument("--fit_mask_to", choices=["input", "output"], default="input")
+    ap.add_argument("--composite_mode", choices=["keep", "replace"], default="keep")
+    # flow
+    ap.add_argument("--flow_ema", action="store_true", default=False)
+    ap.add_argument("--flow_alpha", type=float, default=0.85)
+    ap.add_argument("--flow_method", choices=["farneback", "dis"], default="dis")
+    ap.add_argument("--flow_downscale", type=int, default=1)
+    # slot A type + slots B..H
+    ap.add_argument("--model_type", choices=MODEL_TYPES, default="transformer")
+    for letter in "bcdefgh":
+        _add_slot(ap, letter)
+    ap.add_argument("--blend_models_weights", type=str, default=None)
+    ap.add_argument("--blend_models_lab", action="store_true", default=False)
+    ap.add_argument("--blend_models_lab_weights", type=str, default=None)
+    # regions
+    ap.add_argument("--region_mode", type=str, default=None)
+    ap.add_argument("--region_count", type=int, default=None)
+    ap.add_argument("--region_sizes", type=str, default=None)
+    ap.add_argument("--region_seed", type=str, default=None)
+    ap.add_argument("--region_feather", type=int, default=20)
+    ap.add_argument("--region_assignment", type=str, default="random")
+    ap.add_argument("--region_original", type=float, default=0.0)
+    ap.add_argument("--region_rotate", type=float, default=0.0)
+    ap.add_argument("--region_blend_spec", type=str, default=None)
+    ap.add_argument("--region_scales", type=str, default=None)
+    ap.add_argument("--region_optimize", action="store_true", default=False)
+    ap.add_argument("--region_padding", type=int, default=64)
+    ap.add_argument("--blend_animate", type=str, default=None)
+    ap.add_argument("--blend_animate_regions", type=str, default=None)
+    ap.add_argument("--scale_animate", type=str, default=None)
+    ap.add_argument("--scale_animate_regions", type=str, default=None)
+    ap.add_argument("--region_morph", type=str, default=None)
+    # magenta
+    ap.add_argument("--magenta_style", type=str, default=None)
+    ap.add_argument("--magenta_model_root", type=str, default="/app/models/magenta")
+    ap.add_argument("--magenta_tile", type=int, default=256)
+    ap.add_argument("--magenta_overlap", type=int, default=32)
+    ap.add_argument("--magenta_target_res", type=int, default=None)
+    # motion / cleanup
+    ap.add_argument("--motion_blend", action="store_true", default=False)
+    ap.add_argument("--clean_frames", action="store_true")
+    ap.add_argument("--clean_work_dir", action="store_true", default=False)
+    # TPU-native additions
+    ap.add_argument("--compute_dtype", choices=["float32", "bfloat16"], default="float32",
+                    help="bfloat16 enables the MXU fast path (parity path is float32).")
+    return ap

