@@ -4,13 +4,19 @@ Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
 
 Headline config matches BASELINE.md's north star (≥200 stylized 1080p
-frames/s/chip on v5e): Johnson TransformerNet (the reference's flagship
-stylizer), imagenet_255 preset fused in, bf16 activations/weights with f32
-accumulation. ``vs_baseline`` is value / 200 (the reference publishes no
-numbers of its own — BASELINE.md).
+frames/s/chip on v5e): Johnson TransformerNet in its space-to-depth form
+(models/transformer_net_s2d — identical math, MXU-aligned), imagenet_255
+preset fused in, bf16 activations/weights with f32 accumulation.
+``vs_baseline`` is value / 200 (the reference publishes no numbers of its
+own — BASELINE.md).
 
-Iterations are chained inside one jitted loop (output feeds the next input)
-so per-dispatch host latency doesn't pollute the steady-state measurement.
+Measurement notes (this environment's axon relay):
+- identical (executable, args) calls are memoized → every timed call uses a
+  fresh input;
+- block_until_ready does not block → a scalar reduce is fetched to force
+  execution;
+- K iterations are chained in-graph and a 1-iteration run is subtracted to
+  remove dispatch+fetch overhead.
 """
 
 import json
@@ -22,45 +28,55 @@ import jax.numpy as jnp
 
 BASELINE_FPS = 200.0  # north-star target, BASELINE.json
 H, W = 1080, 1920
-BATCH = 4
-CHAIN = 8  # stylize passes per dispatch
-REPEATS = 3
+BATCH = 8
+CHAIN = 8
+REPEATS = 2
+
+
+def _timed(fn, batch, chain):
+    g = jax.jit(
+        lambda x: jnp.sum(
+            jax.lax.fori_loop(0, chain, lambda i, y: fn(y).astype(y.dtype), x).astype(jnp.float32)
+        )
+    )
+    x = jax.random.uniform(jax.random.key(0), (batch, H, W, 3), jnp.bfloat16)
+    float(g(x))  # compile + warm
+    best = float("inf")
+    for r in range(REPEATS):
+        x2 = jax.random.uniform(jax.random.key(100 + r), (batch, H, W, 3), jnp.bfloat16)
+        float(jnp.sum(x2.astype(jnp.float32)))  # materialize input
+        t0 = time.perf_counter()
+        float(g(x2))
+        best = min(best, time.perf_counter() - t0)
+    return best
 
 
 def main() -> None:
     from neuralstyletransferv1_tpu import config
-    from neuralstyletransferv1_tpu.engine import stylizer as st
+    from neuralstyletransferv1_tpu.models import io_presets as iop
+    from neuralstyletransferv1_tpu.models import transformer_net, transformer_net_s2d as s2d
 
-    dev = jax.devices()[0]
-    print(f"[bench] device: {dev}", file=sys.stderr)
-
-    model = st.make_random_model("johnson", seed=0)
-    mbf16 = model.cast(jnp.bfloat16)
+    print(f"[bench] device: {jax.devices()[0]}", file=sys.stderr)
     config.set_conv_precision("default")  # bf16 inputs → native MXU path
 
-    @jax.jit
-    def chained(x):
-        def body(_, y):
-            return st.stylize(mbf16.arch, mbf16.params, mbf16.io_preset, y).astype(jnp.bfloat16)
+    params = transformer_net.init(jax.random.key(0))
+    bparams = s2d.from_johnson_params(params)
+    bparams = jax.tree.map(lambda a: a.astype(jnp.bfloat16), bparams)
 
-        return jax.lax.fori_loop(0, CHAIN, body, x)
+    def step(x):
+        xin = iop.preprocess("imagenet_255", x)
+        y = s2d.apply(bparams, xin)
+        return iop.postprocess("imagenet_255", y)
 
-    x = jnp.full((BATCH, H, W, 3), 0.5, jnp.bfloat16)
     t0 = time.perf_counter()
-    y = chained(x)
-    y.block_until_ready()
-    print(f"[bench] compile+first: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
-
-    best = float("inf")
-    for r in range(REPEATS):
-        t0 = time.perf_counter()
-        y = chained(x)
-        y.block_until_ready()
-        dt = time.perf_counter() - t0
-        best = min(best, dt)
-        print(f"[bench] repeat {r}: {dt:.3f}s  ({BATCH * CHAIN / dt:.1f} fps)", file=sys.stderr)
-
-    fps = BATCH * CHAIN / best
+    d_chain = _timed(step, BATCH, CHAIN)
+    d_one = _timed(step, BATCH, 1)
+    per_batch = max(1e-9, (d_chain - d_one) / (CHAIN - 1))
+    fps = BATCH / per_batch
+    print(
+        f"[bench] per-batch{BATCH}: {per_batch * 1000:.1f} ms  (total bench {time.perf_counter() - t0:.0f}s)",
+        file=sys.stderr,
+    )
     print(
         json.dumps(
             {

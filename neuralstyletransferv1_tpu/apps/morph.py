@@ -1,0 +1,207 @@
+"""Optical-flow morph core + slideshow app.
+
+The shared machinery of the reference's creative apps (reference:
+scripts/morph_v2.py:264-468, reused by optical_flow_slideshow*,
+selfstyle_blob, gen_pytorch_only_videos): bidirectional Farneback flow with
+field smoothing, a min-flow radial boost so static regions still morph,
+eased bidirectional warps and a smoothstep crossfade.
+
+TPU-native: both flows compute in-graph and ALL interpolated frames of a
+transition render as one vmapped jitted call (the reference loops per frame
+on host, morph_v2.py:434-468).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+
+def ease_in_out_cubic(t: float) -> float:
+    """(reference: morph_v2.py:264-270)"""
+    if t < 0.5:
+        return 4 * t * t * t
+    return 1 - pow(-2 * t + 2, 3) / 2
+
+
+def smoothstep(t: float) -> float:
+    return t * t * (3 - 2 * t)
+
+
+def smootherstep(t: float) -> float:
+    return t * t * t * (t * (6 * t - 15) + 10)
+
+
+def calculate_zoom_pulse(progress, pulse_amplitude=0.05, pulse_frequency=2.0):
+    """(reference: morph_v2.py:348-362)"""
+    pulse = abs(math.sin(progress * pulse_frequency * 2 * math.pi))
+    return 1.0 + pulse * pulse_amplitude
+
+
+def temporal_smooth_frames(frames, kernel_size=3, sigma=1.0):
+    """Gaussian-weighted temporal blend (reference: morph_v2.py:282-322)."""
+    if len(frames) < kernel_size:
+        return frames
+    half = kernel_size // 2
+    weights = np.array([np.exp(-((i - half) ** 2) / (2 * sigma**2)) for i in range(kernel_size)])
+    weights = weights / weights.sum()
+    smoothed = []
+    for i in range(len(frames)):
+        blended = np.zeros_like(frames[i], np.float32)
+        total = 0.0
+        for j, w in enumerate(weights):
+            idx = i + j - half
+            if 0 <= idx < len(frames):
+                blended += frames[idx].astype(np.float32) * w
+                total += w
+        smoothed.append((blended / total).astype(frames[i].dtype))
+    return smoothed
+
+
+def optical_flow_morph(
+    img1_rgb: np.ndarray,
+    img2_rgb: np.ndarray,
+    num_interp_frames: int = 72,
+    easing: str = "smooth",
+    *,
+    min_flow: float = 2.0,
+) -> list[np.ndarray]:
+    """Morph img1 → img2; returns uint8 RGB frames.
+
+    Math parity with the reference (morph_v2.py:365-468): pre-blur σ=1 k5,
+    Farneback (0.5, 6 levels, win 21, 5 iters, poly 7/1.5), flow-field blur
+    σ=3 k15, radial min-flow boost, eased warps, smoothstep crossfade.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.blur import gaussian_blur
+    from ..ops.color import rgb_to_gray
+    from ..ops.flow import farneback_flow
+    from ..ops.warp import bilinear_sample
+
+    h, w = img1_rgb.shape[:2]
+    if img2_rgb.shape[:2] != (h, w):
+        from PIL import Image
+
+        img2_rgb = np.asarray(Image.fromarray(img2_rgb).resize((w, h), Image.BILINEAR))
+
+    i1 = jnp.asarray(img1_rgb.astype(np.float32))
+    i2 = jnp.asarray(img2_rgb.astype(np.float32))
+
+    @jax.jit
+    def flows(i1, i2):
+        g1 = gaussian_blur(rgb_to_gray(i1), 1.0, ksize=5)
+        g2 = gaussian_blur(rgb_to_gray(i2), 1.0, ksize=5)
+        fwd = farneback_flow(g1, g2, pyr_scale=0.5, levels=6, winsize=21,
+                             iterations=5, poly_n=7, poly_sigma=1.5)
+        bwd = farneback_flow(g2, g1, pyr_scale=0.5, levels=6, winsize=21,
+                             iterations=5, poly_n=7, poly_sigma=1.5)
+
+        def post(flow, sign):
+            flow = gaussian_blur(flow, 3.0, ksize=15)
+            mag = jnp.sqrt(flow[..., 0] ** 2 + flow[..., 1] ** 2)
+            low = (mag < min_flow).astype(jnp.float32)
+            cy, cx = h / 2.0, w / 2.0
+            ry = (jnp.arange(h, dtype=jnp.float32)[:, None] - cy) / h
+            rx = (jnp.arange(w, dtype=jnp.float32)[None, :] - cx) / w
+            dx = flow[..., 0] + sign * low * jnp.broadcast_to(rx, (h, w)) * min_flow * 2
+            dy = flow[..., 1] + sign * low * jnp.broadcast_to(ry, (h, w)) * min_flow * 2
+            return jnp.stack([dx, dy], -1)
+
+        return post(fwd, 1.0), post(bwd, -1.0)
+
+    fwd, bwd = flows(i1, i2)
+
+    ease = {"smoother": smootherstep, "smooth": ease_in_out_cubic}.get(easing, lambda x: x)
+    t_lin = np.array(
+        [i / (num_interp_frames - 1) if num_interp_frames > 1 else 0.0 for i in range(num_interp_frames)],
+        np.float32,
+    )
+    t_eased = np.array([ease(float(t)) for t in t_lin], np.float32)
+    alphas = np.array([smoothstep(float(t)) for t in t_lin], np.float32)
+
+    gx = jnp.arange(w, dtype=jnp.float32)[None, :]
+    gy = jnp.arange(h, dtype=jnp.float32)[:, None]
+
+    @jax.jit
+    def render(ts, als):
+        def one(t, alpha):
+            # reflect border like cv2.BORDER_REFLECT; coordinates folded.
+            def refl(c, size):
+                period = 2.0 * size
+                c = jnp.mod(c, period)
+                return jnp.minimum(c, period - 1.0 - c).clip(0.0, size - 1.0)
+
+            w1 = bilinear_sample(
+                i1, refl(gx + t * fwd[..., 0], w), refl(gy + t * fwd[..., 1], h), border="replicate"
+            )
+            w2 = bilinear_sample(
+                i2, refl(gx + (1 - t) * bwd[..., 0], w), refl(gy + (1 - t) * bwd[..., 1], h), border="replicate"
+            )
+            return w1 * (1 - alpha) + w2 * alpha
+
+        return jax.vmap(one)(ts, als)
+
+    out = np.asarray(render(jnp.asarray(t_eased), jnp.asarray(alphas)))
+    return [np.clip(f, 0, 255).astype(np.uint8) for f in out]
+
+
+def main(argv=None) -> int:
+    """Morph slideshow CLI: a sequence of images → crossfade-morph video
+    (the optical_flow_slideshow family, reference: scripts/optical_flow_slideshow.py)."""
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--images", nargs="+", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--fps", type=int, default=24)
+    ap.add_argument("--morph_frames", type=int, default=48)
+    ap.add_argument("--hold_frames", type=int, default=12)
+    ap.add_argument("--easing", choices=["linear", "smooth", "smoother"], default="smooth")
+    ap.add_argument("--size", type=int, default=720, help="long-side resize")
+    ap.add_argument("--temporal_smooth", action="store_true")
+    args = ap.parse_args(argv)
+
+    import cv2
+    from PIL import Image
+
+    imgs = []
+    for p in args.images:
+        im = Image.open(p).convert("RGB")
+        iw, ih = im.size
+        s = args.size / max(iw, ih)
+        if s < 1.0:
+            im = im.resize((int(iw * s) // 2 * 2, int(ih * s) // 2 * 2), Image.LANCZOS)
+        imgs.append(np.asarray(im))
+    base = imgs[0].shape[:2]
+    imgs = [
+        i if i.shape[:2] == base else np.asarray(Image.fromarray(i).resize((base[1], base[0])))
+        for i in imgs
+    ]
+
+    frames: list[np.ndarray] = []
+    for a, b in zip(imgs, imgs[1:]):
+        frames.extend([a] * args.hold_frames)
+        frames.extend(optical_flow_morph(a, b, args.morph_frames, args.easing))
+    frames.extend([imgs[-1]] * args.hold_frames)
+    if args.temporal_smooth:
+        frames = temporal_smooth_frames(frames)
+
+    h, w = base
+    for fourcc in ("avc1", "mp4v"):
+        writer = cv2.VideoWriter(args.output, cv2.VideoWriter_fourcc(*fourcc), args.fps, (w, h))
+        if writer.isOpened():
+            break
+    for f in frames:
+        writer.write(cv2.cvtColor(f, cv2.COLOR_RGB2BGR))
+    writer.release()
+    print(f"[morph] wrote {args.output} ({len(frames)} frames)")
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())

@@ -115,18 +115,72 @@ def stylize(model_arch: str, params: dict, io_preset: str, x01: jnp.ndarray) -> 
     return out
 
 
-def jit_stylizer(model: StyleModel, *, dtype=jnp.float32):
+def jit_stylizer(model: StyleModel, *, dtype=jnp.float32, optimize: bool = True):
     """Compile a stylize fn for one model; returns f(batch01) -> batch01.
 
     ``dtype=jnp.bfloat16`` selects the MXU speed path (params cast once).
+    With ``optimize`` (default), Johnson-arch models additionally use the
+    space-to-depth form (models/transformer_net_s2d) whenever the input H, W
+    are divisible by 4 — identical math, ~10x the MXU utilization at 1080p.
     """
+    if model.arch == "magenta":
+        return _jit_magenta_stylizer(model, dtype=dtype)
+
     m = model.cast(dtype) if dtype != jnp.float32 else model
+
+    s2d_params = None
+    if optimize and model.arch == "johnson":
+        from ..models import transformer_net_s2d as tns2d
+
+        s2d_params = tns2d.from_johnson_params(model.params)
+        if dtype != jnp.float32:
+            s2d_params = jax.tree.map(lambda a: a.astype(dtype), s2d_params)
 
     @jax.jit
     def fn(x01):
+        from ..models import transformer_net_s2d as tns2d
+        from ..ops.resize import resize_bilinear
+
         x = x01.astype(dtype)
-        y = stylize(m.arch, m.params, m.io_preset, x)
-        return y.astype(jnp.float32)
+        if s2d_params is not None and x.shape[1] % 4 == 0 and x.shape[2] % 4 == 0:
+            xin = iop.preprocess(m.io_preset, x)
+            y = tns2d.apply(s2d_params, xin)
+            out = iop.postprocess(m.io_preset, y)
+            if out.shape[1:3] != x.shape[1:3]:
+                out = resize_bilinear(out, (x.shape[1], x.shape[2]))
+        else:
+            out = stylize(m.arch, m.params, m.io_preset, x)
+        return out.astype(jnp.float32)
+
+    return fn
+
+
+def _jit_magenta_stylizer(model: StyleModel, *, dtype=jnp.float32):
+    """Magenta slot: optional downscale → batched tiled transform → feather
+    stitch → upscale back (reference flow: pipeline.py:190-265). One compile
+    per content shape; all tiles run as a single device batch."""
+    from ..models import magenta
+    from ..ops.resize import resize_bilinear
+
+    p = model.params
+    params, style01 = p["magenta"], p["style01"]
+    tile, overlap, target_res = p["tile"], p["overlap"], p["target_res"]
+
+    @jax.jit
+    def fn(x01):
+        outs = []
+        for i in range(x01.shape[0]):
+            c = x01[i]
+            H, W = c.shape[0], c.shape[1]
+            work = c
+            if target_res and max(H, W) > target_res:
+                r = target_res / max(H, W)
+                work = resize_bilinear(c, (int(H * r), int(W * r)))
+            y = magenta.stylize_tiled(params, work, style01, tile_size=tile, overlap=overlap)
+            if y.shape[:2] != (H, W):
+                y = resize_bilinear(y, (H, W))
+            outs.append(y)
+        return jnp.stack(outs, 0).astype(jnp.float32)
 
     return fn
 
