@@ -161,6 +161,125 @@ def load_slot_bank(args) -> list:
 
 
 # ---------------------------------------------------------------------------
+# Batched video path
+# ---------------------------------------------------------------------------
+
+
+def style_frames_batched(args, frames_dir: Path, image_mode: bool, save_map: dict[int, str]):
+    """Process frames in device batches: one jitted stylize per batch and the
+    whole temporal chain (flow EMA / LAB EMA / motion blend) as an in-graph
+    scan (temporal.temporal_postprocess_scan). State carries across batches.
+
+    The per-frame path remains for region-animated masks; everything else the
+    reference's hot loop does per frame happens here per batch.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .. import config as nconfig
+    from ..ops.color import rgb_to_gray
+    from ..ops.flow import farneback_flow
+    from ..temporal.ema import TemporalState, temporal_postprocess_scan
+    from . import stylizer as st
+
+    dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
+    if dtype == jnp.bfloat16:
+        nconfig.set_conv_precision("default")
+
+    models = load_slot_bank(args)
+    num_models = len(models)
+    print(f"[bank] {num_models} slot(s): " + ", ".join(f"{m.name}({m.arch}/{m.io_preset})" for m in models))
+    stylize_fns = [st.jit_stylizer(m, dtype=dtype) for m in models]
+    weights = parse_blend_weights(args.blend_models_weights, num_models) if num_models > 1 else [1.0]
+
+    frame_files = sorted(
+        list(frames_dir.glob("frame_*.png"))
+        + list(frames_dir.glob("frame_*.jpg"))
+        + list(frames_dir.glob("frame_*.jpeg"))
+    )
+    frame_files = frame_files[:: max(1, args.stride)]
+    if args.max_frames:
+        frame_files = frame_files[: args.max_frames]
+    if not frame_files:
+        print(f"[error] no frames found in {frames_dir}")
+        sys.exit(2)
+
+    B = max(1, int(args.frame_batch))
+    flow_pairs = jax.jit(jax.vmap(partial(farneback_flow)))
+
+    @partial(jax.jit, static_argnames=("first",))
+    def batch_post(styled, orig, grays, prev_gray, state: TemporalState, first: bool):
+        flows = None
+        if args.flow_ema:
+            prevs = jnp.concatenate([prev_gray[None], grays[:-1]], 0)
+            flows = flow_pairs(prevs, grays)
+        out, new_state = temporal_postprocess_scan(
+            styled, orig, flows,
+            flow_ema=args.flow_ema, flow_alpha=args.flow_alpha,
+            smooth_lightness=args.smooth_lightness, smooth_chroma=args.smooth_chroma,
+            smooth_alpha=args.smooth_alpha, chroma_alpha=args.chroma_alpha,
+            motion_blend=args.motion_blend, blend=args.blend,
+            init=None if first else state,
+        )
+        return out, new_state, grays[-1]
+
+    from PIL import Image
+
+    state = None
+    prev_gray = None
+    written = 0
+    t_start = time.perf_counter()
+    for b0 in range(0, len(frame_files), B):
+        chunk = frame_files[b0 : b0 + B]
+        imgs = [np.asarray(fio.load_image_exif_rgb(str(p)), np.float32) / 255.0 for p in chunk]
+        n_real = len(imgs)
+        while len(imgs) < B:  # pad final batch, outputs ignored
+            imgs.append(imgs[-1])
+        orig = jnp.asarray(np.stack(imgs, 0))
+        grays = jax.jit(lambda x: rgb_to_gray(x * 255.0))(orig)
+
+        outs = [fn(orig) for fn in stylize_fns]
+        styled = outs[0] * weights[0]
+        for o, w in zip(outs[1:], weights[1:]):
+            styled = styled + o * w
+        styled = jnp.clip(styled, 0.0, 1.0)
+
+        first = state is None
+        if first:
+            H0, W0 = orig.shape[1], orig.shape[2]
+            state = TemporalState(
+                jnp.zeros((H0, W0, 3), jnp.float32), jnp.zeros((H0, W0, 3), jnp.float32)
+            )
+            prev_gray = grays[0]
+        out, state, prev_gray = batch_post(styled, orig, grays, prev_gray, state, first)
+
+        out_np = np.asarray(out)
+        for i in range(n_real):
+            idx = b0 + i + 1
+            frame_path = chunk[i]
+            idx_str = frame_path.stem.split("_")[-1]
+            save_as_jpg = args.image_ext.lower() == "jpg"
+            if image_mode and idx in save_map:
+                out_path = Path(save_map[idx])
+                out_path.parent.mkdir(parents=True, exist_ok=True)
+                save_as_jpg = out_path.suffix.lower() in (".jpg", ".jpeg")
+            else:
+                out_path = (frames_dir / f"{args.output_prefix}_{idx_str}").with_suffix(
+                    ".jpg" if save_as_jpg else ".png"
+                )
+            img = Image.fromarray((np.clip(out_np[i], 0, 1) * 255).astype(np.uint8))
+            if save_as_jpg:
+                img.save(out_path, format="JPEG", quality=int(args.jpeg_quality))
+            else:
+                img.save(out_path)
+            written += 1
+        done = min(b0 + B, len(frame_files))
+        fps_now = done / max(1e-9, time.perf_counter() - t_start)
+        print(f"[batch][{done}/{len(frame_files)}] {fps_now:.1f} frames/s cumulative")
+    return written, len(frame_files)
+
+
+# ---------------------------------------------------------------------------
 # The styling loop
 # ---------------------------------------------------------------------------
 
@@ -584,7 +703,16 @@ def main(argv=None) -> int:
             out_stem = f"{args.output_prefix}_{m.group(1)}" if m else f"{base}{args.output_suffix or ''}"
             save_map[i] = str((Path(args.output_dir) / f"{out_stem}{out_ext}").resolve())
 
-    written, planned = style_frames(args, frames_dir, image_mode_single or image_mode_batch, save_map)
+    use_batched = (
+        args.frame_batch > 1
+        and not args.region_mode
+        and not args.mask
+        and not args.mask_dir
+    )
+    if args.frame_batch > 1 and not use_batched:
+        print("[warn] --frame_batch falls back to per-frame processing with region/mask options.")
+    runner = style_frames_batched if use_batched else style_frames
+    written, planned = runner(args, frames_dir, image_mode_single or image_mode_batch, save_map)
     print(f"[done] wrote {written}/{planned} styled frames")
 
     if video_mode:

@@ -1,0 +1,65 @@
+"""Batched video path produces the same frames as the per-frame path."""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def small_video(tmp_path_factory):
+    cv2 = pytest.importorskip("cv2")
+    d = tmp_path_factory.mktemp("vid")
+    p = d / "in.mp4"
+    vw = cv2.VideoWriter(str(p), cv2.VideoWriter_fourcc(*"mp4v"), 8, (96, 64))
+    rng = np.random.default_rng(0)
+    base = (rng.random((64, 96, 3)) * 255).astype(np.uint8)
+    for t in range(6):
+        fr = np.roll(base, t * 4, axis=1)
+        cv2.circle(fr, (20 + t * 8, 32), 8, (255, 128, 0), -1)
+        vw.write(fr)
+    vw.release()
+    return p
+
+
+def _run(video, out, tmp, extra):
+    from neuralstyletransferv1_tpu.engine.pipeline import main
+
+    ckpt = Path(__file__).resolve().parent.parent / "_testdata" / "test_johnson.pth"
+    if not ckpt.exists():
+        pytest.skip("synthetic checkpoint missing")
+    rc = main(
+        [
+            "--input_video", str(video), "--output_video", str(out),
+            "--model", str(ckpt), "--io_preset", "raw_255",
+            "--flow_ema", "--flow_method", "farneback", "--motion_blend",
+            "--blend", "0.9", "--fps", "8",
+            "--work_dir", str(tmp),
+        ]
+        + extra
+    )
+    assert rc == 0
+
+
+def test_batched_matches_perframe(small_video, tmp_path):
+    cv2 = pytest.importorskip("cv2")
+    a = tmp_path / "a.mp4"
+    b = tmp_path / "b.mp4"
+    _run(small_video, a, tmp_path / "_w1", [])
+    _run(small_video, b, tmp_path / "_w2", ["--frame_batch", "3"])
+
+    def frames(p):
+        cap = cv2.VideoCapture(str(p))
+        out = []
+        while True:
+            ok, fr = cap.read()
+            if not ok:
+                break
+            out.append(fr.astype(np.float32))
+        return out
+
+    fa, fb = frames(a), frames(b)
+    assert len(fa) == len(fb) and len(fa) > 0
+    for i, (x, y) in enumerate(zip(fa, fb)):
+        mae = np.abs(x - y).mean()
+        assert mae < 2.0, (i, mae)  # mp4 re-encode noise floor
