@@ -205,7 +205,11 @@ def style_frames_batched(args, frames_dir: Path, image_mode: bool, save_map: dic
         sys.exit(2)
 
     B = max(1, int(args.frame_batch))
-    flow_pairs = jax.jit(jax.vmap(partial(farneback_flow)))
+    if args.flow_method == "dis":
+        from ..ops.dis_flow import dis_flow as _flow_fn
+    else:
+        _flow_fn = farneback_flow
+    flow_pairs = jax.jit(jax.vmap(partial(_flow_fn)))
 
     @partial(jax.jit, static_argnames=("first",))
     def batch_post(styled, orig, grays, prev_gray, state: TemporalState, first: bool):
@@ -361,7 +365,12 @@ def style_frames(args, frames_dir: Path, image_mode: bool, save_map: dict[int, s
             return out01 * alpha + orig01 * (1.0 - alpha)
         return orig01 * alpha + out01 * (1.0 - alpha)
 
-    jit_flow = jax.jit(partial(farneback_flow))
+    if args.flow_method == "dis":
+        from ..ops.dis_flow import dis_flow
+
+        jit_flow = jax.jit(partial(dis_flow))
+    else:
+        jit_flow = jax.jit(partial(farneback_flow))
     jit_flow_fuse = jax.jit(partial(flow_ema_fuse, alpha=args.flow_alpha))
     jit_motion = jax.jit(partial(motion_adaptive_blend, blend=args.blend))
     jit_uniform = jax.jit(partial(uniform_blend, blend=args.blend))

