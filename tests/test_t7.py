@@ -1,0 +1,181 @@
+"""Torch7 .t7 reader + JAX executor, validated via a minimal T7 writer."""
+
+import struct
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+
+class T7Writer:
+    """Just enough of the Torch7 serialization format to build test nets."""
+
+    def __init__(self, f):
+        self.f = f
+        self.idx = 0
+
+    def _i(self, v):
+        self.f.write(struct.pack("<i", v))
+
+    def _l(self, v):
+        self.f.write(struct.pack("<q", v))
+
+    def _d(self, v):
+        self.f.write(struct.pack("<d", v))
+
+    def _s(self, v):
+        b = v.encode()
+        self._i(len(b))
+        self.f.write(b)
+
+    def _next(self):
+        self.idx += 1
+        return self.idx
+
+    def num(self, v):
+        self._i(1)
+        self._d(float(v))
+
+    def string(self, v):
+        self._i(2)
+        self._s(v)
+
+    def tensor(self, arr):
+        arr = np.ascontiguousarray(arr, np.float32)
+        self._i(4)
+        self._i(self._next())
+        self._s("torch.FloatTensor")
+        self._i(arr.ndim)
+        for s in arr.shape:
+            self._l(s)
+        for s in [st // 4 for st in arr.strides]:
+            self._l(s)
+        self._l(1)
+        self._i(4)
+        self._i(self._next())
+        self._s("torch.FloatStorage")
+        self._l(arr.size)
+        self.f.write(arr.tobytes())
+
+    def table(self, d):
+        self._i(3)
+        self._i(self._next())
+        self._i(len(d))
+        for k, v in d.items():
+            self.string(k) if isinstance(k, str) else self.num(k)
+            if isinstance(v, (int, float)):
+                self.num(v)
+            elif isinstance(v, str):
+                self.string(v)
+            elif isinstance(v, np.ndarray):
+                self.tensor(v)
+            elif isinstance(v, dict):
+                self.table(v)
+            elif isinstance(v, tuple) and v[0] == "module":
+                self.module(*v[1:])
+            else:
+                raise TypeError(type(v))
+
+    def module(self, typename, state):
+        self._i(4)
+        self._i(self._next())
+        self._s(typename)
+        self.table(state)
+
+
+@pytest.fixture
+def t7_net(tmp_path):
+    rng = np.random.default_rng(5)
+    w1 = rng.standard_normal((8, 3, 3, 3)).astype(np.float32) * 0.2
+    b1 = rng.standard_normal(8).astype(np.float32) * 0.1
+    w2 = rng.standard_normal((3, 8, 3, 3)).astype(np.float32) * 0.2
+    b2 = rng.standard_normal(3).astype(np.float32) * 0.1
+    mods = {}
+    for i, (t, st) in enumerate(
+        [
+            ("nn.SpatialReflectionPadding", {"pad_t": 1, "pad_l": 1, "pad_b": 1, "pad_r": 1}),
+            ("nn.SpatialConvolution", {"weight": w1, "bias": b1, "dH": 1, "dW": 1, "padH": 0, "padW": 0}),
+            ("nn.ReLU", {}),
+            ("nn.SpatialReflectionPadding", {"pad_t": 1, "pad_l": 1, "pad_b": 1, "pad_r": 1}),
+            ("nn.SpatialConvolution", {"weight": w2, "bias": b2, "dH": 1, "dW": 1, "padH": 0, "padW": 0}),
+        ]
+    ):
+        mods[float(i + 1)] = ("module", t, st)
+    path = tmp_path / "net.t7"
+    with open(path, "wb") as f:
+        T7Writer(f).module("nn.Sequential", {"modules": mods})
+    return path, (w1, b1, w2, b2)
+
+
+def test_t7_roundtrip_and_layers(t7_net):
+    from neuralstyletransferv1_tpu.io.t7 import build_t7_layers, load_t7
+
+    path, _ = t7_net
+    net = load_t7(str(path))
+    layers = build_t7_layers(net)
+    assert [l["op"] for l in layers] == ["reflect_pad", "conv", "relu", "reflect_pad", "conv"]
+    assert layers[1]["w"].shape == (3, 3, 3, 8)  # OIHW → HWIO
+
+
+def test_t7_apply_matches_torch(t7_net):
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    from neuralstyletransferv1_tpu.io.t7 import build_t7_layers, load_t7, t7_apply
+
+    path, (w1, b1, w2, b2) = t7_net
+    layers = build_t7_layers(load_t7(str(path)))
+    x = np.random.default_rng(0).standard_normal((1, 16, 20, 3)).astype(np.float32)
+    got = np.asarray(t7_apply(layers, jnp.asarray(x)))
+
+    xt = torch.from_numpy(x).permute(0, 3, 1, 2)
+    y = F.conv2d(F.pad(xt, (1, 1, 1, 1), mode="reflect"), torch.from_numpy(w1), torch.from_numpy(b1))
+    y = F.relu(y)
+    y = F.conv2d(F.pad(y, (1, 1, 1, 1), mode="reflect"), torch.from_numpy(w2), torch.from_numpy(b2))
+    want = y.permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_t7_residual_concat_table(tmp_path):
+    """ConcatTable{branch, Identity} + CAddTable — the eccv16 residual form."""
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    from neuralstyletransferv1_tpu.io.t7 import build_t7_layers, load_t7, t7_apply
+
+    rng = np.random.default_rng(9)
+    w = rng.standard_normal((4, 4, 3, 3)).astype(np.float32) * 0.2
+    b = rng.standard_normal(4).astype(np.float32) * 0.1
+    branch = {
+        1.0: ("module", "nn.SpatialReflectionPadding", {"pad_t": 1, "pad_l": 1, "pad_b": 1, "pad_r": 1}),
+        2.0: ("module", "nn.SpatialConvolution", {"weight": w, "bias": b, "dH": 1, "dW": 1, "padH": 0, "padW": 0}),
+    }
+    net_state = {
+        "modules": {
+            1.0: (
+                "module",
+                "nn.ConcatTable",
+                {
+                    "modules": {
+                        1.0: ("module", "nn.Sequential", {"modules": branch}),
+                        2.0: ("module", "nn.Identity", {}),
+                    }
+                },
+            ),
+            2.0: ("module", "nn.CAddTable", {}),
+        }
+    }
+    path = tmp_path / "res.t7"
+    with open(path, "wb") as f:
+        T7Writer(f).module("nn.Sequential", net_state)
+    layers = build_t7_layers(load_t7(str(path)))
+    x = np.random.default_rng(1).standard_normal((1, 10, 12, 4)).astype(np.float32)
+    got = np.asarray(t7_apply(layers, jnp.asarray(x)))
+    xt = torch.from_numpy(x).permute(0, 3, 1, 2)
+    want = (
+        (F.conv2d(F.pad(xt, (1, 1, 1, 1), mode="reflect"), torch.from_numpy(w), torch.from_numpy(b)) + xt)
+        .permute(0, 2, 3, 1)
+        .numpy()
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
