@@ -112,6 +112,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
     # TPU-native additions
     ap.add_argument("--compute_dtype", choices=["float32", "bfloat16"], default="float32",
                     help="bfloat16 enables the MXU fast path (parity path is float32).")
+    ap.add_argument("--profile_dir", type=str, default=None,
+                    help="Write a jax profiler trace of the styling loop here "
+                    "(the reference's print-based timing/RSS telemetry is "
+                    "always on; this adds the full XLA trace).")
     ap.add_argument("--frame_batch", type=int, default=1,
                     help="Process video frames in device batches of this size: "
                     "stylize runs batched and the temporal chain runs as one "

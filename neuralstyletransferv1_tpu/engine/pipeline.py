@@ -36,6 +36,16 @@ from .config import build_arg_parser
 _LETTERS = "abcdefgh"
 
 
+def _rss_mb() -> float:
+    """Resident set size in MB (reference: pipeline.py:481-496)."""
+    try:
+        import resource
+
+        return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
+    except Exception:
+        return -1.0
+
+
 # ---------------------------------------------------------------------------
 # Mask loading (reference: pipeline.py:284-353)
 # ---------------------------------------------------------------------------
@@ -507,7 +517,8 @@ def style_frames(args, frames_dir: Path, image_mode: bool, save_map: dict[int, s
             out_img.save(out_path)
         written += 1
         if idx == 1 or idx % 10 == 0:
-            print(f"[frame][{idx}/{len(frame_files)}] dt={time.perf_counter() - t0:.3f}s -> {out_path.name}")
+            print(f"[frame][{idx}/{len(frame_files)}] dt={time.perf_counter() - t0:.3f}s "
+                  f"rss={_rss_mb():.1f} MB -> {out_path.name}")
         gc.collect() if idx % 50 == 0 else None
 
     return written, len(frame_files)
@@ -721,7 +732,18 @@ def main(argv=None) -> int:
     if args.frame_batch > 1 and not use_batched:
         print("[warn] --frame_batch falls back to per-frame processing with region/mask options.")
     runner = style_frames_batched if use_batched else style_frames
-    written, planned = runner(args, frames_dir, image_mode_single or image_mode_batch, save_map)
+    if args.profile_dir:
+        import jax
+
+        jax.profiler.start_trace(args.profile_dir)
+    try:
+        written, planned = runner(args, frames_dir, image_mode_single or image_mode_batch, save_map)
+    finally:
+        if args.profile_dir:
+            import jax
+
+            jax.profiler.stop_trace()
+            print(f"[profile] trace written to {args.profile_dir}")
     print(f"[done] wrote {written}/{planned} styled frames")
 
     if video_mode:

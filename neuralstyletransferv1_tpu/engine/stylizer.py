@@ -185,6 +185,42 @@ def _jit_magenta_stylizer(model: StyleModel, *, dtype=jnp.float32):
     return fn
 
 
+def stack_models(models: list[StyleModel]) -> StyleModel:
+    """Stack same-arch, same-preset models into one bank with a leading model
+    axis on every leaf. Used by the vmapped ladder stylizer."""
+    archs = {m.arch for m in models}
+    presets = {m.io_preset for m in models}
+    if len(archs) != 1 or len(presets) != 1:
+        raise ValueError(f"stack_models needs uniform arch/preset, got {archs}/{presets}")
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs, 0), *[m.params for m in models])
+    return StyleModel(models[0].arch, stacked, models[0].io_preset,
+                      f"bank[{len(models)}]", models[0].model_type)
+
+
+def jit_ladder_stylizer(models: list[StyleModel], *, dtype=jnp.float32):
+    """One jitted call styling a batch with EVERY model of a same-arch bank
+    (the style_all_weights / weight-ladder workload, BASELINE config #2).
+
+    Returns f(batch01[N,H,W,C]) -> [M,N,H,W,C]: the vmap over stacked params
+    multiplies MXU work per dispatch instead of re-dispatching per checkpoint.
+    """
+    bank = stack_models(models)
+    if dtype != jnp.float32:
+        bank = bank.cast(dtype)
+    arch, preset = bank.arch, bank.io_preset
+
+    @jax.jit
+    def fn(x01):
+        x = x01.astype(dtype)
+
+        def one(params):
+            return stylize(arch, params, preset, x)
+
+        return jax.vmap(one)(bank.params).astype(jnp.float32)
+
+    return fn
+
+
 def blend_outputs(outputs: list[jnp.ndarray], weights: list[float]) -> jnp.ndarray:
     """RGB weighted blend of stylized batches (reference: pipeline.py:1872-1879;
     weights validated to sum to 1 at pipeline.py:502-521)."""

@@ -130,3 +130,19 @@ def test_io_presets_roundtrip():
     assert iop.resolve_auto_preset("transformer") == "imagenet_255"
     assert iop.resolve_auto_preset("transformer", arch="nst") == "raw_01"
     assert iop.resolve_auto_preset("torch7") == "caffe_bgr"
+
+
+def test_ladder_stylizer_vmapped_bank():
+    """Vmapped model bank matches per-model stylization exactly."""
+    import jax
+
+    from neuralstyletransferv1_tpu.engine import stylizer as st
+
+    models = [st.make_random_model("johnson", seed=s) for s in (0, 1, 2)]
+    x = jnp.asarray(np.random.default_rng(5).random((1, 32, 40, 3)).astype(np.float32))
+    bank_fn = st.jit_ladder_stylizer(models)
+    got = np.asarray(bank_fn(x))
+    assert got.shape == (3, 1, 32, 40, 3)
+    for i, m in enumerate(models):
+        want = np.asarray(st.jit_stylizer(m, optimize=False)(x))
+        np.testing.assert_allclose(got[i], want, rtol=1e-4, atol=1e-4)
