@@ -1,0 +1,12 @@
+#!/usr/bin/env python3
+"""CLI shim: style_video_pipeline app."""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from neuralstyletransferv1_tpu.apps.style_video_pipeline import main
+
+if __name__ == "__main__":
+    sys.exit(main())
