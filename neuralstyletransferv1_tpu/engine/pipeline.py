@@ -417,8 +417,16 @@ def style_frames(args, frames_dir: Path, image_mode: bool, save_map: dict[int, s
         x01 = jnp.asarray(x_src)[None]
         x_orig_j = jnp.asarray(x_orig)
 
-        # --- stylize all slots ---
-        outputs = [fn(x01)[0] for fn in stylize_fns]
+        # --- stylize all slots; a failed slot falls back to the original
+        # frame (reference: pipeline.py:1618-1621) ---
+        outputs = []
+        for si, fn in enumerate(stylize_fns):
+            try:
+                outputs.append(fn(x01)[0])
+            except Exception as e:
+                print(f"[slot][{chr(65 + si)}][WARN] forward failed ({type(e).__name__}: {e}); "
+                      "using original frame")
+                outputs.append(jnp.asarray(x_src))
         # lock to content size (reference: pipeline.py:1514-1518)
         outputs = [
             o if o.shape[:2] == (H0, W0) else resize_bilinear(o, (H0, W0)) for o in outputs
@@ -489,6 +497,23 @@ def style_frames(args, frames_dir: Path, image_mode: bool, save_map: dict[int, s
             )
             out01 = mask_composite(out01, x_orig_j, jnp.asarray(alpha))
             mask_used = True
+            # Debug artifacts (reference: pipeline.py:2017-2025, 2055-2070).
+            if args.mask_debug_alpha or args.mask_debug_overlay:
+                from PIL import Image as _Image
+
+                debug_dir = frames_dir.parent / "debug"
+                debug_dir.mkdir(parents=True, exist_ok=True)
+                if args.mask_debug_alpha:
+                    _Image.fromarray((alpha[..., 0] * 255).astype(np.uint8)).save(
+                        debug_dir / f"alpha_{idx:04d}.png"
+                    )
+                if args.mask_debug_overlay:
+                    base_u8 = (np.asarray(x_orig_j) * 255).clip(0, 255).astype(np.uint8)
+                    tint = np.zeros_like(base_u8)
+                    tint[..., 0] = 255
+                    a3 = np.repeat(alpha, 3, axis=2)
+                    overlay = (base_u8 * (1.0 - 0.35 * a3) + tint * (0.35 * a3)).clip(0, 255).astype(np.uint8)
+                    _Image.fromarray(overlay).save(debug_dir / f"overlay_{idx:04d}.jpg", quality=92)
 
         # --- motion-adaptive / uniform blend (reference: pipeline.py:2072-2092) ---
         if args.motion_blend and last_flow is not None and not mask_used:
