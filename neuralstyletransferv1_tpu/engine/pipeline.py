@@ -124,6 +124,49 @@ def parse_lab_weights(weights_str: str | None) -> tuple[float, float]:
     return wL, wab
 
 
+def preflight_mask_dir(args, frame_files) -> None:
+    """Validate --mask_dir before styling: all-missing is a hard error,
+    some-missing a warning (reference: pipeline.py:1042-1062)."""
+    if not getattr(args, "mask_dir", None) or getattr(args, "mask", None):
+        return
+    try:
+        md = Path(args.mask_dir)
+        missing = []
+        for p in frame_files:
+            stem_num = p.stem.split("_")[-1]
+            if not (md / f"mask_{stem_num}.png").exists():
+                missing.append(p.name)
+        total = len(frame_files)
+        if total > 0 and len(missing) == total:
+            print(f"[mask][ERROR] --mask_dir set to {md} but no masks like mask_0001.png were found.")
+            print("               Refusing to run unmasked; generate masks or remove --mask_dir.")
+            sys.exit(2)
+        elif missing:
+            print(f"[mask][WARN] {len(missing)}/{total} mask(s) missing under {md}.")
+            print("            Missing-mask frames will be fully stylized unless a global --mask is provided.")
+    except SystemExit:
+        raise
+    except Exception as e:
+        print(f"[mask][WARN] could not validate --mask_dir: {e}")
+
+
+def list_frame_files(args, frames_dir: Path):
+    """Frame discovery + stride/max_frames selection (reference:
+    pipeline.py:1019-1025)."""
+    frame_files = sorted(
+        list(frames_dir.glob("frame_*.png"))
+        + list(frames_dir.glob("frame_*.jpg"))
+        + list(frames_dir.glob("frame_*.jpeg"))
+    )
+    frame_files = frame_files[:: max(1, args.stride)]
+    if args.max_frames:
+        frame_files = frame_files[: args.max_frames]
+    if not frame_files:
+        print(f"[error] no frames found in {frames_dir}")
+        sys.exit(2)
+    return frame_files
+
+
 # ---------------------------------------------------------------------------
 # Slot bank
 # ---------------------------------------------------------------------------
@@ -189,6 +232,7 @@ def style_frames_batched(args, frames_dir: Path, image_mode: bool, save_map: dic
     from .. import config as nconfig
     from ..ops.color import rgb_to_gray
     from ..ops.flow import farneback_flow
+    from ..ops.resize import resize_bilinear
     from ..temporal.ema import TemporalState, temporal_postprocess_scan
     from . import stylizer as st
 
@@ -200,19 +244,15 @@ def style_frames_batched(args, frames_dir: Path, image_mode: bool, save_map: dic
     num_models = len(models)
     print(f"[bank] {num_models} slot(s): " + ", ".join(f"{m.name}({m.arch}/{m.io_preset})" for m in models))
     stylize_fns = [st.jit_stylizer(m, dtype=dtype) for m in models]
-    weights = parse_blend_weights(args.blend_models_weights, num_models) if num_models > 1 else [1.0]
-
-    frame_files = sorted(
-        list(frames_dir.glob("frame_*.png"))
-        + list(frames_dir.glob("frame_*.jpg"))
-        + list(frames_dir.glob("frame_*.jpeg"))
+    use_lab_blend = args.blend_models_lab and num_models > 1
+    weights = (
+        parse_blend_weights(args.blend_models_weights, num_models)
+        if (num_models > 1 and not use_lab_blend)
+        else [1.0]
     )
-    frame_files = frame_files[:: max(1, args.stride)]
-    if args.max_frames:
-        frame_files = frame_files[: args.max_frames]
-    if not frame_files:
-        print(f"[error] no frames found in {frames_dir}")
-        sys.exit(2)
+
+    frame_files = list_frame_files(args, frames_dir)
+    preflight_mask_dir(args, frame_files)
 
     B = max(1, int(args.frame_batch))
     if args.flow_method == "dis":
@@ -220,13 +260,51 @@ def style_frames_batched(args, frames_dir: Path, image_mode: bool, save_map: dic
     else:
         _flow_fn = farneback_flow
     flow_pairs = jax.jit(jax.vmap(partial(_flow_fn)))
+    flow_ds = max(1, int(args.flow_downscale))
+
+    @jax.jit
+    def blend_batch(outs_stacked):
+        """RGB weighted or LAB blend across slots ([M,B,H,W,C] → [B,H,W,C])."""
+        if use_lab_blend:
+            from ..ops.color import lab_u8_to_rgb, rgb_to_lab_u8
+
+            wL, wab = parse_lab_weights(args.blend_models_lab_weights)
+            try:
+                w_rest = parse_blend_weights(args.blend_models_weights, num_models - 1)
+            except Exception:
+                w_rest = [1.0 / (num_models - 1)] * (num_models - 1)
+            lab_a = rgb_to_lab_u8(outs_stacked[0])
+            lab_rest = rgb_to_lab_u8(outs_stacked[1:])
+            wr = jnp.asarray(w_rest, jnp.float32)[:, None, None, None]
+            a_mix = jnp.sum(wr * lab_rest[..., 1], axis=0)
+            b_mix = jnp.sum(wr * lab_rest[..., 2], axis=0)
+            lab_mix = jnp.stack(
+                [
+                    lab_a[..., 0],
+                    jnp.clip(wL * lab_a[..., 1] + wab * a_mix, 0, 255),
+                    jnp.clip(wL * lab_a[..., 2] + wab * b_mix, 0, 255),
+                ],
+                axis=-1,
+            )
+            return lab_u8_to_rgb(lab_mix)
+        w = jnp.asarray(weights, jnp.float32)[:, None, None, None, None]
+        return jnp.clip(jnp.sum(w * outs_stacked, axis=0), 0.0, 1.0)
 
     @partial(jax.jit, static_argnames=("first",))
     def batch_post(styled, orig, grays, prev_gray, state: TemporalState, first: bool):
         flows = None
         if args.flow_ema:
             prevs = jnp.concatenate([prev_gray[None], grays[:-1]], 0)
-            flows = flow_pairs(prevs, grays)
+            if flow_ds > 1:
+                H, W = grays.shape[1], grays.shape[2]
+                hs, ws = H // flow_ds, W // flow_ds
+                f_small = flow_pairs(
+                    resize_bilinear(prevs[..., None], (hs, ws))[..., 0],
+                    resize_bilinear(grays[..., None], (hs, ws))[..., 0],
+                )
+                flows = resize_bilinear(f_small, (H, W)) * float(flow_ds)
+            else:
+                flows = flow_pairs(prevs, grays)
         out, new_state = temporal_postprocess_scan(
             styled, orig, flows,
             flow_ema=args.flow_ema, flow_alpha=args.flow_alpha,
@@ -242,6 +320,7 @@ def style_frames_batched(args, frames_dir: Path, image_mode: bool, save_map: dic
     state = None
     prev_gray = None
     written = 0
+    infer_hw = None  # --inference_res (reference: pipeline.py:1089-1097)
     t_start = time.perf_counter()
     for b0 in range(0, len(frame_files), B):
         chunk = frame_files[b0 : b0 + B]
@@ -250,13 +329,22 @@ def style_frames_batched(args, frames_dir: Path, image_mode: bool, save_map: dic
         while len(imgs) < B:  # pad final batch, outputs ignored
             imgs.append(imgs[-1])
         orig = jnp.asarray(np.stack(imgs, 0))
+        H0, W0 = int(orig.shape[1]), int(orig.shape[2])
         grays = jax.jit(lambda x: rgb_to_gray(x * 255.0))(orig)
 
-        outs = [fn(orig) for fn in stylize_fns]
-        styled = outs[0] * weights[0]
-        for o, w in zip(outs[1:], weights[1:]):
-            styled = styled + o * w
-        styled = jnp.clip(styled, 0.0, 1.0)
+        src = orig
+        if args.inference_res and max(H0, W0) > args.inference_res:
+            if infer_hw is None:
+                s = args.inference_res / max(H0, W0)
+                infer_hw = (int(round(H0 * s)), int(round(W0 * s)))
+            src = resize_bilinear(orig, infer_hw)
+
+        outs = [fn(src) for fn in stylize_fns]
+        # lock to content size (reference: pipeline.py:1514-1518)
+        outs = [
+            o if o.shape[1:3] == (H0, W0) else resize_bilinear(o, (H0, W0)) for o in outs
+        ]
+        styled = blend_batch(jnp.stack(outs, 0))
 
         first = state is None
         if first:
@@ -312,6 +400,8 @@ def style_frames(args, frames_dir: Path, image_mode: bool, save_map: dict[int, s
         parse_blend_animation,
         parse_morph_animation,
         parse_region_blend_animations,
+        parse_region_scale_animations,
+        parse_region_sizes,
     )
     from ..temporal.ema import flow_ema_fuse, motion_adaptive_blend, uniform_blend
     from . import stylizer as st
@@ -330,18 +420,8 @@ def style_frames(args, frames_dir: Path, image_mode: bool, save_map: dict[int, s
     stylize_fns = [st.jit_stylizer(m, dtype=dtype) for m in models]
 
     ext = args.image_ext
-    frame_files = sorted(
-        list(frames_dir.glob("frame_*.png"))
-        + list(frames_dir.glob("frame_*.jpg"))
-        + list(frames_dir.glob("frame_*.jpeg"))
-    )
-    # stride / max_frames selection (reference: pipeline.py:1019-1025)
-    frame_files = frame_files[:: max(1, args.stride)]
-    if args.max_frames:
-        frame_files = frame_files[: args.max_frames]
-    if not frame_files:
-        print(f"[error] no frames found in {frames_dir}")
-        sys.exit(2)
+    frame_files = list_frame_files(args, frames_dir)
+    preflight_mask_dir(args, frame_files)
 
     # Region/morph config (parsed once)
     morph_anim = parse_morph_animation(args.region_morph) if args.region_morph else None
@@ -349,6 +429,20 @@ def style_frames(args, frames_dir: Path, image_mode: bool, save_map: dict[int, s
         parse_region_blend_animations(args.blend_animate_regions or args.blend_animate,
                                       args.region_count or num_models)
         if (args.blend_animate or args.blend_animate_regions)
+        else None
+    )
+    # --scale_animate(_regions) animates per-region render scale
+    # (reference: pipeline.py:1228-1240, applied at 1313-1315).
+    scale_anims = (
+        parse_region_scale_animations(args.scale_animate_regions or args.scale_animate,
+                                      args.region_count or num_models)
+        if (args.scale_animate or args.scale_animate_regions)
+        else None
+    )
+    # --region_sizes weights the voronoi cells (reference: pipeline.py:1167-1170).
+    region_sizes = (
+        parse_region_sizes(args.region_sizes, args.region_count or num_models)
+        if args.region_sizes
         else None
     )
     region_seed = _parse_region_seed(args, morph_anim)
@@ -417,20 +511,45 @@ def style_frames(args, frames_dir: Path, image_mode: bool, save_map: dict[int, s
         x01 = jnp.asarray(x_src)[None]
         x_orig_j = jnp.asarray(x_orig)
 
-        # --- stylize all slots; a failed slot falls back to the original
-        # frame (reference: pipeline.py:1618-1621) ---
+        # --- stylize all slots; a failed slot retries at half resolution,
+        # then falls back to the original frame (reference: half-res retry at
+        # pipeline.py:1429-1442, original-frame fallback at 1618-1621) ---
         outputs = []
         for si, fn in enumerate(stylize_fns):
             try:
                 outputs.append(fn(x01)[0])
             except Exception as e:
-                print(f"[slot][{chr(65 + si)}][WARN] forward failed ({type(e).__name__}: {e}); "
-                      "using original frame")
-                outputs.append(jnp.asarray(x_src))
+                print(f"[slot][{chr(65 + si)}][ERROR] forward failed "
+                      f"({type(e).__name__}: {e}) — retrying at half-size")
+                try:
+                    h2, w2 = max(1, x01.shape[1] // 2), max(1, x01.shape[2] // 2)
+                    y_small = fn(resize_bilinear(x01, (h2, w2)))[0]
+                    outputs.append(resize_bilinear(y_small, (x01.shape[1], x01.shape[2])))
+                    print(f"[slot][{chr(65 + si)}] retry succeeded at half-size")
+                except Exception as e2:
+                    print(f"[slot][{chr(65 + si)}][FALLBACK] second attempt failed "
+                          f"({type(e2).__name__}: {e2}); using original frame")
+                    outputs.append(jnp.asarray(x_src))
         # lock to content size (reference: pipeline.py:1514-1518)
         outputs = [
             o if o.shape[:2] == (H0, W0) else resize_bilinear(o, (H0, W0)) for o in outputs
         ]
+
+        # First-2-frame debug dumps of slot A + input (reference:
+        # pipeline.py:1499-1510).
+        if idx <= 2 and not image_mode:
+            try:
+                from PIL import Image as _Image
+
+                debug_dir = frames_dir.parent / "debug"
+                debug_dir.mkdir(parents=True, exist_ok=True)
+                a_u8 = (np.clip(np.asarray(outputs[0]), 0, 1) * 255).astype(np.uint8)
+                _Image.fromarray(a_u8).save(debug_dir / f"A_out_{idx:04d}.jpg", quality=92)
+                in_u8 = (np.clip(x_orig, 0, 1) * 255).astype(np.uint8)
+                _Image.fromarray(in_u8).save(debug_dir / f"IN_{idx:04d}.jpg", quality=92)
+                print(f"[debug] wrote {debug_dir}/A_out_{idx:04d}.jpg and IN_{idx:04d}.jpg")
+            except Exception as e:
+                print(f"[debug][WARN] could not save A debug frames: {e}")
 
         # --- blend across models ---
         if num_models == 1 and not args.region_mode:
@@ -439,6 +558,7 @@ def style_frames(args, frames_dir: Path, image_mode: bool, save_map: dict[int, s
             out01 = _region_blend(
                 args, outputs, x_orig_j, H0, W0, idx, num_models, region_seed, morph_anim,
                 blend_anims, blend_by_regions, blend_by_regions_advanced,
+                scale_anims=scale_anims, region_sizes=region_sizes,
             )
         elif args.blend_models_lab:
             out01 = _lab_blend(args, outputs, num_models, rgb_to_lab_u8, lab_u8_to_rgb, jnp)
@@ -488,11 +608,18 @@ def style_frames(args, frames_dir: Path, image_mode: bool, save_map: dict[int, s
             if cand.exists():
                 mask_file = str(cand)
         if mask_file:
+            # --fit_mask_to output aligns the mask to the stylized frame's
+            # dims instead of the input's (reference: pipeline.py:1997-2005;
+            # identical here unless a slot changed the output size).
+            if args.fit_mask_to == "output":
+                ref_H, ref_W = int(out01.shape[0]), int(out01.shape[1])
+            else:
+                ref_H, ref_W = H0, W0
             feather_px = args.mask_feather
             if args.mask_feather_pct > 0:
-                feather_px = max(feather_px, int(H0 * args.mask_feather_pct / 100.0))
+                feather_px = max(feather_px, int(ref_H * args.mask_feather_pct / 100.0))
             alpha = load_mask_fit(
-                mask_file, (H0, W0), args.mask_invert, feather_px,
+                mask_file, (ref_H, ref_W), args.mask_invert, feather_px,
                 autofix=args.mask_autofix, force_transpose=args.mask_force_transpose,
             )
             out01 = mask_composite(out01, x_orig_j, jnp.asarray(alpha))
@@ -565,11 +692,19 @@ def _parse_region_seed(args, morph_anim):
         return None
 
 
+# Static ladder the animated per-region scale snaps to (keeps every jitted
+# shape fixed; the reference restyles each crop at the exact animated scale,
+# pipeline.py:1313-1337, which would recompile per frame under XLA).
+_SCALE_LADDER = (0.25, 0.375, 0.5, 0.625, 0.75, 0.875, 1.0)
+
+
 def _region_blend(
     args, outputs, x_orig_j, H0, W0, idx, num_models, region_seed, morph_anim,
     blend_anims, blend_by_regions, blend_by_regions_advanced,
+    scale_anims=None, region_sizes=None,
 ):
-    """(reference: pipeline.py:1720-1838)"""
+    """(reference: pipeline.py:1720-1838 full-frame, 1124-1407 crop path for
+    region_sizes / scale animations)"""
     import jax.numpy as jnp
 
     from ..ops.resize import resize_bilinear
@@ -582,12 +717,22 @@ def _region_blend(
             weights = parse_blend_weights(args.blend_models_weights, num_models)
         except Exception:
             weights = None
-    use_advanced = args.region_blend_spec or args.region_scales
+    has_scale_anim = bool(scale_anims) and any(a.enabled for a in scale_anims)
+    use_advanced = args.region_blend_spec or args.region_scales or has_scale_anim
     if use_advanced:
         required = get_required_scales(
             region_count, num_models, args.region_assignment,
             args.region_blend_spec, args.region_scales, region_seed, args.region_original,
         )
+        if has_scale_anim:
+            # Pre-render every ladder scale an animation can reach.
+            for anim in scale_anims:
+                if anim.enabled:
+                    required.extend(
+                        s for s in _SCALE_LADDER
+                        if anim.min_scale - 1e-6 <= s <= anim.max_scale + 1e-6
+                    )
+            required = sorted(set(required))
         by_scale = {}
         for scale in required:
             if scale == 1.0:
@@ -607,7 +752,8 @@ def _region_blend(
             scale_spec=args.region_scales, weights=weights, feather=args.region_feather,
             seed=region_seed, original=orig, original_chance=args.region_original,
             frame_idx=idx, rotation_rate=args.region_rotate, morph=morph_anim,
-            blend_animations=blend_anims,
+            blend_animations=blend_anims, scale_animations=scale_anims,
+            region_sizes=region_sizes,
         )
     return blend_by_regions(
         outputs, H0, W0, mode=args.region_mode, region_count=region_count,
@@ -615,6 +761,7 @@ def _region_blend(
         seed=region_seed, original=x_orig_j if args.region_original > 0 else None,
         original_chance=args.region_original, frame_idx=idx,
         rotation_rate=args.region_rotate, morph=morph_anim,
+        region_sizes=region_sizes,
     )
 
 
@@ -675,6 +822,12 @@ def main(argv=None) -> int:
         if args.flow_ema:
             print("[warn] --flow_ema ignored in image mode.")
             args.flow_ema = False
+    if args.region_optimize:
+        print("[region-opt][note] --region_optimize: regions are styled full-frame "
+              "on TPU (batched full-frame styling replaces the reference's crop "
+              "path); --region_padding has no effect. --region_sizes, "
+              "--scale_animate(_regions), --blend_animate(_regions) and "
+              "--region_morph all apply as usual.")
 
     canvas_wh = None
     if args.canvas:
@@ -776,6 +929,15 @@ def main(argv=None) -> int:
         fps_out = float(args.fps) if (args.pre_fps and args.fps) else None
         n = fio.assemble_video(frames_dir, Path(args.output_video).resolve(), framerate_in, fps_out)
         print(f"[assemble] {n} frames -> {args.output_video}")
+
+    # --clean_frames: drop extracted/styled frames after assembly
+    # (reference: pipeline.py:2657-2661).
+    if args.clean_frames:
+        for pat in ("frame_*.png", "frame_*.jpg", "frame_*.jpeg",
+                    "styled_frame_*.png", "styled_frame_*.jpg"):
+            for p in frames_dir.glob(pat):
+                p.unlink(missing_ok=True)
+        print(f"[clean] removed frame files under {frames_dir}")
 
     if args.clean_work_dir and (image_mode_single or image_mode_batch):
         import shutil

@@ -1,10 +1,11 @@
 """Host-side frame and video IO.
 
 The reference shells out to ffmpeg for decode/scale/encode (reference:
-pipeline.py:384-419, 2128-2150). This environment has no ffmpeg binary, so
-video IO uses OpenCV's built-in codecs behind the same interface; the ffmpeg
-path is used automatically when the binary exists (keeps CLI parity for
-deployments that have it).
+pipeline.py:384-419, 2128-2150). Here both paths exist behind one interface:
+when the ffmpeg binary is present, extraction/assembly run the reference's
+ffmpeg filter graphs (lanczos scale, canvas fit+pad, fps select, mjpeg dump,
+libx264 yuv420p assembly); otherwise OpenCV's built-in codecs replicate the
+same semantics in-process (this build environment has no ffmpeg).
 
 Semantics preserved:
 - lanczos long-side scale or canvas fit+pad with black bars
@@ -80,6 +81,66 @@ def _fit_scale_pad(frame_bgr: np.ndarray, scale: int | None, canvas_wh: tuple[in
     return frame_bgr
 
 
+def _src_fps(input_video: Path) -> float:
+    import cv2
+
+    cap = cv2.VideoCapture(str(input_video))
+    fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
+    cap.release()
+    return float(fps)
+
+
+def _verify_frames(frames_dir: Path, ext: str) -> int:
+    """PIL-verify every extracted frame (reference: pipeline.py:411-419)."""
+    n = 0
+    for frame_path in sorted(frames_dir.glob(f"frame_*.{ext}")):
+        with Image.open(frame_path) as img:
+            img.verify()
+        n += 1
+    return n
+
+
+def _extract_frames_ffmpeg(
+    input_video: Path,
+    frames_dir: Path,
+    fps: int | None,
+    scale: int | None,
+    img_ext: str,
+    jpeg_quality: int,
+    canvas_wh: tuple[int, int] | None,
+    max_frames: int | None,
+) -> float:
+    """The reference's ffmpeg extraction graph (pipeline.py:384-419)."""
+    vf_parts: list[str] = []
+    if canvas_wh:
+        cw, ch = canvas_wh
+        vf_parts.append(f"scale={cw}:{ch}:flags=lanczos:force_original_aspect_ratio=decrease")
+        vf_parts.append(f"pad={cw}:{ch}:(ow-iw)/2:(oh-ih)/2:color=black")
+    elif scale:
+        vf_parts.append(
+            f"scale='if(gte(iw,ih),{scale},-2)':'if(gte(ih,iw),{scale},-2)':flags=lanczos"
+        )
+    if fps:
+        vf_parts.append(f"fps={fps}")
+    ext = "png" if img_ext.lower() == "png" else "jpg"
+    pattern = frames_dir / f"frame_%04d.{ext}"
+    cmd = ["ffmpeg", "-y", "-i", str(input_video)]
+    if vf_parts:
+        cmd += ["-vf", ",".join(vf_parts)]
+    if max_frames:
+        cmd += ["-frames:v", str(max_frames)]
+    if ext == "jpg":
+        # mjpeg qscale is 2(best)..31; map from the 0-100 jpeg quality knob
+        # (the reference passes the raw quality as -q:v, which ffmpeg clamps).
+        q = max(2, min(31, round(2 + (100 - int(jpeg_quality)) * 29 / 98)))
+        cmd += ["-c:v", "mjpeg", "-q:v", str(q), "-pix_fmt", "yuvj420p"]
+    cmd += [str(pattern)]
+    subprocess.run(cmd, check=True, capture_output=True)
+    if _verify_frames(frames_dir, ext) == 0:
+        raise RuntimeError(f"no frames extracted from {input_video}")
+    return _src_fps(input_video)
+
+
 def extract_frames(
     input_video: Path,
     frames_dir: Path,
@@ -93,11 +154,20 @@ def extract_frames(
     """Decode video → frame_%04d.{ext}; returns the source fps.
 
     With --fps set, frames are picked by timestamp to hit the target rate
-    (ffmpeg fps-filter semantics).
+    (ffmpeg fps-filter semantics). Uses ffmpeg when available, else OpenCV.
     """
     import cv2
 
     frames_dir.mkdir(parents=True, exist_ok=True)
+    if have_ffmpeg():
+        try:
+            return _extract_frames_ffmpeg(
+                input_video, frames_dir, fps, scale, img_ext, jpeg_quality,
+                canvas_wh, max_frames,
+            )
+        except (subprocess.CalledProcessError, OSError) as e:
+            print(f"[frames][WARN] ffmpeg extraction failed ({e}); falling back to OpenCV")
+
     cap = cv2.VideoCapture(str(input_video))
     if not cap.isOpened():
         raise RuntimeError(f"cannot open video: {input_video}")
@@ -129,13 +199,36 @@ def extract_frames(
             break
     cap.release()
 
-    # Verify extracted frames (reference: pipeline.py:411-419).
-    for frame_path in sorted(frames_dir.glob(f"frame_*.{ext}")):
-        with Image.open(frame_path) as img:
-            img.verify()
+    _verify_frames(frames_dir, ext)
     if out_idx == 0:
         raise RuntimeError(f"no frames extracted from {input_video}")
     return float(src_fps)
+
+
+def _assemble_video_ffmpeg(
+    frames_dir: Path,
+    output_video: Path,
+    framerate_in: float,
+    fps_out: float | None,
+    pattern_prefix: str,
+) -> int:
+    """The reference's ffmpeg assembly command (pipeline.py:2128-2150)."""
+    jpgs = sorted(frames_dir.glob(f"{pattern_prefix}_*.jpg"))
+    pngs = sorted(frames_dir.glob(f"{pattern_prefix}_*.png"))
+    if jpgs:
+        pattern, n_in = frames_dir / f"{pattern_prefix}_%04d.jpg", len(jpgs)
+    elif pngs:
+        pattern, n_in = frames_dir / f"{pattern_prefix}_%04d.png", len(pngs)
+    else:
+        raise RuntimeError(f"no {pattern_prefix}_* frames in {frames_dir}")
+    cmd = ["ffmpeg", "-y", "-framerate", str(framerate_in), "-i", str(pattern)]
+    if fps_out:
+        cmd += ["-r", str(fps_out)]
+    cmd += ["-c:v", "libx264", "-pix_fmt", "yuv420p", str(output_video)]
+    subprocess.run(cmd, check=True, capture_output=True)
+    if fps_out and abs(float(fps_out) - float(framerate_in)) > 1e-6:
+        return max(1, int(round(n_in / framerate_in * fps_out)))
+    return n_in
 
 
 def assemble_video(
@@ -145,13 +238,23 @@ def assemble_video(
     fps_out: float | None,
     pattern_prefix: str = "styled_frame",
 ) -> int:
-    """frame sequence → H.264-ish mp4 (reference: pipeline.py:2128-2150).
+    """frame sequence → H.264 mp4 (reference: pipeline.py:2128-2150).
 
     framerate_in paces the frames; fps_out resamples the output timeline
-    (ffmpeg ``-framerate in -r out``). With OpenCV we replicate by
-    duplicating/dropping frames onto the output clock.
+    (ffmpeg ``-framerate in -r out``). Uses ffmpeg/libx264 when the binary
+    exists; OpenCV otherwise replicates by duplicating/dropping frames onto
+    the output clock.
     """
     import cv2
+
+    output_video.parent.mkdir(parents=True, exist_ok=True)
+    if have_ffmpeg():
+        try:
+            return _assemble_video_ffmpeg(
+                frames_dir, output_video, framerate_in, fps_out, pattern_prefix
+            )
+        except (subprocess.CalledProcessError, OSError) as e:
+            print(f"[frames][WARN] ffmpeg assembly failed ({e}); falling back to OpenCV")
 
     files = sorted(
         list(frames_dir.glob(f"{pattern_prefix}_*.jpg"))
@@ -162,7 +265,6 @@ def assemble_video(
     first = cv2.imread(str(files[0]))
     h, w = first.shape[:2]
     out_fps = float(fps_out or framerate_in)
-    output_video.parent.mkdir(parents=True, exist_ok=True)
     for fourcc_name in ("avc1", "mp4v"):
         fourcc = cv2.VideoWriter_fourcc(*fourcc_name)
         writer = cv2.VideoWriter(str(output_video), fourcc, out_fps, (w, h))

@@ -418,17 +418,24 @@ def blend_by_regions(
     frame_idx=0,
     rotation_rate=0.0,
     morph: MorphAnimation | None = None,
+    region_sizes: list[float] | None = None,
 ) -> jnp.ndarray:
-    """High-level simple region blend (reference: region_blend.py:1690-1792)."""
+    """High-level simple region blend (reference: region_blend.py:1690-1792).
+
+    ``region_sizes`` weights the voronoi cells (reference feeds
+    --region_sizes into generate_region_masks, pipeline.py:1167-1177)."""
     num_models = len(styled_outputs)
     if region_count is None:
         region_count = num_models
     needs_caching = rotation_rate != 0 or (morph and morph.enabled)
-    cache_key = (H, W, mode, region_count, seed, feather)
+    sizes_key = tuple(region_sizes) if region_sizes else None
+    cache_key = (H, W, mode, region_count, seed, feather, sizes_key)
     if needs_caching and cache_key in _mask_cache:
         base_masks, assignments = _mask_cache[cache_key]
     else:
-        base_masks = generate_region_masks(H, W, mode, region_count, seed, feather)
+        base_masks = generate_region_masks(
+            H, W, mode, region_count, seed, feather, region_sizes=region_sizes
+        )
         assignments = assign_models_to_regions(
             base_masks.shape[0], num_models, assignment, weights, seed, original_chance
         )
@@ -466,20 +473,29 @@ def blend_by_regions_advanced(
     rotation_rate=0.0,
     morph: MorphAnimation | None = None,
     blend_animations: list[BlendAnimation] | None = None,
+    scale_animations: list[ScaleAnimation] | None = None,
+    region_sizes: list[float] | None = None,
 ) -> jnp.ndarray:
     """Advanced multi-scale region blend (reference:
     region_blend.py:1832-1951). ``blend_animations`` (when given) animates
-    each region's weights per frame before compositing."""
+    each region's weights per frame before compositing; ``scale_animations``
+    animates each region's render scale (reference applies
+    compute_animated_scale per crop, pipeline.py:1313-1315 — here the
+    animated scale snaps to the nearest pre-rendered scale so shapes stay
+    static under jit)."""
     first_scale = list(styled_outputs_by_scale.keys())[0]
     num_models = len(styled_outputs_by_scale[first_scale])
     if region_count is None:
         region_count = num_models
     needs_caching = rotation_rate != 0 or (morph and morph.enabled)
-    cache_key = (H, W, mode, region_count, seed, feather, blend_spec, scale_spec)
+    sizes_key = tuple(region_sizes) if region_sizes else None
+    cache_key = (H, W, mode, region_count, seed, feather, blend_spec, scale_spec, sizes_key)
     if needs_caching and cache_key in _mask_cache:
         base_masks, configs = _mask_cache[cache_key]
     else:
-        base_masks = generate_region_masks(H, W, mode, region_count, seed, feather)
+        base_masks = generate_region_masks(
+            H, W, mode, region_count, seed, feather, region_sizes=region_sizes
+        )
         configs = parse_region_configs(
             base_masks.shape[0], num_models, assignment, blend_spec, scale_spec,
             seed, original_chance,
@@ -510,4 +526,15 @@ def blend_by_regions_advanced(
                 )
             )
         configs = animated
+    if scale_animations:
+        configs = [
+            RegionConfig(
+                cfg.model_indices,
+                cfg.model_weights,
+                compute_animated_scale(
+                    cfg.scale, frame_idx, scale_animations[r % len(scale_animations)]
+                ),
+            )
+            for r, cfg in enumerate(configs)
+        ]
     return composite_regions_advanced(styled_outputs_by_scale, masks, configs, original, H, W)
