@@ -1,0 +1,199 @@
+"""End-to-end golden parity: the composed engine vs the reference's math.
+
+The reference CLI can't run here (its module imports TensorFlow), so the
+goldens are produced by driving the reference's *torch modules* plus its
+numpy/PIL post-processing directly — the exact per-frame math of
+reference pipeline.py:1080-2122:
+
+- io-preset forward branches (pipeline.py:1444-1486)
+- multi-model RGB weighted blend (pipeline.py:1520-1879)
+- LAB lightness/chroma EMA on PIL-uint8 planes (pipeline.py:1942-1978)
+- uniform original blend (pipeline.py:2089-2092)
+
+Asserts the BASELINE metric: ≤1e-2 mean-abs pixel error per frame.
+"""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+from PIL import Image
+
+
+@pytest.fixture(scope="module")
+def torch():
+    return pytest.importorskip("torch")
+
+
+def _ref_module(reference_path, name):
+    sys.path.insert(0, str(reference_path))
+    try:
+        import importlib
+
+        mod = importlib.import_module(name)
+    finally:
+        sys.path.remove(str(reference_path))
+    return mod
+
+
+@pytest.fixture(scope="module")
+def nets(reference_path, torch, tmp_path_factory):
+    """Random-weight reference nets + checkpoints on disk for the engine."""
+    d = tmp_path_factory.mktemp("ckpts")
+    ref_j = _ref_module(reference_path, "transformer_net")
+    ref_n = _ref_module(reference_path, "transformer_net_nst")
+    torch.manual_seed(7)
+    johnson = ref_j.TransformerNet().eval()
+    nst = ref_n.TransformerNet().eval()
+    jp, np_ = d / "johnson.pth", d / "nst.pth"
+    torch.save(johnson.state_dict(), jp)
+    torch.save(nst.state_dict(), np_)
+    return johnson, nst, jp, np_
+
+
+@pytest.fixture(scope="module")
+def content(tmp_path_factory):
+    """A smooth synthetic content image (PNG = lossless staging)."""
+    d = tmp_path_factory.mktemp("content")
+    H, W = 72, 96
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    img = np.stack(
+        [
+            127 + 100 * np.sin(xx / 17) * np.cos(yy / 11),
+            127 + 90 * np.cos(xx / 23 + 1),
+            127 + 80 * np.sin((xx + yy) / 29),
+        ],
+        -1,
+    ).clip(0, 255).astype(np.uint8)
+    p = d / "content.png"
+    Image.fromarray(img).save(p)
+    return p
+
+
+def _oracle_forward(torch, model, pil, preset):
+    """Reference io-preset forward (pipeline.py:1444-1486) → CHW float01."""
+    x01 = torch.from_numpy(np.asarray(pil, np.float32) / 255.0).permute(2, 0, 1)[None]
+    with torch.no_grad():
+        if preset == "raw_255":
+            y = model(x01 * 255.0)
+            return (y / 255.0).clamp(0, 1).squeeze(0)
+        if preset == "raw_01":
+            return model(x01).clamp(0, 1).squeeze(0)
+        raise ValueError(preset)
+
+
+def _oracle_lab_ema(torch, out01, prev, smooth_alpha=0.7, chroma_alpha=0.85,
+                    smooth_chroma=False):
+    """Reference LAB EMA incl. the uint8 quantization points
+    (pipeline.py:1942-1978). Returns (PIL RGB, new prev dict).
+
+    torchvision is absent here; ToPILImage()(float01 CHW) ≡ round-half-away
+    uint8 quantize → PIL (torchvision functional.to_pil_image math)."""
+    u8 = (out01.clamp(0, 1).permute(1, 2, 0).numpy() * 255.0 + 0.5).astype(np.uint8)
+    out_img = Image.fromarray(u8)
+    lab_np = np.array(out_img.convert("LAB"), dtype=np.uint8).astype(np.float32)
+    L, aC, bC = lab_np[..., 0], lab_np[..., 1], lab_np[..., 2]
+    if prev is None:
+        prev = {"L": L.copy(), "a": aC.copy(), "b": bC.copy()}
+    L_sm = smooth_alpha * L + (1.0 - smooth_alpha) * prev["L"]
+    prev["L"] = L_sm
+    lab_np[..., 0] = np.clip(L_sm, 0, 255)
+    if smooth_chroma:
+        a_sm = chroma_alpha * aC + (1.0 - chroma_alpha) * prev["a"]
+        b_sm = chroma_alpha * bC + (1.0 - chroma_alpha) * prev["b"]
+        prev["a"], prev["b"] = a_sm, b_sm
+        lab_np[..., 1] = np.clip(a_sm, 0, 255)
+        lab_np[..., 2] = np.clip(b_sm, 0, 255)
+    return Image.fromarray(lab_np.astype(np.uint8), mode="LAB").convert("RGB"), prev
+
+
+def _run_engine(argv):
+    from neuralstyletransferv1_tpu.engine.pipeline import main
+
+    assert main(argv) == 0
+
+
+def _mae(a_pil_or_path, b_path):
+    a = np.asarray(
+        Image.open(a_pil_or_path) if isinstance(a_pil_or_path, (str, Path)) else a_pil_or_path,
+        np.float32,
+    )
+    b = np.asarray(Image.open(b_path), np.float32)
+    assert a.shape == b.shape
+    return np.abs(a / 255.0 - b / 255.0).mean()
+
+
+def test_golden_single_johnson_raw255(nets, content, torch, tmp_path):
+    johnson, _, jp, _ = nets
+    out = tmp_path / "out.png"
+    _run_engine([
+        "--input_image", str(content), "--output_image", str(out),
+        "--model", str(jp), "--io_preset", "raw_255",
+        "--work_dir", str(tmp_path / "_w"),
+    ])
+    want01 = _oracle_forward(torch, johnson, Image.open(content), "raw_255")
+    want, _ = _oracle_lab_ema(torch, want01, None)  # frame-1 EMA ≡ quantize
+    assert _mae(want, out) < 1e-2
+
+
+def test_golden_single_nst_raw01(nets, content, torch, tmp_path):
+    _, nst, _, np_ = nets
+    out = tmp_path / "out.png"
+    _run_engine([
+        "--input_image", str(content), "--output_image", str(out),
+        "--model", str(np_), "--io_preset", "raw_01",
+        "--work_dir", str(tmp_path / "_w"),
+    ])
+    want01 = _oracle_forward(torch, nst, Image.open(content), "raw_01")
+    want, _ = _oracle_lab_ema(torch, want01, None)
+    assert _mae(want, out) < 1e-2
+
+
+def test_golden_multimodel_rgb_blend(nets, content, torch, tmp_path):
+    johnson, nst, jp, np_ = nets
+    out = tmp_path / "out.png"
+    _run_engine([
+        "--input_image", str(content), "--output_image", str(out),
+        "--model", str(jp), "--io_preset", "raw_255",
+        "--model_b", str(np_), "--io_preset_b", "raw_01",
+        "--blend_models_weights", "0.6,0.4",
+        "--work_dir", str(tmp_path / "_w"),
+    ])
+    pil = Image.open(content)
+    ya = _oracle_forward(torch, johnson, pil, "raw_255")
+    yb = _oracle_forward(torch, nst, pil, "raw_01")
+    blended = (0.6 * ya + 0.4 * yb).clamp(0, 1)
+    want, _ = _oracle_lab_ema(torch, blended, None)
+    assert _mae(want, out) < 1e-2
+
+
+def test_golden_lab_ema_sequence(nets, content, torch, tmp_path):
+    """4-frame sequence through batch-dir mode: lightness+chroma EMA chain
+    must track the reference recurrences within 1e-2 per frame."""
+    johnson, _, jp, _ = nets
+    in_dir = tmp_path / "in"
+    out_dir = tmp_path / "out"
+    in_dir.mkdir()
+    base = np.asarray(Image.open(content), np.float32)
+    pils = []
+    for t in range(4):
+        fr = np.roll(base, t * 7, axis=1) * (1.0 - 0.05 * t)
+        pil = Image.fromarray(fr.clip(0, 255).astype(np.uint8))
+        pil.save(in_dir / f"frame_{t + 1:04d}.png")
+        pils.append(pil)
+    _run_engine([
+        "--input_dir", str(in_dir), "--output_dir", str(out_dir),
+        "--pattern", "*.png",
+        "--model", str(jp), "--io_preset", "raw_255",
+        "--smooth_chroma",
+        "--work_dir", str(tmp_path / "_w"),
+    ])
+    prev = None
+    for t, pil in enumerate(pils, start=1):
+        y = _oracle_forward(torch, johnson, pil, "raw_255")
+        want, prev = _oracle_lab_ema(torch, y, prev, smooth_chroma=True)
+        got = out_dir / f"styled_frame_{t:04d}.png"
+        assert got.exists(), got
+        mae = _mae(want, got)
+        assert mae < 1e-2, (t, mae)
