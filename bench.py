@@ -4,9 +4,11 @@ Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
 
 Headline config matches BASELINE.md's north star (≥200 stylized 1080p
-frames/s/chip on v5e): Johnson TransformerNet in its space-to-depth form
-(models/transformer_net_s2d — identical math, MXU-aligned), imagenet_255
-preset fused in, bf16 activations/weights with f32 accumulation.
+frames/s/chip on v5e): Johnson TransformerNet in its f=2 space-to-depth form
+(models/transformer_net_s2d2 — identical math, MXU-aligned, zero phase
+repacks), imagenet_255 preset fused in, bf16 activations/weights with f32
+accumulation. Batch 16 amortizes per-dispatch overheads slightly better
+than 8 (81 vs 78 fps measured).
 ``vs_baseline`` is value / 200 (the reference publishes no numbers of its
 own — BASELINE.md).
 
@@ -28,7 +30,7 @@ import jax.numpy as jnp
 
 BASELINE_FPS = 200.0  # north-star target, BASELINE.json
 H, W = 1080, 1920
-BATCH = 8
+BATCH = 16
 CHAIN = 8
 REPEATS = 2
 
@@ -54,7 +56,7 @@ def _timed(fn, batch, chain):
 def main() -> None:
     from neuralstyletransferv1_tpu import config
     from neuralstyletransferv1_tpu.models import io_presets as iop
-    from neuralstyletransferv1_tpu.models import transformer_net, transformer_net_s2d as s2d
+    from neuralstyletransferv1_tpu.models import transformer_net, transformer_net_s2d2 as s2d
 
     print(f"[bench] device: {jax.devices()[0]}", file=sys.stderr)
     config.set_conv_precision("default")  # bf16 inputs → native MXU path

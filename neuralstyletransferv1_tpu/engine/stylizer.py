@@ -120,8 +120,10 @@ def jit_stylizer(model: StyleModel, *, dtype=jnp.float32, optimize: bool = True)
 
     ``dtype=jnp.bfloat16`` selects the MXU speed path (params cast once).
     With ``optimize`` (default), Johnson-arch models additionally use the
-    space-to-depth form (models/transformer_net_s2d) whenever the input H, W
-    are divisible by 4 — identical math, ~10x the MXU utilization at 1080p.
+    f=2 space-to-depth form (models/transformer_net_s2d2) whenever the input
+    H, W are divisible by 4 — identical math, every tensor stays in one s2d
+    layout so no phase repacks happen (~14x the naive port's throughput at
+    1080p; see memory/nst-tpu-perf-ledger.md).
     """
     if model.arch == "magenta":
         return _jit_magenta_stylizer(model, dtype=dtype)
@@ -130,7 +132,7 @@ def jit_stylizer(model: StyleModel, *, dtype=jnp.float32, optimize: bool = True)
 
     s2d_params = None
     if optimize and model.arch == "johnson":
-        from ..models import transformer_net_s2d as tns2d
+        from ..models import transformer_net_s2d2 as tns2d
 
         s2d_params = tns2d.from_johnson_params(model.params)
         if dtype != jnp.float32:
@@ -138,7 +140,7 @@ def jit_stylizer(model: StyleModel, *, dtype=jnp.float32, optimize: bool = True)
 
     @jax.jit
     def fn(x01):
-        from ..models import transformer_net_s2d as tns2d
+        from ..models import transformer_net_s2d2 as tns2d
         from ..ops.resize import resize_bilinear
 
         x = x01.astype(dtype)

@@ -1,0 +1,187 @@
+"""Johnson TransformerNet in space-to-depth f=2 form — the round-2 TPU
+speed path.
+
+Round-1 profiling (memory/nst-tpu-perf-ledger.md + /tmp ablations) showed
+XLA's convs already run at ~MXU peak on this net; the f=4 form
+(transformer_net_s2d.py) lost ~110 of its 139 ms/batch8 to *phase repacks*
+(f4↔f2 transposes of ~1 GB tensors) and materialized halo concats at
+540p/1080p. This form keeps every tensor in ONE s2d layout (f=2 of the
+1080p grid == pixels of the 540p grid) so no repack ever happens:
+
+  conv1 9×9 s1 @1080p  → 5×5 block conv 12→128 on the 540 grid
+                         (input pixel-padded 4 before the only input s2d)
+  conv2 3×3 s2 @1080p  → 2×2 block conv 128→64 @540 grid (phase halo)
+  conv3 3×3 s2 @540p   → plain 3×3 stride-2 conv (the f=2 tensor IS the
+                         540p pixel grid) → 270 grid
+  res ×5 @270p         → unchanged (already peak-speed)
+  deconv1 up2+3×3@540p → 3×3 conv 128→256 @270 grid, d2s → 540 grid
+  deconv2 up2+3×3@1080p→ 3×3 conv 64→128 @540 grid (edge halo)
+  deconv3 9×9 s1@1080p → 5×5 block conv 128→12 @540 grid (reflect halo), d2s
+
+Same math as models/transformer_net.py (parity test: tests/test_s2d.py);
+weight conversion is a host-side scatter at load. Requires H, W divisible
+by 4 (two stride-2 levels), like the f=4 form.
+
+Reference for the layer semantics being restructured:
+/root/reference/transformer_net.py:4-99 and the hot loop
+/root/reference/pipeline.py:1444-1486.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.conv import conv2d
+from ..ops.norm import instance_norm
+from ..ops.pad import reflect_pad_2d
+from .transformer_net_s2d import (
+    _apply_in_relu,
+    _in_stats,
+    _pad_edge_blocks,
+    _pad_stride2_halo,
+    _scatter_stride2_s2d2,
+    _scatter_upconv,
+    d2s,
+    s2d,
+)
+
+
+def _pad_reflect_f2_4px(x: jnp.ndarray, c: int) -> jnp.ndarray:
+    """Reflect-pad an f=2 block tensor by TWO halo blocks per side, encoding
+    a 4-pixel reflect (torch ReflectionPad2d semantics, no edge repeat).
+
+    Pixel-space reflect around the first pixel: px -k := px k. At f=2:
+      halo block -1 = px (-2,-1) → px (2,1) = (block1 p0, block0 p1)
+      halo block -2 = px (-4,-3) → px (4,3) = (block2 p0, block1 p1)
+    Right side (N pixels): px N+t := px N-2-t:
+      halo block +1 = px (N,N+1) → (N-2,N-3) = (blk[-1] p0, blk[-2] p1)
+      halo block +2 = px (N+2,N+3) → (N-4,N-5) = (blk[-2] p0, blk[-3] p1)
+    """
+    from .transformer_net_s2d import _phase_rows
+
+    l1_b, l1_p = [1, 0], [0, 1]   # halo block -1
+    l2_b, l2_p = [2, 1], [0, 1]   # halo block -2
+    r1_b, r1_p = [-1, -2], [0, 1]
+    r2_b, r2_p = [-2, -3], [0, 1]
+    for axis in (1, 2):
+        h2 = _phase_rows(x, l2_b, l2_p, 2, c, axis=axis)
+        h1 = _phase_rows(x, l1_b, l1_p, 2, c, axis=axis)
+        g1 = _phase_rows(x, r1_b, r1_p, 2, c, axis=axis)
+        g2 = _phase_rows(x, r2_b, r2_p, 2, c, axis=axis)
+        x = jnp.concatenate([h2, h1, x, g1, g2], axis=axis)
+    return x
+
+
+def _scatter_k9_f2(w: np.ndarray) -> np.ndarray:
+    """9×9 s1 pixel conv (pad 4) → 5×5 block conv at f=2.
+
+    w: HWIO [9,9,ci,co] → [5,5,4*ci,4*co]. Valid over a grid pre-padded by
+    two blocks (4 px) per side. Channel layout (u*2+v)*c + ch, matching s2d.
+    """
+    k, _, ci, co = w.shape
+    assert k == 9
+    out = np.zeros((5, 5, 4 * ci, 4 * co), np.float32)
+    for u in range(2):          # output phase rows
+        for v in range(2):      # output phase cols
+            for a in range(9):
+                for b in range(9):
+                    # output pixel 2J+u reads input pixel 2J+u+a-4 =
+                    # block J-2+κ phase u2, with pre-pad 2 blocks: kernel
+                    # index κ = (u+a)//2, phase u2 = (u+a)%2
+                    al, u2 = divmod(u + a, 2)
+                    be, v2 = divmod(v + b, 2)
+                    out[al, be, (u2 * 2 + v2) * ci : (u2 * 2 + v2 + 1) * ci,
+                        (u * 2 + v) * co : (u * 2 + v + 1) * co] += w[a, b]
+    return out
+
+
+def from_johnson_params(p: dict) -> dict:
+    """Reference-layout Johnson params → f=2 block-space params."""
+    g = lambda a: np.asarray(a, np.float32)  # noqa: E731
+
+    def bias_tile(b, phases):
+        return np.tile(g(b), phases)
+
+    out: dict = {}
+    out["c1_w"] = _scatter_k9_f2(g(p["conv1"]["w"]))
+    out["c1_b"] = bias_tile(p["conv1"]["b"], 4)
+    out["in1"] = {"scale": g(p["in1"]["scale"]), "bias": g(p["in1"]["bias"])}
+    out["c2_w"] = _scatter_stride2_s2d2(g(p["conv2"]["w"]))
+    out["c2_b"] = g(p["conv2"]["b"])
+    out["in2"] = {"scale": g(p["in2"]["scale"]), "bias": g(p["in2"]["bias"])}
+    out["c3_w"] = g(p["conv3"]["w"])  # plain pixel conv on the 540 grid
+    out["c3_b"] = g(p["conv3"]["b"])
+    out["in3"] = {"scale": g(p["in3"]["scale"]), "bias": g(p["in3"]["bias"])}
+    for i in range(1, 6):
+        out[f"res{i}"] = jax.tree.map(g, p[f"res{i}"])
+    out["d1_w"] = _scatter_upconv(g(p["deconv1"]["w"]))
+    out["d1_b"] = bias_tile(p["deconv1"]["b"], 4)
+    out["in4"] = {"scale": g(p["in4"]["scale"]), "bias": g(p["in4"]["bias"])}
+    out["d2_w"] = _scatter_upconv(g(p["deconv2"]["w"]))
+    out["d2_b"] = bias_tile(p["deconv2"]["b"], 4)
+    out["in5"] = {"scale": g(p["in5"]["scale"]), "bias": g(p["in5"]["bias"])}
+    # d3 stays in f2 form: its [5,5,128,12] conv wastes output lanes
+    # (~17 ms), but the alternative f4 tail costs MORE — the f2→f4 repack
+    # is two ~1 GB phase transposes at 8-9 ms each (profiled; transposes of
+    # phase dims are the single most expensive op class on this chip).
+    out["d3_w"] = _scatter_k9_f2(g(p["deconv3"]["w"]))
+    out["d3_b"] = bias_tile(p["deconv3"]["b"], 4)
+    return jax.tree.map(jnp.asarray, out)
+
+
+def apply(params: dict, x: jnp.ndarray) -> jnp.ndarray:
+    """Forward pass, same contract as transformer_net.apply.
+
+    x: NHWC with H, W divisible by 4. Instance norms split into a stats
+    reduction + deferred affine (exact — see transformer_net_s2d.apply).
+    """
+    b, h, w, _ = x.shape
+    assert h % 4 == 0 and w % 4 == 0, "s2d2 path needs H,W divisible by 4"
+    p = params
+
+    # conv1: the only input s2d, then a 2-block phase-reflect halo (padding
+    # AFTER s2d skips the full-res [H+8, W+8, 3] pad copy; identical math —
+    # pixel reflect == phase-permuted block reflect).
+    y = _pad_reflect_f2_4px(s2d(x, 2), 3)         # [B, H/2+4, W/2+4, 12]
+    y = conv2d(y, p["c1_w"], p["c1_b"])           # [B, H/2, W/2, 128]
+    m, inv = _in_stats(y, 4, 32)
+    y = _pad_stride2_halo(y, 32)                  # left/top phase halo
+    y = _apply_in_relu(y, m, inv, p["in1"]["scale"], p["in1"]["bias"], 4)
+
+    y = conv2d(y, p["c2_w"], p["c2_b"])           # [B, H/2, W/2, 64] = 540p px
+    m, inv = _in_stats(y, 1, 64)
+    y = reflect_pad_2d(y, 1)                      # plain pixel reflect @540p
+    y = _apply_in_relu(y, m, inv, p["in2"]["scale"], p["in2"]["bias"], 1)
+
+    y = conv2d(y, p["c3_w"], p["c3_b"], stride=2)  # [B, H/4, W/4, 128]
+    m, inv = _in_stats(y, 1, 128)
+    y = _apply_in_relu(y, m, inv, p["in3"]["scale"], p["in3"]["bias"], 1)
+
+    for i in range(1, 6):
+        rp = p[f"res{i}"]
+        r = conv2d(reflect_pad_2d(y, 1), rp["conv1"]["w"], rp["conv1"]["b"])
+        m, inv = _in_stats(r, 1, 128)
+        r = reflect_pad_2d(r, 1)
+        r = _apply_in_relu(r, m, inv, rp["in1"]["scale"], rp["in1"]["bias"], 1)
+        r = conv2d(r, rp["conv2"]["w"], rp["conv2"]["b"])
+        y = instance_norm(r, rp["in2"]["scale"], rp["in2"]["bias"]) + y
+
+    # deconv1: up×2 + conv → f2-of-540p on the 270 grid, then ONE d2s.
+    y = _pad_edge_blocks(y)
+    y = conv2d(y, p["d1_w"], p["d1_b"])           # [B, H/4, W/4, 256]
+    m, inv = _in_stats(y, 4, 64)
+    y = d2s(y, 2, 64)                             # [B, H/2, W/2, 64] = 540p px
+    y = _pad_edge_blocks(y)                       # nearest-up edge copies
+    y = _apply_in_relu(y, m, inv, p["in4"]["scale"], p["in4"]["bias"], 1)
+
+    # deconv2: 3×3 on the 540 grid → 32ch@1080p as f2 phases.
+    y = conv2d(y, p["d2_w"], p["d2_b"])           # [B, H/2, W/2, 128]
+    m, inv = _in_stats(y, 4, 32)
+    y = _pad_reflect_f2_4px(y, 32)                # 2-block reflect halo
+    y = _apply_in_relu(y, m, inv, p["in5"]["scale"], p["in5"]["bias"], 4)
+
+    # deconv3: VALID 5×5 block conv, then the only output d2s (12 channels).
+    y = conv2d(y, p["d3_w"], p["d3_b"])           # [B, H/2, W/2, 12]
+    return d2s(y, 2, 3)
