@@ -165,7 +165,8 @@ def _jit_magenta_stylizer(model: StyleModel, *, dtype=jnp.float32):
     from ..ops.resize import resize_bilinear
 
     p = model.params
-    params, style01 = p["magenta"], p["style01"]
+    params, style01 = p.get("magenta"), p["style01"]
+    transfer_fn = p.get("transfer_fn")  # real-weights SavedModel executor
     tile, overlap, target_res = p["tile"], p["overlap"], p["target_res"]
 
     @jax.jit
@@ -178,7 +179,8 @@ def _jit_magenta_stylizer(model: StyleModel, *, dtype=jnp.float32):
             if target_res and max(H, W) > target_res:
                 r = target_res / max(H, W)
                 work = resize_bilinear(c, (int(H * r), int(W * r)))
-            y = magenta.stylize_tiled(params, work, style01, tile_size=tile, overlap=overlap)
+            y = magenta.stylize_tiled(params, work, style01, tile_size=tile,
+                                      overlap=overlap, transfer_fn=transfer_fn)
             if y.shape[:2] != (H, W):
                 y = resize_bilinear(y, (H, W))
             outs.append(y)

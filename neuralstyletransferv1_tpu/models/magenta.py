@@ -7,15 +7,18 @@ reference drives it tile-by-tile in a Python loop (pipeline.py:236-238);
 here all tiles run as ONE batched jitted call and the feather-stitch
 (pipeline.py:241-259 math, reproduced exactly) happens in-graph.
 
-Architecture (Ghiasi et al. 2017, "Exploring the structure of a real-time,
-arbitrary neural artistic stylization network"): Johnson-style transfer net
-where every normalization is *conditional* instance norm — per-layer
-(gamma, beta) are affine functions of a 100-d style embedding. The style
-predictor here is a compact conv encoder (the paper uses InceptionV3 up to
-Mixed-6e; the reference's pretrained weights are unusable — variables shard
-0 is stripped from the mount, .MISSING_LARGE_BLOBS:8 — so a converter can
-only land once weights exist; random-weight operation keeps the full
-pipeline path exercisable).
+Two backends share the tiling driver:
+
+1. **Real weights** (``find_savedmodel`` + ``savedmodel_transfer_fn``): the
+   reference's actual TF-Hub SavedModel graph — InceptionV3→Mixed_6e style
+   predictor, 20-residual conditional-IN transfer net — executed in JAX by
+   io/tf_saved_model.py, exact vs the TF runtime
+   (tests/test_tf_saved_model.py). Used automatically when a SavedModel
+   with complete variables sits under --magenta_model_root.
+2. **Compact fallback** (``init``/``transform``): a small Ghiasi-style CIN
+   net with random weights, used when weights are absent (the mount strips
+   variables shard 0, .MISSING_LARGE_BLOBS:8) so every magenta-dependent
+   pipeline stays exercisable; a loud warning marks the aesthetics invalid.
 """
 
 from __future__ import annotations
@@ -153,17 +156,22 @@ def _feather_mask(tile_size: int, overlap: int) -> np.ndarray:
 
 
 def stylize_tiled(
-    params: dict,
+    params: dict | None,
     content01: jnp.ndarray,
     style01: jnp.ndarray,
     *,
     tile_size: int = 256,
     overlap: int = 32,
+    transfer_fn=None,
 ) -> jnp.ndarray:
     """Tile → batched transform → feather stitch, all on device.
 
     content01: HWC [0,1]; style01: HWC [0,1] (resized to tile_size by the
     caller, as the reference does). Returns HWC [0,1] at content size.
+
+    ``transfer_fn`` (tiles [N,t,t,3] → [N,t,t,3]) overrides the built-in
+    compact net — used by the real-weights SavedModel executor
+    (io/tf_saved_model.py).
     """
     H, W = content01.shape[0], content01.shape[1]
     stride = tile_size - overlap
@@ -179,9 +187,12 @@ def stylize_tiled(
     tiles = jnp.stack(
         [padded[y : y + tile_size, x : x + tile_size] for y in ys for x in xs], 0
     )
-    emb = predict_style(params, style01[None])
-    embs = jnp.broadcast_to(emb, (tiles.shape[0], emb.shape[-1]))
-    styled = transform(params, tiles, embs)
+    if transfer_fn is not None:
+        styled = transfer_fn(tiles)
+    else:
+        emb = predict_style(params, style01[None])
+        embs = jnp.broadcast_to(emb, (tiles.shape[0], emb.shape[-1]))
+        styled = transform(params, tiles, embs)
 
     mask = jnp.asarray(_feather_mask(tile_size, overlap))
     out = jnp.zeros((H, W, 3), jnp.float32)
@@ -195,3 +206,51 @@ def stylize_tiled(
             weight = weight.at[y : y + h, x : x + w].add(mask[:h, :w])
             i += 1
     return jnp.clip(out / jnp.maximum(weight, 1e-6), 0.0, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# Real-weights backend (the TF-Hub SavedModel, executed in JAX)
+# ---------------------------------------------------------------------------
+
+
+def find_savedmodel(model_root) -> "str | None":
+    """Locate a magenta SavedModel with COMPLETE variables under model_root
+    (the reference layout: models/magenta/<hash>/saved_model.pb,
+    pipeline.py:153-168). Returns None if absent or weight shards are
+    stripped (.MISSING_LARGE_BLOBS:8)."""
+    from pathlib import Path
+
+    root = Path(model_root)
+    if not root.exists():
+        return None
+    candidates = [root] + sorted(root.glob("*"))
+    for d in candidates:
+        if not (d / "saved_model.pb").exists():
+            continue
+        try:
+            import tensorflow as tf
+
+            from ..io import tf_saved_model as tsm
+
+            mg = tsm.load_saved_model_proto(d)
+            name_map = tsm.checkpoint_name_map(mg)
+            rdr = tf.train.load_checkpoint(str(d / "variables" / "variables"))
+            probe = next(iter(name_map))
+            rdr.get_tensor(probe)  # raises if the shard is missing
+            return str(d)
+        except Exception:
+            continue
+    return None
+
+
+def savedmodel_transfer_fn(sm_dir, style01: jnp.ndarray):
+    """tiles [N,t,t,3] → stylized [N,t,t,3] using the real magenta graph."""
+    from ..io.tf_saved_model import TFGraphExecutor
+
+    ex = TFGraphExecutor(sm_dir)
+    style = jnp.asarray(style01)[None]
+
+    def transfer(tiles):
+        return ex.forward(tiles, style)
+
+    return transfer

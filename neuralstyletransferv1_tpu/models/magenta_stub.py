@@ -1,10 +1,11 @@
 """Magenta arbitrary-stylization slot loader.
 
-Builds the JAX magenta model (models/magenta.py) with the style image baked
-in. The reference's pretrained TF-Hub weights are unusable in any
-environment — variables shard 0 is stripped from the mount
-(.MISSING_LARGE_BLOBS:8) — so weights initialize randomly with a loud
-warning; a SavedModel converter can slot in here once real weights exist.
+Prefers the REAL TF-Hub SavedModel weights when a complete artifact sits
+under --magenta_model_root (reference layout models/magenta/<hash>/,
+pipeline.py:153-168), executing the actual graph in JAX
+(io/tf_saved_model.py). Falls back to the compact random-weight net with a
+loud warning when the weights are absent (the reference mount strips
+variables shard 0, .MISSING_LARGE_BLOBS:8).
 """
 
 from __future__ import annotations
@@ -28,24 +29,25 @@ def load_magenta_slot(style_path: str, args):
     style_pil = load_image_exif_rgb(style_path).resize((tile, tile), Image.LANCZOS)
     style01 = jnp.asarray(np.asarray(style_pil, np.float32) / 255.0)
 
-    print(
-        "[magenta][warn] pretrained weights unavailable (variables shard 0 is "
-        "stripped from the reference mount); using random-weight arbitrary "
-        "stylization — structure/throughput valid, aesthetics are not."
-    )
-    params = magenta.init(jax.random.key(0))
+    model_root = getattr(args, "magenta_model_root", "/app/models/magenta")
+    params: dict = {
+        "style01": style01,
+        "tile": tile,
+        "overlap": overlap,
+        "target_res": int(target_res) if target_res else 0,
+    }
+    sm_dir = magenta.find_savedmodel(model_root)
+    if sm_dir:
+        print(f"[magenta] real weights: executing SavedModel graph from {sm_dir}")
+        params["transfer_fn"] = magenta.savedmodel_transfer_fn(sm_dir, style01)
+    else:
+        print(
+            "[magenta][warn] no complete SavedModel under "
+            f"{model_root} (the reference mount strips variables shard 0); "
+            "using random-weight arbitrary stylization — structure/throughput "
+            "valid, aesthetics are not."
+        )
+        params["magenta"] = magenta.init(jax.random.key(0))
     from pathlib import Path
 
-    return StyleModel(
-        "magenta",
-        {
-            "magenta": params,
-            "style01": style01,
-            "tile": tile,
-            "overlap": overlap,
-            "target_res": int(target_res) if target_res else 0,
-        },
-        "raw_01",
-        Path(style_path).stem,
-        "magenta",
-    )
+    return StyleModel("magenta", params, "raw_01", Path(style_path).stem, "magenta")
