@@ -13,10 +13,10 @@ reference's *default* flow method (reference: pipeline.py:1905-1917,
    covering it, weighted by the inverse photometric residual;
 4. flow upsamples ×2 between levels (values scaled accordingly).
 
-Variational refinement (the reference preset runs a few iterations) is
-approximated by a small edge-aware smoothing of the final field — the
-temporal-EMA consumer is robust to this (MAE budget), and exact refinement is
-tracked for a later round.
+5. variational refinement at the finest level: a robust (Charbonnier)
+   brightness-constancy + smoothness energy minimized by lagged-diffusivity
+   fixed-point iterations (the cv2 preset runs an equivalent Brox-style
+   refinement after the inverse search).
 """
 
 from __future__ import annotations
@@ -159,18 +159,92 @@ def _inverse_search_level(i0, i1, flow_init, iters: int):
     return flow_acc / jnp.clip(w_acc, 1e-8, None)
 
 
+def _warp_scalar(img, flow):
+    """Bilinear warp of a 2-D image by flow (dx, dy), clamped borders."""
+    h, w = img.shape
+    yy, xx = jnp.mgrid[0:h, 0:w]
+    return _bilinear_dense(img, yy + flow[..., 1], xx + flow[..., 0])
+
+
+def _bilinear_dense(img, y, x):
+    h, w = img.shape
+    y = jnp.clip(y, 0.0, h - 1.001)
+    x = jnp.clip(x, 0.0, w - 1.001)
+    yi = jnp.floor(y).astype(jnp.int32)
+    xi = jnp.floor(x).astype(jnp.int32)
+    fy = y - yi
+    fx = x - xi
+    v00 = img[yi, xi]
+    v01 = img[yi, jnp.minimum(xi + 1, w - 1)]
+    v10 = img[jnp.minimum(yi + 1, h - 1), xi]
+    v11 = img[jnp.minimum(yi + 1, h - 1), jnp.minimum(xi + 1, w - 1)]
+    return (v00 * (1 - fx) + v01 * fx) * (1 - fy) + (v10 * (1 - fx) + v11 * fx) * fy
+
+
+def variational_refine(
+    i0: jnp.ndarray,
+    i1: jnp.ndarray,
+    flow: jnp.ndarray,
+    *,
+    fixed_point_iters: int = 5,
+    alpha: float = 12.0,
+    eps: float = 1e-3,
+) -> jnp.ndarray:
+    """Robust brightness-constancy + smoothness refinement of a flow field.
+
+    Minimizes Σ Ψ(I1(x+u) − I0) + α Σ Ψ(|∇u|²) with Charbonnier Ψ via
+    lagged-diffusivity fixed point (the role cv2's VariationalRefinement
+    plays after DIS inverse search). Each iteration relinearizes at the
+    warped position, computes robust data/smoothness weights, and takes a
+    Jacobi step toward the stationary point — all in-graph.
+    """
+    def step(k, u):
+        i1w = _warp_scalar(i1, u)
+        gy, gx = jnp.gradient(i1w)
+        it = i1w - i0
+        wd = jax.lax.rsqrt(it * it + eps)  # robust data weight
+        # edge-aware diffusivity from flow gradients
+        duy, dux = jnp.gradient(u[..., 0])
+        dvy, dvx = jnp.gradient(u[..., 1])
+        ws = jax.lax.rsqrt(duy**2 + dux**2 + dvy**2 + dvx**2 + eps)
+        # neighborhood average (4-neighbor, edge-replicated)
+        def nb_avg(f):
+            up = jnp.concatenate([f[:1], f[:-1]], 0)
+            dn = jnp.concatenate([f[1:], f[-1:]], 0)
+            lf = jnp.concatenate([f[:, :1], f[:, :-1]], 1)
+            rt = jnp.concatenate([f[:, 1:], f[:, -1:]], 1)
+            return (up + dn + lf + rt) / 4.0
+
+        ubar = jnp.stack([nb_avg(u[..., 0]), nb_avg(u[..., 1])], -1)
+        # robust Horn–Schunck fixed-point update at the relinearized point:
+        # (Ix·du + Iy·dv + It) with du = u_new − u ⇒ solve per-pixel.
+        g2 = gx * gx + gy * gy
+        denom = alpha * ws + wd * g2
+        num = wd * (gx * (ubar[..., 0] - u[..., 0]) + gy * (ubar[..., 1] - u[..., 1]) - it)
+        common = num / jnp.maximum(denom, 1e-6)
+        u_new_x = ubar[..., 0] * (alpha * ws / jnp.maximum(denom, 1e-6)) + \
+            (u[..., 0] + gx * common) * (wd * g2 / jnp.maximum(denom, 1e-6))
+        u_new_y = ubar[..., 1] * (alpha * ws / jnp.maximum(denom, 1e-6)) + \
+            (u[..., 1] + gy * common) * (wd * g2 / jnp.maximum(denom, 1e-6))
+        return jnp.stack([u_new_x, u_new_y], -1)
+
+    return lax.fori_loop(0, fixed_point_iters, step, flow)
+
+
 def dis_flow(
     prev_gray: jnp.ndarray,
     curr_gray: jnp.ndarray,
     *,
     finest_scale: int = 2,
     iters: int = 16,
-    smooth_sigma: float = 1.5,
+    refine_iters: int = 5,
+    smooth_sigma: float = 1.0,
 ) -> jnp.ndarray:
     """Dense flow prev→curr, cv2 convention (flow[y,x] = (dx, dy)).
 
     PRESET_FAST-like defaults: finest level at quarter resolution, 8×8
-    patches stride 4, 16 inverse-search iterations per level.
+    patches stride 4, 16 inverse-search iterations per level, then
+    variational refinement at the finest level.
     """
     H, W = prev_gray.shape
     i0 = prev_gray.astype(jnp.float32)
@@ -188,6 +262,12 @@ def dis_flow(
         else:
             flow = resize_bilinear(flow, (lh, lw)) * 2.0
         flow = _inverse_search_level(a, b, flow, iters)
+
+    if refine_iters > 0:
+        lh, lw, _ = levels[-1]
+        a = resize_bilinear(i0[..., None], (lh, lw))[..., 0]
+        b = resize_bilinear(i1[..., None], (lh, lw))[..., 0]
+        flow = variational_refine(a, b, flow, fixed_point_iters=refine_iters)
 
     scale = H / flow.shape[0]
     flow = resize_bilinear(flow, (H, W)) * scale
