@@ -47,18 +47,27 @@ DEFAULT_SAMPLES = [
 
 def generate_deeplab_mask(input_image, target_ids, output_mask, *, weights,
                           backbone="resnet", resolution=513, feather_pct=1.0):
-    """(reference: :240-264) — in-process sky_swap inference."""
+    """(reference: :240-264) — in-process sky_swap inference at a working
+    resolution, mask upsampled back to the input size."""
     from PIL import Image
 
     from .sky_swap import SegmentationModel, infer_mask, load_deeplab
 
-    model_t, num_classes = load_deeplab(weights, backbone=backbone)
-    seg = SegmentationModel(model_t, num_classes, resolution)
+    params, num_classes = load_deeplab(weights, backbone=backbone)
+    seg = SegmentationModel(params, num_classes, backbone)
     pil = Image.open(input_image).convert("RGB")
+    w0, h0 = pil.size
+    if max(w0, h0) > resolution:
+        r = resolution / max(w0, h0)
+        work = pil.resize((max(1, int(w0 * r)), max(1, int(h0 * r))), Image.LANCZOS)
+    else:
+        work = pil
     ids = [int(t) for t in str(target_ids).split(",")]
-    mask = infer_mask(seg, pil, sky_id=ids, feather_px=max(1, int(pil.height * feather_pct / 100)))
-    Image.fromarray(mask).save(output_mask)
-    return float((np.asarray(mask) > 127).mean())
+    mask = infer_mask(seg, work, target_ids=ids,
+                      feather_px=max(1, int(work.height * feather_pct / 100)))
+    mask_img = Image.fromarray(mask).resize((w0, h0), Image.BILINEAR)
+    mask_img.save(output_mask)
+    return float((np.asarray(mask_img) > 127).mean())
 
 
 def apply_style(input_image, output_image, mask, style, *, invert, work_dir, scale=720):
@@ -97,7 +106,7 @@ def create_comparison_image(original, mask, styled, output):
 
 
 def generate_sample(cfg, *, input_dir, output_dir, work_dir, weights, style,
-                    scale, force=False):
+                    scale, backbone="resnet", force=False):
     """(reference: :391-450)"""
     name = cfg["name"]
     out_comparison = output_dir / f"{name}_comparison.jpg"
@@ -116,7 +125,8 @@ def generate_sample(cfg, *, input_dir, output_dir, work_dir, weights, style,
         return False
     mask_p = work_dir / f"{name}_mask.png"
     styled_p = output_dir / f"{name}.jpg"
-    coverage = generate_deeplab_mask(photo, cfg["target_ids"], mask_p, weights=weights)
+    coverage = generate_deeplab_mask(photo, cfg["target_ids"], mask_p,
+                                     weights=weights, backbone=backbone)
     print(f"  [mask] {name}: ids={cfg['target_ids']} coverage={coverage:.1%}")
     st = cfg.get("style", style)
     if not apply_style(photo, styled_p, mask_p, st, invert=cfg.get("invert", False),
@@ -147,6 +157,8 @@ def main(argv=None) -> int:
     ap.add_argument("--output_dir", default="output/mask_samples")
     ap.add_argument("--work_dir", default="_work/mask_samples")
     ap.add_argument("--deeplab_weights", required=True)
+    ap.add_argument("--backbone", choices=["resnet", "xception", "drn", "mobilenet"],
+                    default="resnet")
     ap.add_argument("--model", required=True, help="Default style checkpoint")
     ap.add_argument("--model_type", default="transformer")
     ap.add_argument("--io_preset", default="auto")
@@ -171,7 +183,8 @@ def main(argv=None) -> int:
     for cfg in samples:
         good = generate_sample(cfg, input_dir=input_dir, output_dir=output_dir,
                                work_dir=work_dir, weights=args.deeplab_weights,
-                               style=style, scale=args.scale, force=args.force)
+                               style=style, scale=args.scale,
+                               backbone=args.backbone, force=args.force)
         ok += good
         results.append({"name": cfg["name"], "ok": bool(good)})
     # metadata index (reference: :453-478)

@@ -69,7 +69,7 @@ def load_deeplab(weights_path: str, backbone: str = "resnet", num_classes: int |
         ckpt = torch.load(weights_path, map_location="cpu")
     state = ckpt["state_dict"] if isinstance(ckpt, dict) and "state_dict" in ckpt else ckpt
     sd = {k: v.detach().numpy() if hasattr(v, "detach") else np.asarray(v) for k, v in state.items()}
-    params, detected_nc = dl.import_deeplab(sd)
+    params, detected_nc = dl.import_deeplab(sd, backbone=backbone)
     nc = num_classes or detected_nc
     print(f"[info] using num_classes={nc} (detected={detected_nc}) backbone={backbone}")
     return params, int(nc)
@@ -99,20 +99,21 @@ def _mask_postprocess_np(sky_u8: np.ndarray, expand_px: int, contract_px: int,
 class SegmentationModel:
     """Jitted DeepLab inference wrapper (one compile per input shape)."""
 
-    def __init__(self, params, num_classes: int):
+    def __init__(self, params, num_classes: int, backbone: str = "resnet"):
         import jax
 
         from ..models import deeplab as dl
 
         self.params = params
         self.num_classes = num_classes
+        self.backbone = backbone
 
         @jax.jit
         def predict(params, x01):
             mean = np.array([0.485, 0.456, 0.406], np.float32)
             std = np.array([0.229, 0.224, 0.225], np.float32)
             xin = (x01 - mean) / std
-            logits = dl.apply(params, xin[None])
+            logits = dl.apply(params, xin[None], backbone=backbone)
             return logits[0].argmax(-1).astype(np.uint8)
 
         self._predict = predict
@@ -275,7 +276,8 @@ def build_arg_parser():
     ap.add_argument("--verbose", action="store_true")
     ap.add_argument("--image", required=False)
     ap.add_argument("--weights", required=True)
-    ap.add_argument("--backbone", choices=["resnet", "drn"], default="resnet")
+    ap.add_argument("--backbone", choices=["resnet", "xception", "drn", "mobilenet"],
+                    default="resnet")
     ap.add_argument("--sky_id", type=int, default=CITYSCAPES_SKY_ID_DEFAULT)
     ap.add_argument("--num_classes", type=int, default=None)
     ap.add_argument("--scan_sky", action="store_true")
@@ -306,7 +308,7 @@ def build_arg_parser():
 def main(argv=None) -> int:
     args = build_arg_parser().parse_args(argv)
     params, nc = load_deeplab(args.weights, args.backbone, args.num_classes)
-    model = SegmentationModel(params, nc)
+    model = SegmentationModel(params, nc, args.backbone)
 
     target_ids = None
     if args.target_ids:

@@ -127,9 +127,23 @@ def decoder(params, x, low_level):
     return conv2d(y, params["cls"]["w"], params["cls"]["b"])
 
 
-def apply(params: dict, x: jnp.ndarray, *, output_stride: int = 16) -> jnp.ndarray:
-    """NHWC (ImageNet-normalized) → per-pixel class logits NHWC[K]."""
-    feat, low = backbone_resnet(params["backbone"], x, output_stride=output_stride)
+def apply(params: dict, x: jnp.ndarray, *, output_stride: int = 16,
+          backbone: str = "resnet") -> jnp.ndarray:
+    """NHWC (ImageNet-normalized) → per-pixel class logits NHWC[K].
+
+    ``backbone`` selects resnet|xception|drn|mobilenet (reference:
+    modeling/backbone/__init__.py:3-13); drn forces output_stride=8 like
+    the reference wrapper (modeling/deeplab.py:13-14).
+    """
+    if backbone == "drn":
+        output_stride = 8
+    if backbone == "resnet":
+        feat, low = backbone_resnet(params["backbone"], x, output_stride=output_stride)
+    else:
+        from .deeplab_backbones import BACKBONES
+
+        bb_apply, _ = BACKBONES[backbone]
+        feat, low = bb_apply(params["backbone"], x, output_stride=output_stride)
     y = aspp(params["aspp"], feat, output_stride=output_stride)
     y = decoder(params["decoder"], y, low)
     return resize_bilinear_align_corners(y, (x.shape[1], x.shape[2]))
@@ -166,13 +180,20 @@ def _bnp(sd, key):
     }
 
 
-def import_deeplab(sd: dict[str, np.ndarray]) -> tuple[dict, int]:
+def import_deeplab(sd: dict[str, np.ndarray], *, backbone: str = "resnet") -> tuple[dict, int]:
     """Reference-format DeepLab .pth.tar state-dict → param tree.
 
     Accepts raw tensors incl. running stats (use a loader that KEEPS
     running_mean/var — unlike the stylizer loader)."""
     sd = {k.removeprefix("module."): np.asarray(v, np.float32) for k, v in sd.items()}
     num_classes = detect_num_classes(sd)
+
+    if backbone != "resnet":
+        from .deeplab_backbones import BACKBONES
+
+        _, bb_import = BACKBONES[backbone]
+        bb = bb_import(sd)
+        return _assemble(sd, bb), num_classes
 
     bb: dict = {"conv1": _cv(sd, "backbone.conv1"), "bn1": _bnp(sd, "backbone.bn1")}
     for li, nblocks in enumerate(_RESNET101_LAYERS):
@@ -196,6 +217,11 @@ def import_deeplab(sd: dict[str, np.ndarray]) -> tuple[dict, int]:
             blocks.append(blk)
         bb[f"layer{li + 1}"] = blocks
 
+    return _assemble(sd, bb), num_classes
+
+
+def _assemble(sd, bb) -> dict:
+    """ASPP + decoder import shared by every backbone (names identical)."""
     ap = {}
     for i in range(1, 5):
         ap[f"aspp{i}"] = {"conv": _cv(sd, f"aspp.aspp{i}.atrous_conv"), "bn": _bnp(sd, f"aspp.aspp{i}.bn")}
@@ -215,5 +241,4 @@ def import_deeplab(sd: dict[str, np.ndarray]) -> tuple[dict, int]:
             "b": sd["decoder.last_conv.8.bias"],
         },
     }
-    params = jax.tree.map(jnp.asarray, {"backbone": bb, "aspp": ap, "decoder": dc})
-    return params, num_classes
+    return jax.tree.map(jnp.asarray, {"backbone": bb, "aspp": ap, "decoder": dc})

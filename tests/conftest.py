@@ -41,3 +41,25 @@ def reference_path():
     if not REFERENCE.exists():
         pytest.skip("reference repo not mounted")
     return REFERENCE
+
+
+@pytest.fixture(scope="session")
+def ref_mobilenet_ckpt(reference_path, tmp_path_factory):
+    """Random-weight mobilenet DeepLab checkpoint in the reference's
+    .pth.tar format (the shipped weights are stripped)."""
+    torch = pytest.importorskip("torch")
+    import torch.utils.model_zoo as model_zoo
+
+    model_zoo.load_url = lambda *a, **k: {}
+    torch.hub.load_state_dict_from_url = lambda *a, **k: {}
+    sys.path.insert(0, str(reference_path))
+    try:
+        from modeling.deeplab import DeepLab
+    finally:
+        sys.path.remove(str(reference_path))
+    torch.manual_seed(3)
+    m = DeepLab(backbone="mobilenet", output_stride=16, num_classes=21,
+                sync_bn=False).eval()
+    p = tmp_path_factory.mktemp("dl") / "deeplab-mobilenet.pth.tar"
+    torch.save({"state_dict": m.state_dict()}, p)
+    return p

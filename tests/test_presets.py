@@ -162,3 +162,34 @@ def test_generate_style_selfstyle(tmp_path):
     from neuralstyletransferv1_tpu.presets import load_presets
 
     assert len(load_presets(db)) == 1
+
+
+def test_generate_mask_samples(ref_mobilenet_ckpt, tmp_path):
+    """End-to-end: random-weight mobilenet DeepLab -> mask -> styled sheet."""
+    cv2 = pytest.importorskip("cv2")
+    import json
+
+    from neuralstyletransferv1_tpu.apps.generate_mask_samples import main
+
+    rng = np.random.default_rng(3)
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    cv2.imwrite(str(in_dir / "bike-dog-person.png"),
+                (rng.random((96, 128, 3)) * 255).astype(np.uint8))
+    samples = [{"input_prefix": "bike-dog-person", "target_ids": "15",
+                "invert": False, "name": "person_styled",
+                "preset_name": "Mask: Style Person", "tags": ["mask"]}]
+    sj = tmp_path / "samples.json"
+    sj.write_text(json.dumps(samples))
+    rc = main([
+        "--input_dir", str(in_dir), "--output_dir", str(tmp_path / "out"),
+        "--work_dir", str(tmp_path / "w"),
+        "--deeplab_weights", str(ref_mobilenet_ckpt),
+        "--backbone", "mobilenet",
+        "--model", str(CKPT), "--io_preset", "raw_255",
+        "--samples_json", str(sj), "--scale", "128",
+    ])
+    assert rc == 0
+    assert (tmp_path / "out" / "person_styled_comparison.jpg").exists()
+    assert (tmp_path / "out" / "person_styled_preset.json").exists()
+    assert (tmp_path / "out" / "mask_samples_metadata.json").exists()
