@@ -106,6 +106,86 @@ def extract_crop(img: np.ndarray, mask: np.ndarray, padding=0):
     return img[y : y + h, x : x + w]
 
 
+def apply_hue_shift(frame_rgb, shift_degrees):
+    """(reference: morph_v2.py:324-346 — OpenCV HSV hue is 0-180)"""
+    import cv2
+
+    if abs(shift_degrees) < 0.1:
+        return frame_rgb
+    hsv = cv2.cvtColor(frame_rgb, cv2.COLOR_RGB2HSV).astype(np.float32)
+    hsv[:, :, 0] = (hsv[:, :, 0] + shift_degrees / 2) % 180
+    return cv2.cvtColor(hsv.astype(np.uint8), cv2.COLOR_HSV2RGB)
+
+
+def calculate_zoom_pulse(progress, pulse_amplitude=0.05, pulse_frequency=2.0):
+    """Breathing zoom multiplier (reference: morph_v2.py:348-362)."""
+    pulse = abs(np.sin(progress * pulse_frequency * 2 * np.pi))
+    return 1.0 + pulse * pulse_amplitude
+
+
+def apply_motion_effects(frames, *, pan_zoom=None, pan_direction="horizontal",
+                         zoom_pulse=0.0, zoom_pulse_freq=2.0, hue_rotate=0.0,
+                         zoom_in_pct=0.25):
+    """Ken Burns pan-zoom + zoom pulse + hue rotation over a frame sequence
+    (reference: morph_v2.py:624-860 motion vocabulary). Frames are RGB u8;
+    output keeps their size."""
+    from .morph import smootherstep
+    from .morph_faces import apply_zoom_crop
+
+    n = len(frames)
+    if n == 0:
+        return frames
+    h, w = frames[0].shape[:2]
+    out = []
+    for i, f in enumerate(frames):
+        p = i / max(1, n - 1)
+        zoom = 1.0
+        center = (0.5, 0.5)
+        if pan_zoom and pan_zoom > 1.0:
+            if p < zoom_in_pct:
+                # phase 1: zoom in from full view to pan_zoom level
+                zoom = 1.0 + (pan_zoom - 1.0) * smootherstep(p / zoom_in_pct)
+                q = 0.0
+            else:
+                zoom = pan_zoom
+                q = smootherstep((p - zoom_in_pct) / max(1e-6, 1.0 - zoom_in_pct))
+            half = 1.0 / (2.0 * zoom)
+            lo, hi = half, 1.0 - half
+            path = {
+                "horizontal": (lo + q * (hi - lo), 0.5),
+                "vertical": (0.5, lo + q * (hi - lo)),
+                "diagonal": (lo + q * (hi - lo), lo + q * (hi - lo)),
+                "diagonal_reverse": (hi - q * (hi - lo), lo + q * (hi - lo)),
+            }
+            center = path.get(pan_direction, path["horizontal"])
+        if zoom_pulse > 0:
+            zoom *= calculate_zoom_pulse(p, zoom_pulse, zoom_pulse_freq)
+        if zoom > 1.0001:
+            f = apply_zoom_crop(f, zoom, center, (w, h))
+        if hue_rotate:
+            f = apply_hue_shift(f, hue_rotate * p)
+        out.append(f)
+    return out
+
+
+def detect_face_crop(image_path, img, prototxt, caffemodel, padding_pct=0.6):
+    """Largest detected face crop, or None (reference: morph_v2.py:136-226
+    detection feeding the region pipeline)."""
+    import pathlib as _pl
+
+    if not (_pl.Path(prototxt).exists() and _pl.Path(caffemodel).exists()):
+        print("[morph_v2][warn] face detector files missing; skipping --face")
+        return None
+    from ..models.caffe_ssd import detect_faces
+    from .morph_faces import extract_face_crop
+
+    faces = detect_faces(image_path, prototxt, caffemodel)
+    if not faces:
+        return None
+    crop_bgr = extract_face_crop(img[..., ::-1], faces[0]["bbox"], padding_pct)
+    return crop_bgr[..., ::-1]
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--image", required=True)
@@ -125,6 +205,24 @@ def main(argv=None) -> int:
     ap.add_argument("--morph_frames", type=int, default=48)
     ap.add_argument("--fps", type=int, default=24)
     ap.add_argument("--easing", choices=["linear", "smooth", "smoother"], default="smooth")
+    # motion vocabulary (reference: morph_v2.py:624-860)
+    ap.add_argument("--pan_zoom", type=float, default=None,
+                    help="Ken Burns zoom level (e.g. 2.0 shows 50%% and pans)")
+    ap.add_argument("--pan_direction", choices=["horizontal", "vertical",
+                    "diagonal", "diagonal_reverse"], default="horizontal")
+    ap.add_argument("--zoom_pulse", type=float, default=0.0)
+    ap.add_argument("--zoom_pulse_freq", type=float, default=2.0)
+    ap.add_argument("--hue_rotate", type=float, default=0.0,
+                    help="total hue rotation (degrees) over the video")
+    ap.add_argument("--zoom_in_pct", type=float, default=0.25)
+    ap.add_argument("--temporal_smooth", type=int, default=3)
+    # face branch (reference: morph_v2.py:136-226)
+    ap.add_argument("--face", action="store_true",
+                    help="crop to the largest SSD-detected face instead of a "
+                    "semantic region")
+    ap.add_argument("--detector_prototxt", default="models/face_detector/deploy.prototxt")
+    ap.add_argument("--detector_model",
+                    default="models/face_detector/res10_300x300_ssd_iter_140000.caffemodel")
     args = ap.parse_args(argv)
 
     import cv2
@@ -137,31 +235,38 @@ def main(argv=None) -> int:
     img_pil = Image.open(args.image).convert("RGB")
     img = np.asarray(img_pil)
 
-    # 1) segmentation + region selection
-    params, nc = load_deeplab(args.deeplab_weights)
-    model = SegmentationModel(params, nc)
-    work = img_pil
-    w0, h0 = img_pil.size
-    s = args.seg_res / max(w0, h0)
-    if s < 1.0:
-        work = img_pil.resize((int(w0 * s), int(h0 * s)), Image.LANCZOS)
-    pred = model.predict(work)
-    pred_full = np.array(Image.fromarray(pred).resize((w0, h0), Image.NEAREST))
-    id_to_label = {v: k for k, v in VOC21_LABELS.items()}
-    regions = analyze_regions(pred_full, id_to_label)
-    if args.target_label:
-        region = next((r for r in regions if r["label"] == args.target_label), None)
-    else:
-        region = select_best_region(regions)
-    if region is None:
-        print("[morph_v2][warn] no usable region; using full frame")
-        crop = img
-    else:
-        print(f"[morph_v2] selected region '{region['label']}' "
-              f"coverage={region['coverage_pct']:.1f}% score={region['score']:.1f}")
-        crop = extract_crop(img, pred_full == region["id"]) if region else img
-        if crop is None or min(crop.shape[:2]) < 32:
+    # 1) region selection: SSD face crop (--face) or DeepLab semantic region
+    crop = None
+    if args.face:
+        crop = detect_face_crop(args.image, img, args.detector_prototxt,
+                                args.detector_model)
+        if crop is not None:
+            print(f"[morph_v2] face crop {crop.shape[1]}x{crop.shape[0]}")
+    if crop is None:
+        params, nc = load_deeplab(args.deeplab_weights)
+        model = SegmentationModel(params, nc)
+        work = img_pil
+        w0, h0 = img_pil.size
+        s = args.seg_res / max(w0, h0)
+        if s < 1.0:
+            work = img_pil.resize((int(w0 * s), int(h0 * s)), Image.LANCZOS)
+        pred = model.predict(work)
+        pred_full = np.array(Image.fromarray(pred).resize((w0, h0), Image.NEAREST))
+        id_to_label = {v: k for k, v in VOC21_LABELS.items()}
+        regions = analyze_regions(pred_full, id_to_label)
+        if args.target_label:
+            region = next((r for r in regions if r["label"] == args.target_label), None)
+        else:
+            region = select_best_region(regions)
+        if region is None:
+            print("[morph_v2][warn] no usable region; using full frame")
             crop = img
+        else:
+            print(f"[morph_v2] selected region '{region['label']}' "
+                  f"coverage={region['coverage_pct']:.1f}% score={region['score']:.1f}")
+            crop = extract_crop(img, pred_full == region["id"]) if region else img
+            if crop is None or min(crop.shape[:2]) < 32:
+                crop = img
 
     # resize crop to working size (even dims)
     ch, cw = crop.shape[:2]
@@ -205,7 +310,14 @@ def main(argv=None) -> int:
     frames: list[np.ndarray] = []
     for a, b in zip(stills, stills[1:]):
         frames.extend(optical_flow_morph(a, b, args.morph_frames, args.easing))
-    frames = temporal_smooth_frames(frames)
+    if args.temporal_smooth > 0:
+        frames = temporal_smooth_frames(frames, kernel_size=args.temporal_smooth)
+    # motion vocabulary pass (Ken Burns / pulse / hue)
+    frames = apply_motion_effects(
+        frames, pan_zoom=args.pan_zoom, pan_direction=args.pan_direction,
+        zoom_pulse=args.zoom_pulse, zoom_pulse_freq=args.zoom_pulse_freq,
+        hue_rotate=args.hue_rotate, zoom_in_pct=args.zoom_in_pct,
+    )
 
     h, w = frames[0].shape[:2]
     for fourcc in ("avc1", "mp4v"):
