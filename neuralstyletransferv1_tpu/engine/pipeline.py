@@ -317,6 +317,19 @@ def style_frames_batched(args, frames_dir: Path, image_mode: bool, save_map: dic
 
     from PIL import Image
 
+    # C++ threaded decode prefetcher: staged frames carry no EXIF (the
+    # engine strips it when staging / extraction writes clean files), so the
+    # native path is exact; any unavailable/failed decode falls back to PIL.
+    native_iter = None
+    try:
+        from ..io.native_loader import NativeFrameLoader
+
+        native_iter = NativeFrameLoader(frame_files, threads=4,
+                                        capacity=max(8, 2 * B))
+        print(f"[batch] native frame loader active ({len(frame_files)} frames)")
+    except Exception as e:
+        print(f"[batch] native frame loader unavailable ({e}); using PIL")
+
     state = None
     prev_gray = None
     written = 0
@@ -324,7 +337,11 @@ def style_frames_batched(args, frames_dir: Path, image_mode: bool, save_map: dic
     t_start = time.perf_counter()
     for b0 in range(0, len(frame_files), B):
         chunk = frame_files[b0 : b0 + B]
-        imgs = [np.asarray(fio.load_image_exif_rgb(str(p)), np.float32) / 255.0 for p in chunk]
+        if native_iter is not None:
+            imgs = [next(native_iter).astype(np.float32) / 255.0 for _ in chunk]
+        else:
+            imgs = [np.asarray(fio.load_image_exif_rgb(str(p)), np.float32) / 255.0
+                    for p in chunk]
         n_real = len(imgs)
         while len(imgs) < B:  # pad final batch, outputs ignored
             imgs.append(imgs[-1])
@@ -378,6 +395,8 @@ def style_frames_batched(args, frames_dir: Path, image_mode: bool, save_map: dic
         done = min(b0 + B, len(frame_files))
         fps_now = done / max(1e-9, time.perf_counter() - t_start)
         print(f"[batch][{done}/{len(frame_files)}] {fps_now:.1f} frames/s cumulative")
+    if native_iter is not None:
+        native_iter.close()
     return written, len(frame_files)
 
 
