@@ -122,12 +122,18 @@ def from_johnson_params(p: dict) -> dict:
     out["d2_w"] = _scatter_upconv(g(p["deconv2"]["w"]))
     out["d2_b"] = bias_tile(p["deconv2"]["b"], 4)
     out["in5"] = {"scale": g(p["in5"]["scale"]), "bias": g(p["in5"]["bias"])}
-    # d3 stays in f2 form: its [5,5,128,12] conv wastes output lanes
-    # (~17 ms), but the alternative f4 tail costs MORE — the f2→f4 repack
-    # is two ~1 GB phase transposes at 8-9 ms each (profiled; transposes of
-    # phase dims are the single most expensive op class on this chip).
-    out["d3_w"] = _scatter_k9_f2(g(p["deconv3"]["w"]))
-    out["d3_b"] = bias_tile(p["deconv3"]["b"], 4)
+    # d3 in tap-packed f2 form: the plain [5,5,128,12] conv wastes 116/128
+    # MXU output lanes (measured 17.4 ms) and the f4 alternative costs two
+    # ~1 GB phase transposes (8-9 ms each). Instead the 5 kernel ROWS pack
+    # into output channels — a 1×5 conv to 5·12=60 lanes — and the row sums
+    # combine as five shifted slice-adds (exact reassociation; the reflect
+    # halo already provides the +/-2 rows).
+    w5 = _scatter_k9_f2(g(p["deconv3"]["w"]))        # [5,5,128,12]
+    w_row = np.zeros((1, 5, w5.shape[2], 5 * w5.shape[3]), np.float32)
+    for dy in range(5):
+        w_row[0, :, :, dy * w5.shape[3] : (dy + 1) * w5.shape[3]] = w5[dy]
+    out["d3_w"] = w_row                               # [1,5,128,60]
+    out["d3_b"] = bias_tile(p["deconv3"]["b"], 4)     # [12], applied post-sum
     return jax.tree.map(jnp.asarray, out)
 
 
@@ -182,6 +188,10 @@ def apply(params: dict, x: jnp.ndarray) -> jnp.ndarray:
     y = _pad_reflect_f2_4px(y, 32)                # 2-block reflect halo
     y = _apply_in_relu(y, m, inv, p["in5"]["scale"], p["in5"]["bias"], 4)
 
-    # deconv3: VALID 5×5 block conv, then the only output d2s (12 channels).
-    y = conv2d(y, p["d3_w"], p["d3_b"])           # [B, H/2, W/2, 12]
+    # deconv3: tap-packed — 1×5 conv to 60 lanes on the padded rows, then
+    # five shifted slice-adds collapse the kernel-row axis; only output d2s.
+    hb = h // 2
+    rows = conv2d(y, p["d3_w"])                   # [B, H/2+4, W/2, 60]
+    y = sum(rows[:, dy : dy + hb, :, dy * 12 : (dy + 1) * 12] for dy in range(5))
+    y = y + p["d3_b"].astype(y.dtype)             # [B, H/2, W/2, 12]
     return d2s(y, 2, 3)
