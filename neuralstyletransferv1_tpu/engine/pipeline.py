@@ -12,10 +12,10 @@ TPU-native execution model:
 - ffmpeg is replaced by OpenCV video IO when the binary is absent
   (io.frames).
 
-The crop-based --region_optimize path is accepted but styled full-frame: on
-TPU, batched full-frame styling outperforms dynamic-shape crops (the flag's
-goal — "2-4x faster with multiple regions", reference pipeline.py:2355-2357 —
-is met by the batched design itself).
+The crop-based --region_optimize path styles only each region's padded crop
+(the flag's goal — "2-4x faster with multiple regions", reference
+pipeline.py:2355-2357): crops pad to a static bucket ladder and batch per
+model so every jitted shape is compiled once (_region_blend_optimized).
 """
 
 from __future__ import annotations
@@ -532,9 +532,12 @@ def style_frames(args, frames_dir: Path, image_mode: bool, save_map: dict[int, s
 
         # --- stylize all slots; a failed slot retries at half resolution,
         # then falls back to the original frame (reference: half-res retry at
-        # pipeline.py:1429-1442, original-frame fallback at 1618-1621) ---
+        # pipeline.py:1429-1442, original-frame fallback at 1618-1621).
+        # The crop-optimized region path skips full-frame forwards entirely
+        # and styles per-region crops instead (reference: pipeline.py:1124). ---
+        crop_optimized = bool(args.region_mode and args.region_optimize)
         outputs = []
-        for si, fn in enumerate(stylize_fns):
+        for si, fn in enumerate(stylize_fns if not crop_optimized else []):
             try:
                 outputs.append(fn(x01)[0])
             except Exception as e:
@@ -556,7 +559,7 @@ def style_frames(args, frames_dir: Path, image_mode: bool, save_map: dict[int, s
 
         # First-2-frame debug dumps of slot A + input (reference:
         # pipeline.py:1499-1510).
-        if idx <= 2 and not image_mode:
+        if idx <= 2 and not image_mode and outputs:
             try:
                 from PIL import Image as _Image
 
@@ -571,7 +574,12 @@ def style_frames(args, frames_dir: Path, image_mode: bool, save_map: dict[int, s
                 print(f"[debug][WARN] could not save A debug frames: {e}")
 
         # --- blend across models ---
-        if num_models == 1 and not args.region_mode:
+        if crop_optimized:
+            out01 = jnp.asarray(_region_blend_optimized(
+                args, stylize_fns, x_orig, H0, W0, idx, num_models,
+                region_seed, morph_anim, blend_anims, scale_anims, region_sizes,
+            ))
+        elif num_models == 1 and not args.region_mode:
             out01 = outputs[0]
         elif args.region_mode:
             out01 = _region_blend(
@@ -716,6 +724,114 @@ def _parse_region_seed(args, morph_anim):
 # pipeline.py:1313-1337, which would recompile per frame under XLA).
 _SCALE_LADDER = (0.25, 0.375, 0.5, 0.625, 0.75, 0.875, 1.0)
 
+# Cached (masks, configs) per video for the crop path, like the reference's
+# args._region_cache (pipeline.py:1172-1190).
+_crop_cache: dict = {}
+
+
+def _region_blend_optimized(
+    args, stylize_fns, x_orig, H0, W0, idx, num_models, region_seed,
+    morph_anim, blend_anims, scale_anims, region_sizes,
+):
+    """Crop-optimized region styling: style only each region's padded crop
+    (reference: pipeline.py:1124-1407 + region_blend.py:1954-2295). Crops
+    pad to a static bucket ladder and batch per model so jitted shapes are
+    reused; returns the composited HWC float01 numpy frame."""
+    from ..ops.resize import resize_bilinear
+    from ..region import (
+        compute_animated_scale,
+        feather_mask,
+        generate_region_masks,
+        parse_region_configs,
+        rotate_all_masks,
+        warp_all_masks_organic,
+    )
+    from ..region.crops import (
+        composite_from_crops,
+        compute_crop_coverage,
+        models_needed_for_regions,
+        prepare_region_crops,
+        style_crop_batched,
+    )
+
+    region_count = args.region_count or num_models
+    # crop mode defaults to a fixed seed for stable regions
+    # (reference: pipeline.py:1149-1161)
+    seed = 42 if region_seed is None and args.region_seed is None else region_seed
+    sizes_key = tuple(region_sizes) if region_sizes else None
+    cache_key = (H0, W0, args.region_mode, region_count, seed,
+                 args.region_feather, sizes_key, args.region_blend_spec,
+                 args.region_scales)
+    if cache_key in _crop_cache:
+        base_masks, configs = _crop_cache[cache_key]
+    else:
+        base_masks = generate_region_masks(
+            H0, W0, args.region_mode, region_count, seed, args.region_feather,
+            region_sizes=region_sizes,
+        )
+        configs = parse_region_configs(
+            int(base_masks.shape[0]), num_models, args.region_assignment,
+            args.region_blend_spec, args.region_scales, seed, args.region_original,
+        )
+        _crop_cache[cache_key] = (base_masks, configs)
+
+    masks = base_masks
+    if args.region_rotate != 0:
+        masks = rotate_all_masks(masks, idx * args.region_rotate)
+        masks = feather_mask(masks[..., None], args.region_feather // 2)[..., 0]
+    if morph_anim and morph_anim.enabled:
+        masks = warp_all_masks_organic(masks, morph_anim, idx)
+        masks = feather_mask(masks[..., None], max(5, args.region_feather // 4))[..., 0]
+    masks_np = np.asarray(masks)
+
+    crops = prepare_region_crops(masks_np, configs, H0, W0, args.region_padding)
+    needed = models_needed_for_regions(crops)
+    if idx <= 2:
+        cov = compute_crop_coverage(crops, H0, W0)
+        print(f"[region-opt][{idx}] mode={args.region_mode} regions={len(crops)} "
+              f"models_needed={needed} coverage={cov:.1%} "
+              f"padding={args.region_padding}px")
+
+    import jax.numpy as jnp
+
+    styled: dict = {}
+    for model_idx in needed:
+        if model_idx >= len(stylize_fns):
+            print(f"[region-opt][WARN] Model {model_idx} requested but not loaded, skipping")
+            continue
+        fn = stylize_fns[model_idx]
+        regions = [c for c in crops if model_idx in c.config.model_indices]
+        crop_px = []
+        for c in regions:
+            x1, y1, x2, y2 = c.padded_bbox
+            px = x_orig[y1:y2, x1:x2]
+            base_scale = c.config.scale
+            if scale_anims:
+                anim = scale_anims[c.region_idx % len(scale_anims)]
+                s = compute_animated_scale(base_scale, idx, anim)
+                base_scale = min(_SCALE_LADDER, key=lambda v: abs(v - s))
+            if base_scale < 1.0:
+                sh = max(1, int(px.shape[0] * base_scale))
+                sw = max(1, int(px.shape[1] * base_scale))
+                px = np.asarray(resize_bilinear(jnp.asarray(px), (sh, sw)))
+            crop_px.append(px)
+        outs = style_crop_batched(crop_px, fn)
+        styled[model_idx] = {}
+        for c, out in zip(regions, outs):
+            x1, y1, x2, y2 = c.padded_bbox
+            if out.shape[:2] != (y2 - y1, x2 - x1):
+                out = np.asarray(resize_bilinear(jnp.asarray(out), (y2 - y1, x2 - x1)))
+            styled[model_idx][c.region_idx] = out
+
+    use_orig = (
+        args.region_original > 0
+        or (args.region_blend_spec and "O" in args.region_blend_spec.upper())
+    )
+    return composite_from_crops(
+        styled, crops, x_orig if use_orig else None, H0, W0, masks_np,
+        frame_idx=idx, blend_animations=blend_anims,
+    )
+
 
 def _region_blend(
     args, outputs, x_orig_j, H0, W0, idx, num_models, region_seed, morph_anim,
@@ -842,11 +958,10 @@ def main(argv=None) -> int:
             print("[warn] --flow_ema ignored in image mode.")
             args.flow_ema = False
     if args.region_optimize:
-        print("[region-opt][note] --region_optimize: regions are styled full-frame "
-              "on TPU (batched full-frame styling replaces the reference's crop "
-              "path); --region_padding has no effect. --region_sizes, "
-              "--scale_animate(_regions), --blend_animate(_regions) and "
-              "--region_morph all apply as usual.")
+        print("[region-opt][note] --region_optimize: per-region crops are padded "
+              "to a static bucket ladder and batched per model so jitted shapes "
+              "are reused (the reference styles each crop at its exact size, "
+              "pipeline.py:1293-1390, which would recompile per frame on TPU).")
 
     canvas_wh = None
     if args.canvas:
