@@ -24,14 +24,20 @@ import numpy as np
 TILE_CONFIGS = [(128, 16), (192, 24), (256, 32), (384, 48), (512, 64)]
 
 
-def self_style_variants(content01, tile_configs, seed=0):
-    """Magenta self-style at each tile config; returns [V,H,W,3] float01."""
+def self_style_variants(content01, tile_configs, seed=0, magenta_root="models/magenta"):
+    """Magenta self-style at each tile config; returns [V,H,W,3] float01.
+
+    Uses the real SavedModel graph when complete weights exist under
+    ``magenta_root``; otherwise the compact random-weight net (self-style
+    needs texture variation per tile, so the color-transfer fallback —
+    identity for content==style — is not used here)."""
     import jax
     import jax.numpy as jnp
 
     from ..models import magenta
 
-    params = magenta.init(jax.random.key(seed))
+    sm_dir = magenta.find_savedmodel(magenta_root)
+    params = None if sm_dir else magenta.init(jax.random.key(seed))
     outs = []
     H, W = content01.shape[:2]
     c = jnp.asarray(content01)
@@ -44,7 +50,10 @@ def self_style_variants(content01, tile_configs, seed=0):
             Image.fromarray((content01 * 255).astype(np.uint8)).resize((tile, tile), Image.LANCZOS),
             np.float32,
         ) / 255.0
-        outs.append(magenta.stylize_tiled(params, c, jnp.asarray(style), tile_size=tile, overlap=overlap))
+        transfer = magenta.savedmodel_transfer_fn(sm_dir, style) if sm_dir else None
+        outs.append(magenta.stylize_tiled(params, c, jnp.asarray(style),
+                                          tile_size=tile, overlap=overlap,
+                                          transfer_fn=transfer))
     if not outs:
         outs = [c]
     return jnp.stack(outs, 0)

@@ -254,3 +254,29 @@ def savedmodel_transfer_fn(sm_dir, style01: jnp.ndarray):
         return ex.forward(tiles, style)
 
     return transfer
+
+
+def color_transfer_fn(style01: jnp.ndarray):
+    """Weight-free fallback transfer: Reinhard-style moment matching of each
+    content tile to the style image in a decorrelated color space.
+
+    Used when the SavedModel weights are unavailable (the mount strips the
+    pretrained shard): unlike a random-weight CIN net (structured noise),
+    moment matching yields a plausible global-color stylization while
+    exercising the identical tiled path. Deterministic, documented
+    deviation — the reference simply cannot run at all without weights.
+    """
+    from ..ops.color import lab_u8_to_rgb, rgb_to_lab_u8
+
+    style_lab = rgb_to_lab_u8(jnp.asarray(style01))
+    s_mean = jnp.mean(style_lab, axis=(0, 1))
+    s_std = jnp.std(style_lab, axis=(0, 1)) + 1e-5
+
+    def transfer(tiles):
+        lab = rgb_to_lab_u8(tiles)
+        m = jnp.mean(lab, axis=(1, 2), keepdims=True)
+        sd = jnp.std(lab, axis=(1, 2), keepdims=True) + 1e-5
+        out = (lab - m) / sd * s_std + s_mean
+        return jnp.clip(lab_u8_to_rgb(jnp.clip(out, 0.0, 255.0)), 0.0, 1.0)
+
+    return transfer

@@ -44,10 +44,11 @@ def load_magenta_slot(style_path: str, args):
         print(
             "[magenta][warn] no complete SavedModel under "
             f"{model_root} (the reference mount strips variables shard 0); "
-            "using random-weight arbitrary stylization — structure/throughput "
-            "valid, aesthetics are not."
+            "falling back to Reinhard moment-matching color transfer — the "
+            "tiled path is identical, the aesthetic is a global color match "
+            "rather than learned texture."
         )
-        params["magenta"] = magenta.init(jax.random.key(0))
+        params["transfer_fn"] = magenta.color_transfer_fn(style01)
     from pathlib import Path
 
     return StyleModel("magenta", params, "raw_01", Path(style_path).stem, "magenta")

@@ -123,18 +123,30 @@ def test_engine_magenta_slot_uses_savedmodel(synthetic_savedmodel, tmp_path):
     assert y.std() > 1e-4  # not a constant image
 
 
-def test_fallback_without_weights(tmp_path):
+def test_fallback_without_weights_moment_matches(tmp_path):
+    """No weights → Reinhard color-transfer fallback: tile stats match the
+    style image's LAB moments."""
     from types import SimpleNamespace
 
     from PIL import Image
 
+    import jax.numpy as jnp
+
     from neuralstyletransferv1_tpu.models.magenta_stub import load_magenta_slot
+    from neuralstyletransferv1_tpu.ops.color import rgb_to_lab_u8
 
     rng = np.random.default_rng(3)
+    style = (rng.random((64, 64, 3)) * 128 + 64).astype(np.uint8)
     style_p = tmp_path / "style.png"
-    Image.fromarray((rng.random((64, 64, 3)) * 255).astype(np.uint8)).save(style_p)
+    Image.fromarray(style).save(style_p)
     args = SimpleNamespace(magenta_model_root=str(tmp_path / "nothing"),
                            magenta_tile=64, magenta_overlap=8,
                            magenta_target_res=None)
     slot = load_magenta_slot(str(style_p), args)
-    assert "magenta" in slot.params and "transfer_fn" not in slot.params
+    assert "transfer_fn" in slot.params and "magenta" not in slot.params
+    content = jnp.asarray(rng.random((1, 64, 64, 3)), jnp.float32)
+    out = np.asarray(slot.params["transfer_fn"](content))
+    out_lab = np.asarray(rgb_to_lab_u8(jnp.asarray(out[0])))
+    sty_lab = np.asarray(rgb_to_lab_u8(jnp.asarray(style.astype(np.float32) / 255.0)))
+    # L-channel moments transfer (a/b wrap-encoding makes them loose)
+    assert abs(out_lab[..., 0].mean() - sty_lab[..., 0].mean()) < 12
