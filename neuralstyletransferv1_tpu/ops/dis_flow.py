@@ -65,7 +65,11 @@ def _extract_patches(img, ys, xs):
 
 
 def _bilinear_patch(img, y0, x0):
-    """Sample a PATCH×PATCH window at float offset (y0, x0), clamped."""
+    """Sample a PATCH×PATCH window at float offset (y0, x0), clamped.
+
+    Flattened 1-D takes: under the per-patch vmaps these batch into single
+    large gathers, which XLA:TPU lowers ~2x faster than 2-D coordinate
+    gathers (same finding as ops/warp.bilinear_sample)."""
     h, w = img.shape
     yy = jnp.clip(y0 + jnp.arange(PATCH, dtype=jnp.float32)[:, None], 0.0, h - 1.001)
     xx = jnp.clip(x0 + jnp.arange(PATCH, dtype=jnp.float32)[None, :], 0.0, w - 1.001)
@@ -73,10 +77,17 @@ def _bilinear_patch(img, y0, x0):
     xi = jnp.floor(xx).astype(jnp.int32)
     fy = yy - yi
     fx = xx - xi
-    v00 = img[yi, xi]
-    v01 = img[yi, jnp.minimum(xi + 1, w - 1)]
-    v10 = img[jnp.minimum(yi + 1, h - 1), xi]
-    v11 = img[jnp.minimum(yi + 1, h - 1), jnp.minimum(xi + 1, w - 1)]
+    flat = img.reshape(-1)
+    n = h * w
+
+    def take(yo, xo):
+        idx = jnp.minimum(yi + yo, h - 1) * w + jnp.minimum(xi + xo, w - 1)
+        return jnp.take(flat, jnp.minimum(idx.reshape(-1), n - 1), axis=0).reshape(PATCH, PATCH)
+
+    v00 = take(0, 0)
+    v01 = take(0, 1)
+    v10 = take(1, 0)
+    v11 = take(1, 1)
     return (v00 * (1 - fx) + v01 * fx) * (1 - fy) + (v10 * (1 - fx) + v11 * fx) * fy
 
 
@@ -143,20 +154,18 @@ def _inverse_search_level(i0, i1, flow_init, iters: int):
     )
     wgt = 1.0 / (1.0 + res * res)  # [ny,nx]
 
-    flow_acc = jnp.zeros((h, w, 2), jnp.float32)
-    w_acc = jnp.zeros((h, w, 1), jnp.float32)
-    # scatter each patch's displacement over its footprint (static grid →
-    # express as a strided scatter via dynamic_update... use add-at with
-    # index arrays; the grid is static so precompute index maps).
+    # Densification scatter, flattened to 1-D linear indices (like the
+    # gathers above, 1-D scatters lower markedly faster on TPU).
     ys_i = ys[:, None] + jnp.arange(PATCH)[None, :]  # [ny,P]
     xs_i = xs[:, None] + jnp.arange(PATCH)[None, :]
     yy = jnp.broadcast_to(ys_i[:, None, :, None], (ny, nx, PATCH, PATCH)).reshape(-1)
     xx = jnp.broadcast_to(xs_i[None, :, None, :], (ny, nx, PATCH, PATCH)).reshape(-1)
     uu = jnp.broadcast_to(u[:, :, None, None, :], (ny, nx, PATCH, PATCH, 2)).reshape(-1, 2)
     ww = jnp.broadcast_to(wgt[:, :, None, None], (ny, nx, PATCH, PATCH)).reshape(-1)
-    flow_acc = flow_acc.at[yy, xx].add(uu * ww[:, None])
-    w_acc = w_acc.at[yy, xx].add(ww[:, None])
-    return flow_acc / jnp.clip(w_acc, 1e-8, None)
+    lin = yy * w + xx
+    flow_acc = jnp.zeros((h * w, 2), jnp.float32).at[lin].add(uu * ww[:, None])
+    w_acc = jnp.zeros((h * w, 1), jnp.float32).at[lin].add(ww[:, None])
+    return (flow_acc / jnp.clip(w_acc, 1e-8, None)).reshape(h, w, 2)
 
 
 def _warp_scalar(img, flow):
@@ -174,10 +183,16 @@ def _bilinear_dense(img, y, x):
     xi = jnp.floor(x).astype(jnp.int32)
     fy = y - yi
     fx = x - xi
-    v00 = img[yi, xi]
-    v01 = img[yi, jnp.minimum(xi + 1, w - 1)]
-    v10 = img[jnp.minimum(yi + 1, h - 1), xi]
-    v11 = img[jnp.minimum(yi + 1, h - 1), jnp.minimum(xi + 1, w - 1)]
+    flat = img.reshape(-1)
+
+    def take(yo, xo):
+        idx = jnp.minimum(yi + yo, h - 1) * w + jnp.minimum(xi + xo, w - 1)
+        return jnp.take(flat, idx.reshape(-1), axis=0).reshape(y.shape)
+
+    v00 = take(0, 0)
+    v01 = take(0, 1)
+    v10 = take(1, 0)
+    v11 = take(1, 1)
     return (v00 * (1 - fx) + v01 * fx) * (1 - fy) + (v10 * (1 - fx) + v11 * fx) * fy
 
 
