@@ -137,15 +137,23 @@ def from_johnson_params(p: dict) -> dict:
     return jax.tree.map(jnp.asarray, out)
 
 
-def apply(params: dict, x: jnp.ndarray) -> jnp.ndarray:
+def apply(params: dict, x: jnp.ndarray, *, tap=None) -> jnp.ndarray:
     """Forward pass, same contract as transformer_net.apply.
 
     x: NHWC with H, W divisible by 4. Instance norms split into a stats
     reduction + deferred affine (exact — see transformer_net_s2d.apply).
+
+    tap: optional ``tap(site, tensor)`` callback invoked with the tensor
+    feeding each conv (pre-halo; halos copy values so maxima agree) —
+    instrumentation for calibration/profiling experiments (e.g. activation
+    ranges for quantization studies; see PERF.md "int8" section).
     """
     b, h, w, _ = x.shape
     assert h % 4 == 0 and w % 4 == 0, "s2d2 path needs H,W divisible by 4"
     p = params
+    if tap is None:
+        tap = lambda name, t: None  # noqa: E731
+    tap("c1", x)
 
     # conv1: the only input s2d, then a 2-block phase-reflect halo (padding
     # AFTER s2d skips the full-res [H+8, W+8, 3] pad copy; identical math —
@@ -156,25 +164,30 @@ def apply(params: dict, x: jnp.ndarray) -> jnp.ndarray:
     y = _pad_stride2_halo(y, 32)                  # left/top phase halo
     y = _apply_in_relu(y, m, inv, p["in1"]["scale"], p["in1"]["bias"], 4)
 
+    tap("c2", y)
     y = conv2d(y, p["c2_w"], p["c2_b"])           # [B, H/2, W/2, 64] = 540p px
     m, inv = _in_stats(y, 1, 64)
     y = reflect_pad_2d(y, 1)                      # plain pixel reflect @540p
     y = _apply_in_relu(y, m, inv, p["in2"]["scale"], p["in2"]["bias"], 1)
 
+    tap("c3", y)
     y = conv2d(y, p["c3_w"], p["c3_b"], stride=2)  # [B, H/4, W/4, 128]
     m, inv = _in_stats(y, 1, 128)
     y = _apply_in_relu(y, m, inv, p["in3"]["scale"], p["in3"]["bias"], 1)
 
     for i in range(1, 6):
         rp = p[f"res{i}"]
+        tap(f"r{i}a", y)
         r = conv2d(reflect_pad_2d(y, 1), rp["conv1"]["w"], rp["conv1"]["b"])
         m, inv = _in_stats(r, 1, 128)
         r = reflect_pad_2d(r, 1)
         r = _apply_in_relu(r, m, inv, rp["in1"]["scale"], rp["in1"]["bias"], 1)
+        tap(f"r{i}b", r)
         r = conv2d(r, rp["conv2"]["w"], rp["conv2"]["b"])
         y = instance_norm(r, rp["in2"]["scale"], rp["in2"]["bias"]) + y
 
     # deconv1: up×2 + conv → f2-of-540p on the 270 grid, then ONE d2s.
+    tap("d1", y)
     y = _pad_edge_blocks(y)
     y = conv2d(y, p["d1_w"], p["d1_b"])           # [B, H/4, W/4, 256]
     m, inv = _in_stats(y, 4, 64)
@@ -183,6 +196,7 @@ def apply(params: dict, x: jnp.ndarray) -> jnp.ndarray:
     y = _apply_in_relu(y, m, inv, p["in4"]["scale"], p["in4"]["bias"], 1)
 
     # deconv2: 3×3 on the 540 grid → 32ch@1080p as f2 phases.
+    tap("d2", y)
     y = conv2d(y, p["d2_w"], p["d2_b"])           # [B, H/2, W/2, 128]
     m, inv = _in_stats(y, 4, 32)
     y = _pad_reflect_f2_4px(y, 32)                # 2-block reflect halo
@@ -191,6 +205,7 @@ def apply(params: dict, x: jnp.ndarray) -> jnp.ndarray:
     # deconv3: tap-packed — 1×5 conv to 60 lanes on the padded rows, then
     # five shifted slice-adds collapse the kernel-row axis; only output d2s.
     hb = h // 2
+    tap("d3", y)
     rows = conv2d(y, p["d3_w"])                   # [B, H/2+4, W/2, 60]
     y = sum(rows[:, dy : dy + hb, :, dy * 12 : (dy + 1) * 12] for dy in range(5))
     y = y + p["d3_b"].astype(y.dtype)             # [B, H/2, W/2, 12]
