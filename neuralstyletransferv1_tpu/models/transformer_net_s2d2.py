@@ -97,6 +97,27 @@ def _scatter_k9_f2(w: np.ndarray) -> np.ndarray:
     return out
 
 
+def _scatter_k9_pixel_s2(w: np.ndarray) -> np.ndarray:
+    """9×9 s1 pixel conv → 10×10 stride-2 pixel conv whose 128 outputs are
+    the 4 f=2 phases × 32 channels.
+
+    Output phase (u,v) at 540-grid (I,J) is the 9×9 conv at pixel
+    (2I+u, 2J+v); the union of supports over u,v ∈ {0,1} is a 10×10 window,
+    so w10[a+u, b+v, :, (u*2+v)*co] += w9[a, b].  This head form runs the
+    conv on the DENSE 3-channel pixel tensor — measured 2.2× faster than
+    s2d + [5,5,12,128] because XLA lane-pads 12-channel bf16 tensors 10.7×
+    (see PERF.md round-2b).
+    """
+    k, _, ci, co = w.shape
+    assert k == 9
+    out = np.zeros((10, 10, ci, 4 * co), np.float32)
+    for u in range(2):
+        for v in range(2):
+            out[u:u + 9, v:v + 9, :, (u * 2 + v) * co:(u * 2 + v + 1) * co] \
+                += w
+    return out
+
+
 def from_johnson_params(p: dict) -> dict:
     """Reference-layout Johnson params → f=2 block-space params."""
     g = lambda a: np.asarray(a, np.float32)  # noqa: E731
@@ -105,7 +126,7 @@ def from_johnson_params(p: dict) -> dict:
         return np.tile(g(b), phases)
 
     out: dict = {}
-    out["c1_w"] = _scatter_k9_f2(g(p["conv1"]["w"]))
+    out["c1_w"] = _scatter_k9_pixel_s2(g(p["conv1"]["w"]))
     out["c1_b"] = bias_tile(p["conv1"]["b"], 4)
     out["in1"] = {"scale": g(p["in1"]["scale"]), "bias": g(p["in1"]["bias"])}
     out["c2_w"] = _scatter_stride2_s2d2(g(p["conv2"]["w"]))
@@ -155,11 +176,12 @@ def apply(params: dict, x: jnp.ndarray, *, tap=None) -> jnp.ndarray:
         tap = lambda name, t: None  # noqa: E731
     tap("c1", x)
 
-    # conv1: the only input s2d, then a 2-block phase-reflect halo (padding
-    # AFTER s2d skips the full-res [H+8, W+8, 3] pad copy; identical math —
-    # pixel reflect == phase-permuted block reflect).
-    y = _pad_reflect_f2_4px(s2d(x, 2), 3)         # [B, H/2+4, W/2+4, 12]
-    y = conv2d(y, p["c1_w"], p["c1_b"])           # [B, H/2, W/2, 128]
+    # conv1 as a 10×10 stride-2 conv straight on the dense pixel tensor —
+    # no s2d, no 12-channel intermediates (which XLA lane-pads 10.7×).
+    # Identical math to [reflect-pad-4 → 9×9 s1 → s2d] (phase-scattered
+    # kernel, see _scatter_k9_pixel_s2).
+    xp = jnp.pad(x, ((0, 0), (4, 5), (4, 5), (0, 0)), mode="reflect")
+    y = conv2d(xp, p["c1_w"], p["c1_b"], stride=2)  # [B, H/2, W/2, 128]
     m, inv = _in_stats(y, 4, 32)
     y = _pad_stride2_halo(y, 32)                  # left/top phase halo
     y = _apply_in_relu(y, m, inv, p["in1"]["scale"], p["in1"]["bias"], 4)
