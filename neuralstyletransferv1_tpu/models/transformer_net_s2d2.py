@@ -126,7 +126,7 @@ def from_johnson_params(p: dict) -> dict:
         return np.tile(g(b), phases)
 
     out: dict = {}
-    out["c1_w"] = _scatter_k9_pixel_s2(g(p["conv1"]["w"]))
+    out["c1_w"] = _scatter_k9_f2(g(p["conv1"]["w"]))
     out["c1_b"] = bias_tile(p["conv1"]["b"], 4)
     out["in1"] = {"scale": g(p["in1"]["scale"]), "bias": g(p["in1"]["bias"])}
     out["c2_w"] = _scatter_stride2_s2d2(g(p["conv2"]["w"]))
@@ -176,12 +176,14 @@ def apply(params: dict, x: jnp.ndarray, *, tap=None) -> jnp.ndarray:
         tap = lambda name, t: None  # noqa: E731
     tap("c1", x)
 
-    # conv1 as a 10×10 stride-2 conv straight on the dense pixel tensor —
-    # no s2d, no 12-channel intermediates (which XLA lane-pads 10.7×).
-    # Identical math to [reflect-pad-4 → 9×9 s1 → s2d] (phase-scattered
-    # kernel, see _scatter_k9_pixel_s2).
-    xp = jnp.pad(x, ((0, 0), (4, 5), (4, 5), (0, 0)), mode="reflect")
-    y = conv2d(xp, p["c1_w"], p["c1_b"], stride=2)  # [B, H/2, W/2, 128]
+    # conv1: the only input s2d, then a 2-block phase-reflect halo (padding
+    # AFTER s2d skips the full-res [H+8, W+8, 3] pad copy; identical math —
+    # pixel reflect == phase-permuted block reflect).  NOTE: the 10×10
+    # stride-2 pixel-conv alternative (_scatter_k9_pixel_s2) looked 2.2×
+    # faster in isolation but is a 14 ms/B16 net REGRESSION — see PERF.md
+    # "Head-P negative"; trust only in-net A/Bs here.
+    y = _pad_reflect_f2_4px(s2d(x, 2), 3)         # [B, H/2+4, W/2+4, 12]
+    y = conv2d(y, p["c1_w"], p["c1_b"])           # [B, H/2, W/2, 128]
     m, inv = _in_stats(y, 4, 32)
     y = _pad_stride2_halo(y, 32)                  # left/top phase halo
     y = _apply_in_relu(y, m, inv, p["in1"]["scale"], p["in1"]["bias"], 4)
