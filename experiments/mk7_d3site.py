@@ -29,21 +29,22 @@ from jax.experimental.pallas import tpu as pltpu
 B = 8
 H2, W2 = 540, 960      # 540 grid
 C = 128
-TS = 16
+TS = 8
 WP = W2 + 8            # 968: interior cols 2..961, halo 0,1,962,963, junk+
 HP = H2 + 4            # 544 rows incl 2+2 halo rows
 NS = HP // TS          # 34
 N = TS * WP
 
 
-def _kernel(stat_ref, w_ref, body_ref, rows_ref, *, CO):
+def _kernel(stat_ref, w_ref, body_ref, rows_ref, xs_ref, *, CO):
     a = stat_ref[0, 0, :]
     c = stat_ref[0, 1, :]
     x = body_ref[0]                                  # (TS, WP, C) bf16 raw
     x = jnp.maximum(x.astype(jnp.float32) * a + c, 0.0).astype(jnp.bfloat16)
-    x2 = x.reshape(N, C)
-    x2 = jnp.concatenate([x2, jnp.zeros((8, C), jnp.bfloat16)], axis=0)
-    MT = 4 * WP
+    xs_ref[0:TS] = x
+    xs_ref[TS:TS + 1] = jnp.zeros((1, WP, C), jnp.bfloat16)
+    x2 = xs_ref[:].reshape((TS + 1) * WP, C)
+    MT = 2 * WP
     parts = []
     for t in range(N // MT):
         r0 = t * MT
@@ -73,6 +74,7 @@ def fused_d3(xpad, stat, w5):
         out_specs=pl.BlockSpec((1, TS, W2, CO), lambda b, j: (b, j, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, HP, W2, CO), jnp.bfloat16),
+        scratch_shapes=[pltpu.VMEM((TS + 1, WP, C), jnp.bfloat16)],
     )(stat, w5, xpad)
 
 

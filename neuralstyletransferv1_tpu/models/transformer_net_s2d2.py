@@ -158,7 +158,8 @@ def from_johnson_params(p: dict) -> dict:
     return jax.tree.map(jnp.asarray, out)
 
 
-def apply(params: dict, x: jnp.ndarray, *, tap=None) -> jnp.ndarray:
+def apply(params: dict, x: jnp.ndarray, *, tap=None,
+          fused_sites: tuple = ()) -> jnp.ndarray:
     """Forward pass, same contract as transformer_net.apply.
 
     x: NHWC with H, W divisible by 4. Instance norms split into a stats
@@ -168,6 +169,12 @@ def apply(params: dict, x: jnp.ndarray, *, tap=None) -> jnp.ndarray:
     feeding each conv (pre-halo; halos copy values so maxima agree) —
     instrumentation for calibration/profiling experiments (e.g. activation
     ranges for quantization studies; see PERF.md "int8" section).
+
+    fused_sites: names of conv sites to run as Pallas fused kernels
+    (models/s2d2_sites.py) — TPU only; each site applies the deferred IN
+    affine in its prologue instead of a separate HBM pass. Currently:
+    "d3". Unsupported geometries silently fall back to the XLA form.
+    For fused sites, ``tap`` receives the RAW (pre-apply) tensor.
     """
     b, h, w, _ = x.shape
     assert h % 4 == 0 and w % 4 == 0, "s2d2 path needs H,W divisible by 4"
@@ -223,14 +230,30 @@ def apply(params: dict, x: jnp.ndarray, *, tap=None) -> jnp.ndarray:
     tap("d2", y)
     y = conv2d(y, p["d2_w"], p["d2_b"])           # [B, H/2, W/2, 128]
     m, inv = _in_stats(y, 4, 32)
-    y = _pad_reflect_f2_4px(y, 32)                # 2-block reflect halo
-    y = _apply_in_relu(y, m, inv, p["in5"]["scale"], p["in5"]["bias"], 4)
 
     # deconv3: tap-packed — 1×5 conv to 60 lanes on the padded rows, then
     # five shifted slice-adds collapse the kernel-row axis; only output d2s.
     hb = h // 2
-    tap("d3", y)
-    rows = conv2d(y, p["d3_w"])                   # [B, H/2+4, W/2, 60]
+    if "d3" in fused_sites:
+        from . import s2d2_sites
+    use_fused_d3 = ("d3" in fused_sites
+                    and s2d2_sites.d3_supported(y.shape[1], y.shape[2]))
+    if use_fused_d3:
+        # fused kernel: raw phase-reflect halo build (XLA) + Pallas
+        # [apply_in5 prologue → 1×5 conv] — the separate apply pass dies.
+        sc = p["in5"]["scale"].astype(jnp.float32)
+        bi = p["in5"]["bias"].astype(jnp.float32)
+        a_ph = jnp.tile(inv * sc, (1, 4))          # (B, 128) phase-invariant
+        c_ph = jnp.tile(bi - m * inv * sc, (1, 4))
+        tap("d3", y)
+        rows = s2d2_sites.d3_rows(
+            y, a_ph, c_ph, p["d3_w"],
+            pad_fn=lambda t: _pad_reflect_f2_4px(t, 32))
+    else:
+        y = _pad_reflect_f2_4px(y, 32)            # 2-block reflect halo
+        y = _apply_in_relu(y, m, inv, p["in5"]["scale"], p["in5"]["bias"], 4)
+        tap("d3", y)
+        rows = conv2d(y, p["d3_w"])               # [B, H/2+4, W/2, 60]
     y = sum(rows[:, dy : dy + hb, :, dy * 12 : (dy + 1) * 12] for dy in range(5))
     y = y + p["d3_b"].astype(y.dtype)             # [B, H/2, W/2, 12]
     return d2s(y, 2, 3)
