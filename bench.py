@@ -7,8 +7,9 @@ Headline config matches BASELINE.md's north star (≥200 stylized 1080p
 frames/s/chip on v5e): Johnson TransformerNet in its f=2 space-to-depth form
 (models/transformer_net_s2d2 — identical math, MXU-aligned, zero phase
 repacks), imagenet_255 preset fused in, bf16 activations/weights with f32
-accumulation. Batch 16 amortizes per-dispatch overheads slightly better
-than 8 (81 vs 78 fps measured).
+accumulation. Batch 48 is the measured optimum of the round-2b sweep
+(B16 94.1 / B32 101.9 / B48 106.9 fps; B64 fails to compile) — throughput
+config; per-frame latency-sensitive callers should use smaller batches.
 ``vs_baseline`` is value / 200 (the reference publishes no numbers of its
 own — BASELINE.md).
 
@@ -30,7 +31,7 @@ import jax.numpy as jnp
 
 BASELINE_FPS = 200.0  # north-star target, BASELINE.json
 H, W = 1080, 1920
-BATCH = 16
+BATCH = 48
 CHAIN = 8
 REPEATS = 2
 
