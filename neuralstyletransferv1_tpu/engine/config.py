@@ -121,4 +121,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
                     "stylize runs batched and the temporal chain runs as one "
                     "in-graph scan per batch. Region modes fall back to "
                     "per-frame processing.")
+    ap.add_argument("--mesh_devices", type=int, default=0,
+                    help="Shard each stylize batch across the first N devices "
+                    "(data-parallel over a 1-D ICI mesh; params replicate). "
+                    "Requires --frame_batch; the batch is rounded up to a "
+                    "multiple of N. 0/1 = single device.")
     return ap

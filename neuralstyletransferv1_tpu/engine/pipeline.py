@@ -243,7 +243,24 @@ def style_frames_batched(args, frames_dir: Path, image_mode: bool, save_map: dic
     models = load_slot_bank(args)
     num_models = len(models)
     print(f"[bank] {num_models} slot(s): " + ", ".join(f"{m.name}({m.arch}/{m.io_preset})" for m in models))
-    stylize_fns = [st.jit_stylizer(m, dtype=dtype) for m in models]
+
+    mesh = None
+    n_mesh = int(getattr(args, "mesh_devices", 0) or 0)
+    if n_mesh > 1:
+        avail = len(jax.devices())
+        if n_mesh > avail:
+            print(f"[mesh] only {avail} device(s) visible; clamping --mesh_devices {n_mesh} -> {avail}")
+            n_mesh = avail
+        if n_mesh > 1:
+            from ..parallel.mesh import make_mesh
+
+            if int(args.frame_batch) % n_mesh != 0:
+                new_b = ((int(args.frame_batch) + n_mesh - 1) // n_mesh) * n_mesh
+                print(f"[mesh] rounding --frame_batch {args.frame_batch} -> {new_b} (multiple of {n_mesh})")
+                args.frame_batch = new_b
+            mesh = make_mesh(n_mesh)
+            print(f"[mesh] data-parallel stylize over {n_mesh} device(s)")
+    stylize_fns = [st.jit_stylizer(m, dtype=dtype, mesh=mesh) for m in models]
     use_lab_blend = args.blend_models_lab and num_models > 1
     weights = (
         parse_blend_weights(args.blend_models_weights, num_models)

@@ -115,7 +115,24 @@ def stylize(model_arch: str, params: dict, io_preset: str, x01: jnp.ndarray) -> 
     return out
 
 
-def jit_stylizer(model: StyleModel, *, dtype=jnp.float32, optimize: bool = True):
+def _jit_batch(fn, mesh):
+    """jit ``fn(batch) -> batch`` — data-parallel over ``mesh`` if given.
+
+    The batch dim shards on the ``data`` axis (ICI); everything captured
+    (params) replicates. XLA/GSPMD inserts the collectives — no hand-written
+    communication (SURVEY §2.8: the reference has no distributed backend;
+    this is the TPU-native scaling axis of the workload).
+    """
+    if mesh is None:
+        return jax.jit(fn)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    bsh = NamedSharding(mesh, P("data"))
+    return jax.jit(fn, in_shardings=(bsh,), out_shardings=bsh)
+
+
+def jit_stylizer(model: StyleModel, *, dtype=jnp.float32, optimize: bool = True,
+                 mesh=None):
     """Compile a stylize fn for one model; returns f(batch01) -> batch01.
 
     ``dtype=jnp.bfloat16`` selects the MXU speed path (params cast once).
@@ -124,6 +141,11 @@ def jit_stylizer(model: StyleModel, *, dtype=jnp.float32, optimize: bool = True)
     H, W are divisible by 4 — identical math, every tensor stays in one s2d
     layout so no phase repacks happen (~14x the naive port's throughput at
     1080p; see memory/nst-tpu-perf-ledger.md).
+
+    ``mesh``: optional 1-D ``data`` mesh — the frame batch shards across
+    devices, params replicate (engine flag ``--mesh_devices``). Magenta
+    slots run tile-batched on the default device regardless (their batch
+    axis is tiles, not frames).
     """
     if model.arch == "magenta":
         return _jit_magenta_stylizer(model, dtype=dtype)
@@ -138,7 +160,6 @@ def jit_stylizer(model: StyleModel, *, dtype=jnp.float32, optimize: bool = True)
         if dtype != jnp.float32:
             s2d_params = jax.tree.map(lambda a: a.astype(dtype), s2d_params)
 
-    @jax.jit
     def fn(x01):
         from ..models import transformer_net_s2d2 as tns2d
         from ..ops.resize import resize_bilinear
@@ -154,7 +175,7 @@ def jit_stylizer(model: StyleModel, *, dtype=jnp.float32, optimize: bool = True)
             out = stylize(m.arch, m.params, m.io_preset, x)
         return out.astype(jnp.float32)
 
-    return fn
+    return _jit_batch(fn, mesh)
 
 
 def _jit_magenta_stylizer(model: StyleModel, *, dtype=jnp.float32):

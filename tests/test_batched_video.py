@@ -95,3 +95,34 @@ def test_batched_matches_perframe_lab_inference_res(small_video, tmp_path):
     for i, (x, y) in enumerate(zip(fa, fb)):
         mae = np.abs(x - y).mean()
         assert mae < 2.0, (i, mae)
+
+
+def test_batched_mesh_matches_single_device(small_video, tmp_path):
+    """--mesh_devices N shards the stylize batch over the virtual CPU mesh
+    (conftest provides 8 devices) and must produce the same frames."""
+    cv2 = pytest.importorskip("cv2")
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >=2 devices")
+    a = tmp_path / "a.mp4"
+    b = tmp_path / "b.mp4"
+    _run(small_video, a, tmp_path / "_w1", ["--frame_batch", "4"])
+    _run(small_video, b, tmp_path / "_w2",
+         ["--frame_batch", "3", "--mesh_devices", "2"])  # rounds up to 4
+
+    def frames(p):
+        cap = cv2.VideoCapture(str(p))
+        out = []
+        while True:
+            ok, fr = cap.read()
+            if not ok:
+                break
+            out.append(fr.astype(np.float32))
+        return out
+
+    fa, fb = frames(a), frames(b)
+    assert len(fa) == len(fb) and len(fa) > 0
+    for i, (x, y) in enumerate(zip(fa, fb)):
+        mae = np.abs(x - y).mean()
+        assert mae < 2.0, (i, mae)
