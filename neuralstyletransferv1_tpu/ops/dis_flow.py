@@ -91,11 +91,28 @@ def _bilinear_patch(img, y0, x0):
     return (v00 * (1 - fx) + v01 * fx) * (1 - fy) + (v10 * (1 - fx) + v11 * fx) * fy
 
 
+NB_RADIUS = 6  # per-level refinement radius (px) around the init displacement
+
+
 def _inverse_search_level(i0, i1, flow_init, iters: int):
-    """One pyramid level: batched per-patch inverse search + densification."""
+    """One pyramid level: batched per-patch inverse search + densification.
+
+    Gather-free iterations: the search window is bounded — each patch refines at
+    most ±NB_RADIUS px around its coarse-level init — so a (P+2R)×(P+2R)
+    neighborhood of I1 is gathered ONCE per patch, and every Gauss-Newton
+    iteration samples its warped 8×8 window from that neighborhood with
+    *separable one-hot bilinear selection* (13 row + 13 col static-shift
+    terms, all dense VPU work). This removed the per-iteration gathers that
+    dominated dis_flow (PERF.md: XLA:TPU gathers sustain only ~0.1-0.7 M
+    elements/ms; the two finest levels' iterations were ~270 of 397 ms at
+    1080p).
+    """
     h, w = i0.shape
     ys, xs = _grid_centers(h, w)
     ny, nx = ys.shape[0], xs.shape[0]
+    R = NB_RADIUS
+    NBW = PATCH + 2 * R                       # neighborhood width (20)
+    NSEL = 2 * R + 1                          # selector length (13)
 
     # Template patches + gradients (inverse-compositional: gradients of I0).
     t_patches = _extract_patches(i0, ys, xs)  # [ny,nx,P,P]
@@ -120,38 +137,58 @@ def _inverse_search_level(i0, i1, flow_init, iters: int):
     y0f = ys.astype(jnp.float32)[:, None] + jnp.zeros((1, nx))
     x0f = xs.astype(jnp.float32)[None, :] + jnp.zeros((ny, 1))
 
+    # ---- one-time neighborhood gather around the integer init ----
+    by = jnp.round(u0[..., 1]).astype(jnp.int32)          # [ny,nx]
+    bx = jnp.round(u0[..., 0]).astype(jnp.int32)
+    row_base = ys[:, None] + by - R                        # [ny,nx]
+    col_base = xs[None, :] + bx - R
+    rr = jnp.clip(row_base[..., None] + jnp.arange(NBW), 0, h - 1)  # [ny,nx,NBW]
+    cc = jnp.clip(col_base[..., None] + jnp.arange(NBW), 0, w - 1)
+    lin_idx = rr[..., :, None] * w + cc[..., None, :]      # [ny,nx,NBW,NBW]
+    nb = jnp.take(i1.reshape(-1), lin_idx.reshape(-1), axis=0).reshape(
+        ny, nx, NBW, NBW)
+    # iteration-invariant row-shift stack: nbs[..,a,i,:] = nb[.., a+i, :]
+    nbs = jnp.stack([nb[:, :, a:a + PATCH, :] for a in range(NSEL)], axis=2)
+
+    # representable displacement range per patch (the nb covers it exactly)
+    lo = jnp.stack([(bx - R).astype(jnp.float32),
+                    (by - R).astype(jnp.float32)], -1)
+    hi = lo + (2 * R - 1e-3)
+
+    def _sel(frac):
+        """[ny,nx] float offset in [0, 2R) -> [ny,nx,NSEL] bilinear one-hot."""
+        i = jnp.floor(frac)
+        f = frac - i
+        pos = jnp.arange(NSEL, dtype=jnp.float32)
+        d = pos[None, None, :] - i[..., None]
+        return jnp.where(d == 0.0, 1.0 - f[..., None],
+                         jnp.where(d == 1.0, f[..., None], 0.0))
+
+    def warp_from_nb(u):
+        oy = jnp.clip(u[..., 1] - lo[..., 1], 0.0, 2 * R - 1e-3)
+        ox = jnp.clip(u[..., 0] - lo[..., 0], 0.0, 2 * R - 1e-3)
+        rsel = _sel(oy)                                     # [ny,nx,NSEL]
+        csel = _sel(ox)
+        tmp = jnp.einsum("yxa,yxaij->yxij", rsel, nbs)      # [ny,nx,P,NBW]
+        tmps = jnp.stack([tmp[..., b:b + PATCH] for b in range(NSEL)], axis=2)
+        return jnp.einsum("yxb,yxbij->yxij", csel, tmps)    # [ny,nx,P,P]
+
     def body(_, u):
-        def warp_all(u):
-            def row(ti, gxi, gyi, y0i, x0i, ui):
-                def col(t, gx, gy, y0, x0, uu):
-                    warped = _bilinear_patch(i1, y0 + uu[1], x0 + uu[0])
-                    r = warped - t
-                    jx = jnp.sum(gx * r)
-                    jy = jnp.sum(gy * r)
-                    return jnp.stack([jx, jy])
-
-                return jax.vmap(col)(ti, gxi, gyi, y0i, x0i, ui)
-
-            return jax.vmap(row)(t_patches, gx_p, gy_p, y0f, x0f, u)
-
-        J = warp_all(u)  # [ny,nx,2]
-        du_x = (hyy * J[..., 0] - hxy * J[..., 1]) / det
-        du_y = (hxx * J[..., 1] - hxy * J[..., 0]) / det
+        warped = warp_from_nb(u)
+        r = warped - t_patches
+        J0 = jnp.sum(gx_p * r, axis=(2, 3))
+        J1 = jnp.sum(gy_p * r, axis=(2, 3))
+        du_x = (hyy * J0 - hxy * J1) / det
+        du_y = (hxx * J1 - hxy * J0) / det
         # Damped step, clipped to patch radius for stability.
         step = jnp.stack([du_x, du_y], -1)
         step = jnp.clip(step, -PATCH / 2, PATCH / 2)
-        return u - step
+        return jnp.clip(u - step, lo, hi)
 
     u = lax.fori_loop(0, iters, body, u0)
 
     # Densification: residual-weighted average of covering patches.
-    def resid(t, y0, x0, uu):
-        warped = _bilinear_patch(i1, y0 + uu[1], x0 + uu[0])
-        return jnp.mean(jnp.abs(warped - t))
-
-    res = jax.vmap(lambda ti, y0i, x0i, ui: jax.vmap(resid)(ti, y0i, x0i, ui))(
-        t_patches, y0f, x0f, u
-    )
+    res = jnp.mean(jnp.abs(warp_from_nb(u) - t_patches), axis=(2, 3))
     wgt = 1.0 / (1.0 + res * res)  # [ny,nx]
 
     # Densification scatter, flattened to 1-D linear indices (like the
