@@ -133,6 +133,9 @@ def from_johnson_params(p: dict) -> dict:
     out["c2_b"] = g(p["conv2"]["b"])
     out["in2"] = {"scale": g(p["in2"]["scale"]), "bias": g(p["in2"]["bias"])}
     out["c3_w"] = g(p["conv3"]["w"])  # plain pixel conv on the 540 grid
+    # block form for the fused head path (2x2 block conv, K=256 — full-MXU
+    # instead of XLA's ~31 TF/s strided-conv path); same math.
+    out["c3_wb"] = _scatter_stride2_s2d2(g(p["conv3"]["w"]))
     out["c3_b"] = g(p["conv3"]["b"])
     out["in3"] = {"scale": g(p["in3"]["scale"]), "bias": g(p["in3"]["bias"])}
     for i in range(1, 6):
@@ -173,7 +176,9 @@ def apply(params: dict, x: jnp.ndarray, *, tap=None,
     fused_sites: names of conv sites to run as Pallas fused kernels
     (models/s2d2_sites.py) — TPU only; each site applies the deferred IN
     affine in its prologue instead of a separate HBM pass. Currently:
-    "d3". Unsupported geometries silently fall back to the XLA form.
+    "tail" (the fused deconv2+deconv3 chain — the production fast path)
+    and "d3" (legacy single-site form, kept for the PERF.md record).
+    Unsupported geometries silently fall back to the XLA form.
     For fused sites, ``tap`` receives the RAW (pre-apply) tensor.
     """
     b, h, w, _ = x.shape
@@ -192,19 +197,32 @@ def apply(params: dict, x: jnp.ndarray, *, tap=None,
     y = _pad_reflect_f2_4px(s2d(x, 2), 3)         # [B, H/2+4, W/2+4, 12]
     y = conv2d(y, p["c1_w"], p["c1_b"])           # [B, H/2, W/2, 128]
     m, inv = _in_stats(y, 4, 32)
-    y = _pad_stride2_halo(y, 32)                  # left/top phase halo
-    y = _apply_in_relu(y, m, inv, p["in1"]["scale"], p["in1"]["bias"], 4)
 
-    tap("c2", y)
-    y = conv2d(y, p["c2_w"], p["c2_b"])           # [B, H/2, W/2, 64] = 540p px
-    m, inv = _in_stats(y, 1, 64)
-    y = reflect_pad_2d(y, 1)                      # plain pixel reflect @540p
-    y = _apply_in_relu(y, m, inv, p["in2"]["scale"], p["in2"]["bias"], 1)
+    use_head = False
+    if "head" in fused_sites and "c3_wb" in p:
+        from . import s2d2_sites
+        use_head = s2d2_sites.head_supported(h // 2, w // 2)
+    if use_head:
+        # fused c2+c3: Pallas sites + strip fixup kill the in1/in2 apply
+        # passes and XLA's strided conv3.
+        y, m, inv = s2d2_sites.head(y, m, inv, p["in1"], p["c2_w"],
+                                    p["c2_b"], p["in2"], p["c3_wb"],
+                                    p["c3_b"], tap=tap)
+        y = _apply_in_relu(y, m, inv, p["in3"]["scale"], p["in3"]["bias"], 1)
+    else:
+        y = _pad_stride2_halo(y, 32)              # left/top phase halo
+        y = _apply_in_relu(y, m, inv, p["in1"]["scale"], p["in1"]["bias"], 4)
 
-    tap("c3", y)
-    y = conv2d(y, p["c3_w"], p["c3_b"], stride=2)  # [B, H/4, W/4, 128]
-    m, inv = _in_stats(y, 1, 128)
-    y = _apply_in_relu(y, m, inv, p["in3"]["scale"], p["in3"]["bias"], 1)
+        tap("c2", y)
+        y = conv2d(y, p["c2_w"], p["c2_b"])       # [B, H/2, W/2, 64] = 540p px
+        m, inv = _in_stats(y, 1, 64)
+        y = reflect_pad_2d(y, 1)                  # plain pixel reflect @540p
+        y = _apply_in_relu(y, m, inv, p["in2"]["scale"], p["in2"]["bias"], 1)
+
+        tap("c3", y)
+        y = conv2d(y, p["c3_w"], p["c3_b"], stride=2)  # [B, H/4, W/4, 128]
+        m, inv = _in_stats(y, 1, 128)
+        y = _apply_in_relu(y, m, inv, p["in3"]["scale"], p["in3"]["bias"], 1)
 
     for i in range(1, 6):
         rp = p[f"res{i}"]
@@ -222,6 +240,16 @@ def apply(params: dict, x: jnp.ndarray, *, tap=None,
     y = _pad_edge_blocks(y)
     y = conv2d(y, p["d1_w"], p["d1_b"])           # [B, H/4, W/4, 256]
     m, inv = _in_stats(y, 4, 64)
+
+    if "tail" in fused_sites:
+        from . import s2d2_sites
+        if s2d2_sites.tail_supported(h // 2, w // 2):
+            # fused deconv2+deconv3: two Pallas sites + XLA perimeter fixup
+            # replace every remaining full-tensor elementwise pass.
+            y12 = s2d2_sites.tail(y, m, inv, p["in4"], p["d2_w"], p["d2_b"],
+                                  p["in5"], p["d3_w"], p["d3_b"], tap=tap)
+            return d2s(y12, 2, 3)
+
     y = d2s(y, 2, 64)                             # [B, H/2, W/2, 64] = 540p px
     y = _pad_edge_blocks(y)                       # nearest-up edge copies
     y = _apply_in_relu(y, m, inv, p["in4"]["scale"], p["in4"]["bias"], 1)
