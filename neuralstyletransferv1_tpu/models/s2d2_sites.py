@@ -33,6 +33,15 @@ import numpy as np
 _INTERPRET = False  # flipped by tests on CPU
 
 
+
+def _params():
+    """Raise the per-kernel scoped-VMEM limit (default 16 MiB; v5e has 128
+    MiB physical) — the tail/head sites run 17-24 MiB of blocks+stack."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    return pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+
 def _pick_ts(hp: int) -> int | None:
     """Largest strip height ≤ 8 that divides hp (VMEM: TS=16 blocks OOM the
     16 MB scoped limit at 968×128 bf16 with double-buffered pipelining)."""
@@ -146,7 +155,14 @@ def _d2_kernel(stat_ref, w_ref, cb_ref, body_ref, tail_ref, y_ref, sout_ref,
     xs_ref[(TS + 2) * WP : (TS + 3) * WP] = jnp.zeros((WP, 64), jnp.bfloat16)
     N = TS * WP
     MT = 2 * WP
-    parts = []
+    cb = cb_ref[0, :].astype(jnp.float32)
+    # stream per-tile (2-row) writes + streamed stats: each M-tile covers
+    # exactly rows [2t, 2t+2), so the interior-row exclusion (conv-out row
+    # k = 8j + r - 2 in [0, H2)) is all-or-nothing per tile — a scalar
+    # select, no masked full-tile multiply, no parts concat (the full-tile
+    # f32 wheres of the first version pushed the Mosaic stack to 36 MB).
+    s1 = jnp.zeros((128,), jnp.float32)
+    s2 = jnp.zeros((128,), jnp.float32)
     for t in range(N // MT):
         r0 = t * MT
         acc = None
@@ -156,20 +172,18 @@ def _d2_kernel(stat_ref, w_ref, cb_ref, body_ref, tail_ref, y_ref, sout_ref,
                 p = jnp.dot(xs_ref[s : s + MT, :], w_ref[dy * 3 + dx],
                             preferred_element_type=jnp.float32)
                 acc = p if acc is None else acc + p
-        parts.append(acc)
-    acc = jnp.concatenate(parts, axis=0) + cb_ref[0, :].astype(jnp.float32)
-    acc3 = acc.reshape(TS, WP, 128)
-
-    # interior-masked in5 stats (conv-out row k = 8j + r - 2 valid in
-    # [0, H2); col valid in buffer cols [2, W2+2))
-    ri = jax.lax.broadcasted_iota(jnp.int32, (TS, WP, 1), 0)
-    ci = jax.lax.broadcasted_iota(jnp.int32, (TS, WP, 1), 1)
-    gk = 8 * j + ri - 2
-    mask = ((gk >= 0) & (gk < H2) & (ci >= 2) & (ci < W2 + 2)).astype(
-        jnp.float32)
-    am = acc3 * mask
-    s1 = jnp.sum(am, axis=(0, 1))
-    s2 = jnp.sum(am * acc3, axis=(0, 1))
+        acc = acc + cb
+        y_ref[0, 2 * t : 2 * t + 2] = acc.reshape(2, WP, 128).astype(
+            jnp.bfloat16)
+        if t == 0:
+            excl = (j == 0) | (j > JB)
+        elif t == N // MT - 1:
+            excl = (j >= JB)
+        else:
+            excl = j > JB
+        ai = acc.reshape(2, WP, 128)[:, 2 : W2 + 2, :]
+        s1 = s1 + jnp.where(excl, 0.0, jnp.sum(ai, axis=(0, 1)))
+        s2 = s2 + jnp.where(excl, 0.0, jnp.sum(ai * ai, axis=(0, 1)))
 
     @pl.when(j == 0)
     def _():
@@ -181,32 +195,47 @@ def _d2_kernel(stat_ref, w_ref, cb_ref, body_ref, tail_ref, y_ref, sout_ref,
         sout_ref[0, 0, :] = sout_ref[0, 0, :] + s1
         sout_ref[0, 1, :] = sout_ref[0, 1, :] + s2
 
-    # reflect halos: u/v are the row/col phases of the 128 = 4*32 channel
-    # layout (u*2+v)*32+c; a halo element keeps its channel index and
-    # selects its source row/col by phase.
-    li = jax.lax.broadcasted_iota(jnp.int32, (128,), 0)
-    um = li < 64                                      # row phase u == 0
-    vm = (li & 32) == 0                               # col phase v == 0
-    riota = jax.lax.broadcasted_iota(jnp.int32, (TS, 1, 1), 0)
-    out = acc3
-    top0 = jnp.where(um, acc3[4], acc3[3])            # buffer row 0
-    top1 = jnp.where(um, acc3[3], acc3[2])            # buffer row 1
-    out = jnp.where((j == 0) & (riota == 0), top0[None], out)
-    out = jnp.where((j == 0) & (riota == 1), top1[None], out)
-    bot1 = jnp.where(um, acc3[5], acc3[4])            # buffer row H2+2 (l 6)
-    bot2 = jnp.where(um, acc3[4], acc3[3])            # buffer row H2+3 (l 7)
-    out = jnp.where((j == JB) & (riota == 6), bot1[None], out)
-    out = jnp.where((j == JB) & (riota == 7), bot2[None], out)
-    ciota = jax.lax.broadcasted_iota(jnp.int32, (1, WP, 1), 1)
-    cm2 = jnp.where(vm, out[:, 4], out[:, 3])         # buffer col 0
-    cm1 = jnp.where(vm, out[:, 3], out[:, 2])         # buffer col 1
-    cp1 = jnp.where(vm, out[:, W2 + 1], out[:, W2])   # buffer col W2+2
-    cp2 = jnp.where(vm, out[:, W2], out[:, W2 - 1])   # buffer col W2+3
-    out = jnp.where(ciota == 0, cm2[:, None], out)
-    out = jnp.where(ciota == 1, cm1[:, None], out)
-    out = jnp.where(ciota == W2 + 2, cp1[:, None], out)
-    out = jnp.where(ciota == W2 + 3, cp2[:, None], out)
-    y_ref[0] = out.astype(jnp.bfloat16)
+    # in-kernel reflect halos: a halo element keeps its channel index and
+    # selects its source row/col by its row phase u = lane//64 (rows) or
+    # col phase v = lane&32 (cols). Row halos are whole-row rewrites on the
+    # two boundary strips; col halos rewrite small aligned 8/16-col windows
+    # read back from the just-written block (bf16 copies — identical to the
+    # XLA pad, which also copies the bf16 conv output).
+    # masks are built at full operand shape with 2-D iotas — broadcasting a
+    # 1-D i1 mask into a 2-D where is an unsupported relayout in this Mosaic.
+    um_w = jax.lax.broadcasted_iota(jnp.int32, (WP, 128), 1) < 64  # u == 0
+    vm_t = (jax.lax.broadcasted_iota(jnp.int32, (TS, 128), 1) & 32) == 0
+
+    @pl.when(j == 0)
+    def _():
+        r4 = y_ref[0, 4]
+        r3 = y_ref[0, 3]
+        r2 = y_ref[0, 2]
+        y_ref[0, 0] = jnp.where(um_w, r4, r3)         # buffer row 0
+        y_ref[0, 1] = jnp.where(um_w, r3, r2)         # buffer row 1
+
+    @pl.when(j == JB)
+    def _():
+        r5 = y_ref[0, 5]
+        r4 = y_ref[0, 4]
+        r3 = y_ref[0, 3]
+        y_ref[0, 6] = jnp.where(um_w, r5, r4)         # buffer row H2+2
+        y_ref[0, 7] = jnp.where(um_w, r4, r3)         # buffer row H2+3
+
+    ci8 = jax.lax.broadcasted_iota(jnp.int32, (TS, 8, 128), 1)
+    left8 = y_ref[0, :, 0:8]                          # (TS, 8, 128)
+    cm2 = jnp.where(vm_t, left8[:, 4], left8[:, 3])   # buffer col 0
+    cm1 = jnp.where(vm_t, left8[:, 3], left8[:, 2])   # buffer col 1
+    left8 = jnp.where(ci8 == 0, cm2[:, None], left8)
+    left8 = jnp.where(ci8 == 1, cm1[:, None], left8)
+    y_ref[0, :, 0:8] = left8
+    ci16 = jax.lax.broadcasted_iota(jnp.int32, (TS, 16, 128), 1)
+    r16 = y_ref[0, :, W2 - 8 : W2 + 8]                # cols W2-8 .. W2+8
+    cp1 = jnp.where(vm_t, r16[:, 9], r16[:, 8])       # buffer col W2+2
+    cp2 = jnp.where(vm_t, r16[:, 8], r16[:, 7])       # buffer col W2+3
+    r16 = jnp.where(ci16 == 10, cp1[:, None], r16)
+    r16 = jnp.where(ci16 == 11, cp2[:, None], r16)
+    y_ref[0, :, W2 - 8 : W2 + 8] = r16
 
 
 def _d2_site(x4: jnp.ndarray, a4: jnp.ndarray, c4: jnp.ndarray,
@@ -247,6 +276,7 @@ def _d2_site(x4: jnp.ndarray, a4: jnp.ndarray, c4: jnp.ndarray,
         ],
         scratch_shapes=[pltpu.VMEM((11 * wp, 64), jnp.bfloat16)],
         interpret=_INTERPRET,
+        compiler_params=None if _INTERPRET else _params(),
     )(stat, w9, cb, x4, x4)
 
 
@@ -279,7 +309,7 @@ def _d3s_kernel(stat_ref, w_ref, sel_ref, b_ref, body_ref, tail_ref, out_ref,
             acc = p if acc is None else acc + p
         rc_ref[r0 : r0 + MT] = acc.astype(jnp.bfloat16)
     NO = TS * WP
-    parts = []
+    b16 = b_ref[0, :].astype(jnp.float32)
     for t in range(NO // MT):
         m0 = t * MT
         acc = None
@@ -288,9 +318,9 @@ def _d3s_kernel(stat_ref, w_ref, sel_ref, b_ref, body_ref, tail_ref, out_ref,
             p = jnp.dot(rc_ref[s : s + MT], sel_ref[dy],
                         preferred_element_type=jnp.float32)
             acc = p if acc is None else acc + p
-        parts.append(acc)
-    out = jnp.concatenate(parts, axis=0) + b_ref[0, :].astype(jnp.float32)
-    out_ref[0] = out.reshape(TS, WP, 16)[:, 0:W2, :].astype(jnp.bfloat16)
+        acc = acc + b16
+        out_ref[0, 2 * t : 2 * t + 2] = acc.reshape(2, WP, 16)[:, 0:W2, :] \
+            .astype(jnp.bfloat16)
 
 
 def _d3_sum_site(y5: jnp.ndarray, a5: jnp.ndarray, c5: jnp.ndarray,
@@ -335,6 +365,7 @@ def _d3_sum_site(y5: jnp.ndarray, a5: jnp.ndarray, c5: jnp.ndarray,
             pltpu.VMEM((12 * wp, 64), jnp.bfloat16),
         ],
         interpret=_INTERPRET,
+        compiler_params=None if _INTERPRET else _params(),
     )(stat, w5, sel, b16, y5, y5)
 
 
@@ -448,36 +479,43 @@ def _c2_kernel(stat_ref, w_ref, cb_ref, head_ref, body_ref, y_ref, sout_ref,
     xs_ref[W2 : 2 * W2] = xh.reshape(W2, 128)
     xs_ref[2 * W2 : (TS + 2) * W2] = xb.reshape(TS * W2, 128)
     xs_ref[(TS + 2) * W2 : (TS + 3) * W2] = jnp.zeros((W2, 128), jnp.bfloat16)
-    x2 = xs_ref[:]
     N = TS * W2
     MT = 2 * W2
-    parts = []
+    cb = cb_ref[0, :].astype(jnp.float32)
+    s1 = jnp.zeros((64,), jnp.float32)
+    s2 = jnp.zeros((64,), jnp.float32)
     for t in range(N // MT):
         m0 = t * MT
         acc = None
         for ab in range(4):
             aa, bb = divmod(ab, 2)
             s = m0 + (aa + 1) * W2 + (bb - 1)
-            p = jnp.dot(x2[s : s + MT, :], w_ref[ab],
+            p = jnp.dot(xs_ref[s : s + MT, :], w_ref[ab],
                         preferred_element_type=jnp.float32)
             acc = p if acc is None else acc + p
-        parts.append(acc)
-    acc = jnp.concatenate(parts, axis=0) + cb_ref[0, :].astype(jnp.float32)
-    acc3 = acc.reshape(TS, W2, 64)
-    y_ref[0] = acc3.astype(jnp.bfloat16)
+        acc = acc + cb
+        a2 = acc.reshape(2, W2, 64)
+        y_ref[0, 2 * t : 2 * t + 2] = a2.astype(jnp.bfloat16)
+        # stats: garbage col 0 always excluded; garbage row 0 (j==0, t==0).
+        ai = a2[:, 1:W2, :]
+        st1 = jnp.sum(ai, axis=(0, 1))
+        st2 = jnp.sum(ai * ai, axis=(0, 1))
+        if t == 0:
+            r0 = a2[0, 1:W2, :]
+            st1 = st1 - jnp.where(j == 0, jnp.sum(r0, axis=0), 0.0)
+            st2 = st2 - jnp.where(j == 0, jnp.sum(r0 * r0, axis=0), 0.0)
+        s1 = s1 + st1
+        s2 = s2 + st2
 
     @pl.when(j == 0)
     def _():
-        part = acc3[1:TS, 1:W2, :]
-        sout_ref[0, 0, :] = jnp.sum(part, axis=(0, 1))
-        sout_ref[0, 1, :] = jnp.sum(part * part, axis=(0, 1))
+        sout_ref[0, 0, :] = s1
+        sout_ref[0, 1, :] = s2
 
     @pl.when(j > 0)
     def _():
-        part = acc3[:, 1:W2, :]
-        sout_ref[0, 0, :] = sout_ref[0, 0, :] + jnp.sum(part, axis=(0, 1))
-        sout_ref[0, 1, :] = sout_ref[0, 1, :] + jnp.sum(part * part,
-                                                        axis=(0, 1))
+        sout_ref[0, 0, :] = sout_ref[0, 0, :] + s1
+        sout_ref[0, 1, :] = sout_ref[0, 1, :] + s2
 
 
 def _c2_site(raw1: jnp.ndarray, a1: jnp.ndarray, c1: jnp.ndarray,
@@ -517,6 +555,7 @@ def _c2_site(raw1: jnp.ndarray, a1: jnp.ndarray, c1: jnp.ndarray,
         ],
         scratch_shapes=[pltpu.VMEM(((ts2 + 3) * w2, 128), jnp.bfloat16)],
         interpret=_INTERPRET,
+        compiler_params=None if _INTERPRET else _params(),
     )(stat, w22, cb, raw1, raw1)
 
 
@@ -565,27 +604,25 @@ def _c3_kernel(stat_ref, w_ref, cb_ref, body_ref, tail_ref, y_ref, sout_ref,
     xs_ref[0 : TS * WP] = xb.reshape(TS * WP, 256)
     xs_ref[TS * WP : (TS + 1) * WP] = xt.reshape(WP, 256)
     xs_ref[(TS + 1) * WP : (TS + 2) * WP] = jnp.zeros((WP, 256), jnp.bfloat16)
-    x2 = xs_ref[:]
     N = TS * WP
     MT = 2 * WP
-    parts = []
+    cb = cb_ref[0, :].astype(jnp.float32)
+    s1 = jnp.zeros((128,), jnp.float32)
+    s2 = jnp.zeros((128,), jnp.float32)
     for t in range(N // MT):
         m0 = t * MT
         acc = None
         for ab in range(4):
             aa, bb = divmod(ab, 2)
             s = m0 + aa * WP + bb
-            p = jnp.dot(x2[s : s + MT, :], w_ref[ab],
+            p = jnp.dot(xs_ref[s : s + MT, :], w_ref[ab],
                         preferred_element_type=jnp.float32)
             acc = p if acc is None else acc + p
-        parts.append(acc)
-    acc = jnp.concatenate(parts, axis=0) + cb_ref[0, :].astype(jnp.float32)
-    acc3 = acc.reshape(TS, WP, 128)
-    y_ref[0] = acc3[:, 0:W4, :].astype(jnp.bfloat16)
-
-    accf = acc3[:, 0:W4, :]
-    s1 = jnp.sum(accf, axis=(0, 1))
-    s2 = jnp.sum(accf * accf, axis=(0, 1))
+        acc = acc + cb
+        ai = acc.reshape(2, WP, 128)[:, 0:W4, :]
+        y_ref[0, 2 * t : 2 * t + 2] = ai.astype(jnp.bfloat16)
+        s1 = s1 + jnp.sum(ai, axis=(0, 1))
+        s2 = s2 + jnp.sum(ai * ai, axis=(0, 1))
 
     @pl.when(j == 0)
     def _():
@@ -635,6 +672,7 @@ def _c3_site(x3: jnp.ndarray, a2: jnp.ndarray, c2v: jnp.ndarray,
         ],
         scratch_shapes=[pltpu.VMEM(((ts3 + 2) * wp, 256), jnp.bfloat16)],
         interpret=_INTERPRET,
+        compiler_params=None if _INTERPRET else _params(),
     )(stat, w4, cb, x3, x3)
 
 
@@ -734,5 +772,6 @@ def d3_rows(x_raw: jnp.ndarray, a: jnp.ndarray, c: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((B, HP, W2, CO), jnp.bfloat16),
         scratch_shapes=[pltpu.VMEM((TS + 1, WP, C), jnp.bfloat16)],
         interpret=_INTERPRET,
+        compiler_params=None if _INTERPRET else _params(),
     )(stat, w5, xpad)
     return rows[..., :60]
