@@ -161,6 +161,29 @@ def from_johnson_params(p: dict) -> dict:
     return jax.tree.map(jnp.asarray, out)
 
 
+def _conv1_same_fixed(ys: jnp.ndarray, w: jnp.ndarray,
+                      b: jnp.ndarray) -> jnp.ndarray:
+    """conv1 as a zero-SAME block conv + exact reflect border-strip fixup.
+
+    The materialized phase-reflect halo pad on the 12-channel s2d tensor
+    costs 6.5 ms/B8 at 1080p (two dynamic-update-slice passes, ~10x
+    lane-padding waste on narrow bf16 — round-2c trace). Zero padding rides
+    the conv for free; only the 2-block border frame is wrong, and four
+    strip convs over properly reflect-padded 4-row/4-col slices recompute
+    it exactly (the strip pads include both axes, so corners are exact and
+    write order is irrelevant)."""
+    y = conv2d(ys, w, b, padding=2)
+    t = conv2d(_pad_reflect_f2_4px(ys[:, :4], 3), w, b)[:, :2]
+    bo = conv2d(_pad_reflect_f2_4px(ys[:, -4:], 3), w, b)[:, -2:]
+    le = conv2d(_pad_reflect_f2_4px(ys[:, :, :4], 3), w, b)[:, :, :2]
+    r = conv2d(_pad_reflect_f2_4px(ys[:, :, -4:], 3), w, b)[:, :, -2:]
+    y = y.at[:, :2].set(t)
+    y = y.at[:, -2:].set(bo)
+    y = y.at[:, :, :2].set(le)
+    y = y.at[:, :, -2:].set(r)
+    return y
+
+
 def apply(params: dict, x: jnp.ndarray, *, tap=None,
           fused_sites: tuple = ()) -> jnp.ndarray:
     """Forward pass, same contract as transformer_net.apply.
@@ -194,9 +217,12 @@ def apply(params: dict, x: jnp.ndarray, *, tap=None,
     # stride-2 pixel-conv alternative (_scatter_k9_pixel_s2) looked 2.2×
     # faster in isolation but is a 14 ms/B16 net REGRESSION — see PERF.md
     # "Head-P negative"; trust only in-net A/Bs here.
-    y = _pad_reflect_f2_4px(s2d(x, 2), 3)         # [B, H/2+4, W/2+4, 12]
-    y = conv2d(y, p["c1_w"], p["c1_b"])           # [B, H/2, W/2, 128]
-    m, inv = _in_stats(y, 4, 32)
+    ys = s2d(x, 2)                                # [B, H/2, W/2, 12]
+    if h >= 16 and w >= 16:
+        y = _conv1_same_fixed(ys, p["c1_w"], p["c1_b"])
+    else:
+        y = conv2d(_pad_reflect_f2_4px(ys, 3), p["c1_w"], p["c1_b"])
+    m, inv = _in_stats(y, 4, 32)                  # [B, H/2, W/2, 128]
 
     use_head = False
     if "head" in fused_sites and "c3_wb" in p:
@@ -266,6 +292,7 @@ def apply(params: dict, x: jnp.ndarray, *, tap=None,
         from . import s2d2_sites
     use_fused_d3 = ("d3" in fused_sites
                     and s2d2_sites.d3_supported(y.shape[1], y.shape[2]))
+    wb = y.shape[2]
     if use_fused_d3:
         # fused kernel: raw phase-reflect halo build (XLA) + Pallas
         # [apply_in5 prologue → 1×5 conv] — the separate apply pass dies.
@@ -277,11 +304,44 @@ def apply(params: dict, x: jnp.ndarray, *, tap=None,
         rows = s2d2_sites.d3_rows(
             y, a_ph, c_ph, p["d3_w"],
             pad_fn=lambda t: _pad_reflect_f2_4px(t, 32))
+        y = sum(rows[:, dy : dy + hb, :, dy * 12 : (dy + 1) * 12]
+                for dy in range(5))
+    elif hb >= 8 and wb >= 8:
+        # zero-SAME width pad on the 1×5 rows conv + exact strip fixups —
+        # kills the materialized 2-block reflect halo (two dus passes,
+        # 6.5 ms/B8 at 1080p, round-2c trace). Only the 2-block border
+        # frame of the summed output is wrong (top/bottom rows lack the
+        # halo rows in the dy-sum, border cols hit the zero pad); four
+        # strip convs over reflect-padded 4-row/4-col slices of the RAW
+        # tensor recompute that frame exactly (strip pads cover both axes,
+        # so corners are exact).
+        def _d3_strip(sl):
+            ps = _pad_reflect_f2_4px(sl, 32)
+            ps = _apply_in_relu(ps, m, inv, p["in5"]["scale"],
+                                p["in5"]["bias"], 4)
+            rs = conv2d(ps, p["d3_w"])             # VALID 1×5
+            n = rs.shape[1] - 4
+            return sum(rs[:, dy : dy + n, :, dy * 12 : (dy + 1) * 12]
+                       for dy in range(5))
+        top = _d3_strip(y[:, :4])[:, :2]        # (B, 2, W/2, 12)
+        bot = _d3_strip(y[:, -4:])[:, -2:]
+        lef = _d3_strip(y[:, :, :4])[:, :, :2]  # (B, hb, 2, 12)
+        rig = _d3_strip(y[:, :, -4:])[:, :, -2:]
+        ya = _apply_in_relu(y, m, inv, p["in5"]["scale"], p["in5"]["bias"], 4)
+        tap("d3", ya)
+        rows = conv2d(ya, p["d3_w"], padding=(2, 2))  # [B, H/2+4, W/2, 60]
+        y = sum(rows[:, dy : dy + hb, :, dy * 12 : (dy + 1) * 12]
+                for dy in range(5))
+        y = y.at[:, :2].set(top)
+        y = y.at[:, -2:].set(bot)
+        y = y.at[:, :, :2].set(lef)
+        y = y.at[:, :, -2:].set(rig)
     else:
         y = _pad_reflect_f2_4px(y, 32)            # 2-block reflect halo
         y = _apply_in_relu(y, m, inv, p["in5"]["scale"], p["in5"]["bias"], 4)
         tap("d3", y)
         rows = conv2d(y, p["d3_w"])               # [B, H/2+4, W/2, 60]
-    y = sum(rows[:, dy : dy + hb, :, dy * 12 : (dy + 1) * 12] for dy in range(5))
+        y = sum(rows[:, dy : dy + hb, :, dy * 12 : (dy + 1) * 12]
+                for dy in range(5))
     y = y + p["d3_b"].astype(y.dtype)             # [B, H/2, W/2, 12]
     return d2s(y, 2, 3)
