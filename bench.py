@@ -63,13 +63,14 @@ def main() -> None:
     config.set_conv_precision("default")  # bf16 inputs → native MXU path
 
     params = transformer_net.init(jax.random.key(0))
-    bparams = s2d.from_johnson_params(params)
+    # the preset's pre/post affines are folded into conv1/deconv3 (exact;
+    # kills the separate elementwise passes — PERF.md round-2c)
+    bparams = s2d.bake_io_affine(s2d.from_johnson_params(params),
+                                 "imagenet_255")
     bparams = jax.tree.map(lambda a: a.astype(jnp.bfloat16), bparams)
 
     def step(x):
-        xin = iop.preprocess("imagenet_255", x)
-        y = s2d.apply(bparams, xin)
-        return iop.postprocess("imagenet_255", y)
+        return jnp.clip(s2d.apply(bparams, x), 0.0, 1.0)
 
     t0 = time.perf_counter()
     d_chain = _timed(step, BATCH, CHAIN)

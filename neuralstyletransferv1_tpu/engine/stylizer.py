@@ -156,7 +156,11 @@ def jit_stylizer(model: StyleModel, *, dtype=jnp.float32, optimize: bool = True,
     if optimize and model.arch == "johnson":
         from ..models import transformer_net_s2d2 as tns2d
 
-        s2d_params = tns2d.from_johnson_params(model.params)
+        # the IO preset's pre/post affines fold into conv1/deconv3 (exact;
+        # kills the separate elementwise passes — PERF.md round-2c), so the
+        # s2d2 path consumes/produces [0,1] RGB directly.
+        s2d_params = tns2d.bake_io_affine(
+            tns2d.from_johnson_params(model.params), m.io_preset)
         if dtype != jnp.float32:
             s2d_params = jax.tree.map(lambda a: a.astype(dtype), s2d_params)
 
@@ -166,9 +170,7 @@ def jit_stylizer(model: StyleModel, *, dtype=jnp.float32, optimize: bool = True,
 
         x = x01.astype(dtype)
         if s2d_params is not None and x.shape[1] % 4 == 0 and x.shape[2] % 4 == 0:
-            xin = iop.preprocess(m.io_preset, x)
-            y = tns2d.apply(s2d_params, xin)
-            out = iop.postprocess(m.io_preset, y)
+            out = jnp.clip(tns2d.apply(s2d_params, x), 0.0, 1.0)
             if out.shape[1:3] != x.shape[1:3]:
                 out = resize_bilinear(out, (x.shape[1], x.shape[2]))
         else:

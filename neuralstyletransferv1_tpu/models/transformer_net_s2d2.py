@@ -161,6 +161,48 @@ def from_johnson_params(p: dict) -> dict:
     return jax.tree.map(jnp.asarray, out)
 
 
+def bake_io_affine(bp: dict, preset: str) -> dict:
+    """Fold an IO preset's pre/post per-channel affines (+BGR permutations)
+    into conv1/deconv3, so ``apply(baked, x01)`` consumes [0,1] RGB directly
+    and returns the postprocessed (pre-clip) [0,1] RGB — the separate
+    preprocess/postprocess elementwise passes vanish (round-2c trace:
+    ~3 ms/B8 at 1080p). Exact: conv(a*x+b) == conv_{w*a}(x) + const, and
+    reflect/edge pads are value copies so the strip fixups stay consistent.
+    Internal activations are bit-identical; only the IO interpretation of
+    the first/last layer changes. Caller applies ``jnp.clip(y, 0, 1)``.
+    """
+    from . import io_presets as iop
+
+    pperm, pa, pb, operm, os_, ot = iop.preset_affine(preset)
+    out = dict(bp)
+    c1w = np.asarray(bp["c1_w"], np.float32)          # (5,5,12,128)
+    c1b = np.asarray(bp["c1_b"], np.float32)
+    w1 = np.zeros_like(c1w)
+    const = np.zeros_like(c1b)
+    for ph in range(4):
+        for c in range(3):
+            src = ph * 3 + c                          # model-input channel
+            dst = ph * 3 + pperm[c]                   # raw [0,1] RGB channel
+            w1[:, :, dst, :] += c1w[:, :, src, :] * pa[c]
+            const += c1w[:, :, src, :].sum(axis=(0, 1)) * pb[c]
+    out["c1_w"] = jnp.asarray(w1).astype(bp["c1_w"].dtype)
+    out["c1_b"] = jnp.asarray(c1b + const).astype(bp["c1_b"].dtype)
+
+    d3w = np.asarray(bp["d3_w"], np.float32)          # (1,5,128,60)
+    d3b = np.asarray(bp["d3_b"], np.float32)          # (12,)
+    w3 = np.zeros_like(d3w)
+    b3 = np.zeros_like(d3b)
+    for ph in range(4):
+        for c in range(3):
+            co, src = ph * 3 + c, ph * 3 + operm[c]
+            for dy in range(5):
+                w3[..., dy * 12 + co] = d3w[..., dy * 12 + src] * os_[c]
+            b3[co] = d3b[src] * os_[c] + ot[c]
+    out["d3_w"] = jnp.asarray(w3).astype(bp["d3_w"].dtype)
+    out["d3_b"] = jnp.asarray(b3).astype(bp["d3_b"].dtype)
+    return out
+
+
 def _conv1_same_fixed(ys: jnp.ndarray, w: jnp.ndarray,
                       b: jnp.ndarray) -> jnp.ndarray:
     """conv1 as a zero-SAME block conv + exact reflect border-strip fixup.

@@ -92,6 +92,21 @@ def test_head_supported_geometry():
     assert not s2d2_sites.head_supported(20, 960)  # too short
 
 
+def test_bake_io_affine_presets():
+    """Folding pre/post preset affines into conv1/deconv3 is exact."""
+    from neuralstyletransferv1_tpu.models import io_presets as iop
+
+    params = transformer_net.init(jax.random.key(0))
+    bp = s2d2.from_johnson_params(params)        # f32
+    x = jax.random.uniform(jax.random.key(6), (1, 56, 64, 3), jnp.float32)
+    for preset in ("imagenet_255", "raw_255", "caffe_bgr", "tanh",
+                   "imagenet_01", "raw_01"):
+        ref = iop.postprocess(preset, s2d2.apply(bp, iop.preprocess(preset, x)))
+        got = jnp.clip(s2d2.apply(s2d2.bake_io_affine(bp, preset), x), 0., 1.)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-4)
+
+
 def test_d2_site_halo_buffer():
     """P4's in-kernel reflect halos must reproduce conv + _pad_reflect_f2_4px
     exactly (both compared on the raw d2 conv output)."""
