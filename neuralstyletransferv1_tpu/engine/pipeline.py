@@ -352,17 +352,25 @@ def style_frames_batched(args, frames_dir: Path, image_mode: bool, save_map: dic
     written = 0
     infer_hw = None  # --inference_res (reference: pipeline.py:1089-1097)
     t_start = time.perf_counter()
+    # uint8 host<->device transfers: frames cross the PCIe/relay link as u8
+    # (4x less than f32) and convert on device; the output clip*255 truncation
+    # happens on device too — identical math to the previous host-side
+    # conversion, but the transfer and the host cast shrink 4x.
+    _to01 = jax.jit(lambda u: u.astype(jnp.float32) / 255.0)
+    _tou8 = jax.jit(lambda o: (jnp.clip(o, 0.0, 1.0) * 255.0)
+                    .astype(jnp.uint8))
+
     for b0 in range(0, len(frame_files), B):
         chunk = frame_files[b0 : b0 + B]
         if native_iter is not None:
-            imgs = [next(native_iter).astype(np.float32) / 255.0 for _ in chunk]
+            imgs = [next(native_iter) for _ in chunk]
         else:
-            imgs = [np.asarray(fio.load_image_exif_rgb(str(p)), np.float32) / 255.0
+            imgs = [np.asarray(fio.load_image_exif_rgb(str(p)), np.uint8)
                     for p in chunk]
         n_real = len(imgs)
         while len(imgs) < B:  # pad final batch, outputs ignored
             imgs.append(imgs[-1])
-        orig = jnp.asarray(np.stack(imgs, 0))
+        orig = _to01(jnp.asarray(np.stack(imgs, 0)))
         H0, W0 = int(orig.shape[1]), int(orig.shape[2])
         grays = jax.jit(lambda x: rgb_to_gray(x * 255.0))(orig)
 
@@ -389,7 +397,7 @@ def style_frames_batched(args, frames_dir: Path, image_mode: bool, save_map: dic
             prev_gray = grays[0]
         out, state, prev_gray = batch_post(styled, orig, grays, prev_gray, state, first)
 
-        out_np = np.asarray(out)
+        out_np = np.asarray(_tou8(out))
         for i in range(n_real):
             idx = b0 + i + 1
             frame_path = chunk[i]
@@ -403,7 +411,7 @@ def style_frames_batched(args, frames_dir: Path, image_mode: bool, save_map: dic
                 out_path = (frames_dir / f"{args.output_prefix}_{idx_str}").with_suffix(
                     ".jpg" if save_as_jpg else ".png"
                 )
-            img = Image.fromarray((np.clip(out_np[i], 0, 1) * 255).astype(np.uint8))
+            img = Image.fromarray(out_np[i])
             if save_as_jpg:
                 img.save(out_path, format="JPEG", quality=int(args.jpeg_quality))
             else:

@@ -47,6 +47,8 @@ from .transformer_net_s2d import (
     s2d,
 )
 
+_C3_BLOCK = False  # A/B flag: conv3 as 2×2 block conv (experiments/mk16)
+
 
 def _pad_reflect_f2_4px(x: jnp.ndarray, c: int) -> jnp.ndarray:
     """Reflect-pad an f=2 block tensor by TWO halo blocks per side, encoding
@@ -284,11 +286,22 @@ def apply(params: dict, x: jnp.ndarray, *, tap=None,
         tap("c2", y)
         y = conv2d(y, p["c2_w"], p["c2_b"])       # [B, H/2, W/2, 64] = 540p px
         m, inv = _in_stats(y, 1, 64)
-        y = reflect_pad_2d(y, 1)                  # plain pixel reflect @540p
-        y = _apply_in_relu(y, m, inv, p["in2"]["scale"], p["in2"]["bias"], 1)
-
-        tap("c3", y)
-        y = conv2d(y, p["c3_w"], p["c3_b"], stride=2)  # [B, H/4, W/4, 128]
+        if _C3_BLOCK and "c3_wb" in p:
+            # 2×2 block conv at K=256 on the s2d'd tensor instead of XLA's
+            # strided-conv path (~46 TF/s in the round-2c trace); the s2d
+            # is a 0.5 GB copy, the pixel-reflect-1 halo is the stride-2
+            # phase halo at f2 and rides the copy as fused concat slabs.
+            y = _apply_in_relu(y, m, inv, p["in2"]["scale"],
+                               p["in2"]["bias"], 1)
+            tap("c3", y)
+            x3 = _pad_stride2_halo(s2d(y, 2), 64)
+            y = conv2d(x3, p["c3_wb"], p["c3_b"])      # [B, H/4, W/4, 128]
+        else:
+            y = reflect_pad_2d(y, 1)              # plain pixel reflect @540p
+            y = _apply_in_relu(y, m, inv, p["in2"]["scale"],
+                               p["in2"]["bias"], 1)
+            tap("c3", y)
+            y = conv2d(y, p["c3_w"], p["c3_b"], stride=2)
         m, inv = _in_stats(y, 1, 128)
         y = _apply_in_relu(y, m, inv, p["in3"]["scale"], p["in3"]["bias"], 1)
 
