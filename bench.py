@@ -6,12 +6,13 @@ Prints ONE JSON line:
 Headline config matches BASELINE.md's north star (≥200 stylized 1080p
 frames/s/chip on v5e): Johnson TransformerNet in its f=2 space-to-depth form
 (models/transformer_net_s2d2 — identical math, MXU-aligned, zero phase
-repacks), imagenet_255 preset fused in, bf16 activations/weights with f32
-accumulation. Batch 48 is the measured optimum of the round-2b sweep
-(B16 94.1 / B32 101.9 / B48 106.9 fps; B64 fails to compile) — throughput
-config; per-frame latency-sensitive callers should use smaller batches.
-``vs_baseline`` is value / 200 (the reference publishes no numbers of its
-own — BASELINE.md).
+repacks, zero-SAME conv1/deconv3 with exact border-strip fixups), the
+imagenet_255 preset affines baked into conv1/deconv3 (bake_io_affine), bf16
+activations/weights with f32 accumulation. Batch 48 is the measured optimum
+of the round-2c sweep (B16 109.6 / B32 111.5 / B48 115.4 fps; B64 fails to
+compile) — throughput config; per-frame latency-sensitive callers should
+use smaller batches. ``vs_baseline`` is value / 200 (the reference
+publishes no numbers of its own — BASELINE.md).
 
 Measurement notes (this environment's axon relay):
 - identical (executable, args) calls are memoized → every timed call uses a
