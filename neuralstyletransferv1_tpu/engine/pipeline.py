@@ -350,6 +350,7 @@ def style_frames_batched(args, frames_dir: Path, image_mode: bool, save_map: dic
     state = None
     prev_gray = None
     written = 0
+    pending = None  # previous batch's (device u8, chunk, n, b0) — see _flush
     infer_hw = None  # --inference_res (reference: pipeline.py:1089-1097)
     t_start = time.perf_counter()
     # uint8 host<->device transfers: frames cross the PCIe/relay link as u8
@@ -397,29 +398,44 @@ def style_frames_batched(args, frames_dir: Path, image_mode: bool, save_map: dic
             prev_gray = grays[0]
         out, state, prev_gray = batch_post(styled, orig, grays, prev_gray, state, first)
 
-        out_np = np.asarray(_tou8(out))
-        for i in range(n_real):
-            idx = b0 + i + 1
-            frame_path = chunk[i]
-            idx_str = frame_path.stem.split("_")[-1]
-            save_as_jpg = args.image_ext.lower() == "jpg"
-            if image_mode and idx in save_map:
-                out_path = Path(save_map[idx])
-                out_path.parent.mkdir(parents=True, exist_ok=True)
-                save_as_jpg = out_path.suffix.lower() in (".jpg", ".jpeg")
-            else:
-                out_path = (frames_dir / f"{args.output_prefix}_{idx_str}").with_suffix(
-                    ".jpg" if save_as_jpg else ".png"
-                )
-            img = Image.fromarray(out_np[i])
-            if save_as_jpg:
-                img.save(out_path, format="JPEG", quality=int(args.jpeg_quality))
-            else:
-                img.save(out_path)
-            written += 1
-        done = min(b0 + B, len(frame_files))
-        fps_now = done / max(1e-9, time.perf_counter() - t_start)
-        print(f"[batch][{done}/{len(frame_files)}] {fps_now:.1f} frames/s cumulative")
+        # One-batch pipelining: the u8 result stays a device array here (jax
+        # dispatch is async); the PREVIOUS batch's outputs are materialized
+        # and JPEG-encoded while the device crunches this batch, so host IO
+        # rides under device compute.
+        def _flush(ent):
+            out_dev, f_chunk, f_n, f_b0 = ent
+            nonlocal written
+            out_np = np.asarray(out_dev)
+            for i in range(f_n):
+                idx = f_b0 + i + 1
+                frame_path = f_chunk[i]
+                idx_str = frame_path.stem.split("_")[-1]
+                save_as_jpg = args.image_ext.lower() == "jpg"
+                if image_mode and idx in save_map:
+                    out_path = Path(save_map[idx])
+                    out_path.parent.mkdir(parents=True, exist_ok=True)
+                    save_as_jpg = out_path.suffix.lower() in (".jpg", ".jpeg")
+                else:
+                    out_path = (
+                        frames_dir / f"{args.output_prefix}_{idx_str}"
+                    ).with_suffix(".jpg" if save_as_jpg else ".png")
+                img = Image.fromarray(out_np[i])
+                if save_as_jpg:
+                    img.save(out_path, format="JPEG",
+                             quality=int(args.jpeg_quality))
+                else:
+                    img.save(out_path)
+                written += 1
+            done = min(f_b0 + B, len(frame_files))
+            fps_now = done / max(1e-9, time.perf_counter() - t_start)
+            print(f"[batch][{done}/{len(frame_files)}] {fps_now:.1f} "
+                  f"frames/s cumulative")
+
+        if pending is not None:
+            _flush(pending)
+        pending = (_tou8(out), chunk, n_real, b0)
+    if pending is not None:
+        _flush(pending)
     if native_iter is not None:
         native_iter.close()
     return written, len(frame_files)

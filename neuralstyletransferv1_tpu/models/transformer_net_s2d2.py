@@ -48,6 +48,7 @@ from .transformer_net_s2d import (
 )
 
 _C3_BLOCK = False  # A/B flag: conv3 as 2×2 block conv (experiments/mk16)
+_HEAD_PIX = False  # A/B flag: conv1 as 10×10 s2 pixel conv (experiments/mk16)
 
 
 def _pad_reflect_f2_4px(x: jnp.ndarray, c: int) -> jnp.ndarray:
@@ -129,6 +130,9 @@ def from_johnson_params(p: dict) -> dict:
 
     out: dict = {}
     out["c1_w"] = _scatter_k9_f2(g(p["conv1"]["w"]))
+    # pixel-space head form (10×10 stride-2 dense conv; same math) for the
+    # _HEAD_PIX A/B — kills the input s2d pass if it wins in-net.
+    out["c1p_w"] = _scatter_k9_pixel_s2(g(p["conv1"]["w"]))
     out["c1_b"] = bias_tile(p["conv1"]["b"], 4)
     out["in1"] = {"scale": g(p["in1"]["scale"]), "bias": g(p["in1"]["bias"])}
     out["c2_w"] = _scatter_stride2_s2d2(g(p["conv2"]["w"]))
@@ -189,6 +193,16 @@ def bake_io_affine(bp: dict, preset: str) -> dict:
             const += c1w[:, :, src, :].sum(axis=(0, 1)) * pb[c]
     out["c1_w"] = jnp.asarray(w1).astype(bp["c1_w"].dtype)
     out["c1_b"] = jnp.asarray(c1b + const).astype(bp["c1_b"].dtype)
+    if "c1p_w" in bp:
+        c1p = np.asarray(bp["c1p_w"], np.float32)     # (10,10,3,128)
+        w1p = np.zeros_like(c1p)
+        for c in range(3):
+            w1p[:, :, pperm[c], :] += c1p[:, :, c, :] * pa[c]
+        # same bias const: sum over taps/in-ch of w*pb equals the block-form
+        # one only for interior pixels, which is exactly where SAME applies;
+        # borders are strip-fixed with reflect pads (value copies), where the
+        # same const holds.
+        out["c1p_w"] = jnp.asarray(w1p).astype(bp["c1p_w"].dtype)
 
     d3w = np.asarray(bp["d3_w"], np.float32)          # (1,5,128,60)
     d3b = np.asarray(bp["d3_b"], np.float32)          # (12,)
@@ -261,11 +275,23 @@ def apply(params: dict, x: jnp.ndarray, *, tap=None,
     # stride-2 pixel-conv alternative (_scatter_k9_pixel_s2) looked 2.2×
     # faster in isolation but is a 14 ms/B16 net REGRESSION — see PERF.md
     # "Head-P negative"; trust only in-net A/Bs here.
-    ys = s2d(x, 2)                                # [B, H/2, W/2, 12]
-    if h >= 16 and w >= 16:
-        y = _conv1_same_fixed(ys, p["c1_w"], p["c1_b"])
+    if _HEAD_PIX and "c1p_w" in p and h >= 32 and w >= 32:
+        # 10×10 stride-2 dense pixel conv (no input s2d pass); zero-SAME
+        # with reflect border strips like the block form.
+        def _pstrip(sl, rp, cp):
+            ps = jnp.pad(sl, ((0, 0), rp, cp, (0, 0)), mode="reflect")
+            return conv2d(ps, p["c1p_w"], p["c1_b"], stride=2)
+        y = conv2d(x, p["c1p_w"], p["c1_b"], stride=2, padding=4)
+        y = y.at[:, :2].set(_pstrip(x[:, :8], (4, 0), (4, 4)))
+        y = y.at[:, -2:].set(_pstrip(x[:, -8:], (0, 4), (4, 4)))
+        y = y.at[:, :, :2].set(_pstrip(x[:, :, :8], (4, 4), (4, 0)))
+        y = y.at[:, :, -2:].set(_pstrip(x[:, :, -8:], (4, 4), (0, 4)))
     else:
-        y = conv2d(_pad_reflect_f2_4px(ys, 3), p["c1_w"], p["c1_b"])
+        ys = s2d(x, 2)                            # [B, H/2, W/2, 12]
+        if h >= 16 and w >= 16:
+            y = _conv1_same_fixed(ys, p["c1_w"], p["c1_b"])
+        else:
+            y = conv2d(_pad_reflect_f2_4px(ys, 3), p["c1_w"], p["c1_b"])
     m, inv = _in_stats(y, 4, 32)                  # [B, H/2, W/2, 128]
 
     use_head = False

@@ -16,6 +16,13 @@ from .. import config
 
 _DIMNUMS = ("NHWC", "HWIO", "NHWC")
 
+# When True, bf16-input convs emit bf16 directly (the MXU still accumulates
+# in f32 internally; only the final rounding point moves, and the bias add
+# happens post-rounding). Keeps the f32 conv intermediate out of HBM — the
+# round-2c trace showed five res convs materializing f32 outputs plus a
+# 2 ms convert+reduce pass each. A/B flag; f32 inputs are unaffected.
+_NATIVE_BF16_OUT = False
+
 
 def conv2d(
     x: jnp.ndarray,
@@ -34,6 +41,8 @@ def conv2d(
         if isinstance(padding, int):
             padding = (padding, padding)
         pad = [(padding[0], padding[0]), (padding[1], padding[1])]
+    pet = (x.dtype if (_NATIVE_BF16_OUT and x.dtype == jnp.bfloat16)
+           else jnp.float32)
     y = lax.conv_general_dilated(
         x,
         w,
@@ -41,7 +50,7 @@ def conv2d(
         padding=pad,
         dimension_numbers=_DIMNUMS,
         precision=config.conv_precision,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=pet,
     )
     if b is not None:
         y = y + b.astype(y.dtype)
