@@ -152,6 +152,18 @@ def jit_stylizer(model: StyleModel, *, dtype=jnp.float32, optimize: bool = True,
 
     m = model.cast(dtype) if dtype != jnp.float32 else model
 
+    t7_fast_params = None
+    if optimize and model.arch == "t7":
+        from ..io import t7_fast
+
+        t7_fast_params = t7_fast.try_fast_johnson(model.params["layers"])
+        if t7_fast_params is not None:
+            if dtype != jnp.float32:
+                t7_fast_params = jax.tree.map(
+                    lambda a: a.astype(dtype)
+                    if hasattr(a, "astype") else a, t7_fast_params)
+            print(f"[stylizer] t7 fast path active for {model.name}")
+
     s2d_params = None
     if optimize and model.arch == "johnson":
         from ..models import transformer_net_s2d2 as tns2d
@@ -173,6 +185,13 @@ def jit_stylizer(model: StyleModel, *, dtype=jnp.float32, optimize: bool = True,
             out = jnp.clip(tns2d.apply(s2d_params, x), 0.0, 1.0)
             if out.shape[1:3] != x.shape[1:3]:
                 out = resize_bilinear(out, (x.shape[1], x.shape[2]))
+        elif (t7_fast_params is not None and x.shape[1] % 4 == 0
+              and x.shape[2] % 4 == 0):
+            from ..io.t7_fast import t7_fast_apply
+
+            xin = iop.preprocess(m.io_preset, x)
+            out = iop.postprocess(m.io_preset, t7_fast_apply(t7_fast_params,
+                                                             xin))
         else:
             out = stylize(m.arch, m.params, m.io_preset, x)
         return out.astype(jnp.float32)

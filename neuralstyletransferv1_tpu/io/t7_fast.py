@@ -1,0 +1,296 @@
+"""Fast path for Johnson-shaped .t7 stylizers — f=2 block-conv form.
+
+The eccv16/jcjohnson torch7 stylizers (the nets the reference runs through
+``cv2.dnn.readNetFromTorch``, reference pipeline.py:586,445-478) are the
+Johnson architecture with *static* SpatialBatchNormalization (inference uses
+running stats — a per-channel affine). ``try_fast_johnson`` pattern-matches
+the flattened layer list (io/t7.py), folds every BN into its conv, and
+re-expresses the net in the f=2 space-to-depth form of
+models/transformer_net_s2d2 — except simpler: with the norms folded there
+are no stats passes at all, and zero padding rides the convs (exact; no
+border fixups needed). Nets that don't match (instance-norm variants,
+reflect-padded or shave-style residual graphs) return None and keep the
+exact general executor (t7_apply).
+
+Layer math being restructured: the same Johnson topology as
+/root/reference/transformer_net.py:4-99; upsampling here is
+SpatialFullConvolution (transposed conv), scattered to a block conv by
+``_scatter_convT_f2``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _fold_bn(w, b, bn):
+    """conv(+bias) followed by static batchnorm -> adjusted conv weights."""
+    if bn is None:
+        return w, (b if b is not None else np.zeros(w.shape[-1], np.float32))
+    mean = bn["running_mean"]
+    var = bn["running_var"]
+    if mean is None or var is None:
+        return None, None
+    s = 1.0 / np.sqrt(var + bn["eps"])
+    if bn["weight"] is not None:
+        s = s * bn["weight"]
+    beta = bn["bias"] if bn["bias"] is not None else 0.0
+    b0 = b if b is not None else np.zeros(w.shape[-1], np.float32)
+    return w * s, (b0 - mean) * s + beta
+
+
+def _scatter_convT_f2(w_hwoi: np.ndarray, k: int, pad: int, adj: int):
+    """SpatialFullConvolution (k, stride 2, pad, adj) -> 2x-phase block conv.
+
+    w_hwoi: (k, k, Cout, Cin) as stored by io/t7.build_t7_layers. Returns
+    (w_blk [kb,kb,Cin,4*Cout], (pad_lo, pad_hi)) such that a VALID conv over
+    the zero-padded input grid equals the transposed conv, with output
+    channel layout (qr*2+qc)*Cout + c (the s2d phase convention).
+
+    Derivation (1-D, dilated-conv form of conv_transpose2d_torch): with
+    left pad (k-1-p) and flipped kernel, out[2J+q] = sum_k wf[k] *
+    x[(2J+q+k-(k-1-p)) / 2] over even numerators. Requires out size 2*in:
+    (in-1)*2 - 2p + k + adj == 2*in, i.e. k + adj - 2p == 2.
+    """
+    if k + adj - 2 * pad != 2:
+        return None
+    wf = w_hwoi[::-1, ::-1]                     # flip spatial
+    wf = np.transpose(wf, (0, 1, 3, 2))         # -> (k,k,Cin,Cout)
+    ci, co = wf.shape[2], wf.shape[3]
+    taps = {0: [], 1: []}                       # phase q -> [(block off, k)]
+    for q in range(2):
+        for kk in range(k):
+            num = q + kk - (k - 1 - pad)
+            if num % 2 == 0:
+                taps[q].append((num // 2, kk))
+    offs = [o for tl in taps.values() for (o, _) in tl]
+    lo, hi = -min(offs), max(offs)
+    kb = lo + hi + 1
+    out = np.zeros((kb, kb, ci, 4 * co), np.float32)
+    for qr in range(2):
+        for qc in range(2):
+            for (oa, ka) in taps[qr]:
+                for (ob, kc) in taps[qc]:
+                    out[oa + lo, ob + lo, :,
+                        (qr * 2 + qc) * co : (qr * 2 + qc + 1) * co] \
+                        += wf[ka, kc]
+    return out, (lo, hi)
+
+
+class _Cursor:
+    def __init__(self, layers):
+        self.ls = list(layers)
+        self.i = 0
+
+    def peek(self):
+        return self.ls[self.i] if self.i < len(self.ls) else None
+
+    def take(self, op):
+        l = self.peek()
+        if l is not None and l["op"] == op:
+            self.i += 1
+            return l
+        return None
+
+
+def _take_conv_bn_relu(cur, *, relu=True):
+    """conv [+bn] [+relu]; explicit zero_pad layers fold into the conv pad.
+    Returns (w, b, stride, pad) with BN folded, or None."""
+    extra = 0
+    zp = cur.take("zero_pad")
+    if zp is not None:
+        extra = zp["pad"]
+    c = cur.take("conv")
+    if c is None:
+        return None
+    bn = cur.take("batchnorm")
+    w, b = _fold_bn(np.asarray(c["w"], np.float32),
+                    None if c["b"] is None else np.asarray(c["b"], np.float32),
+                    bn)
+    if w is None:
+        return None
+    if relu and cur.take("relu") is None:
+        return None
+    pad = (c["pad"][0] + extra, c["pad"][1] + extra)
+    return w, b, c["stride"], pad
+
+
+def try_fast_johnson(layers: list[dict]):
+    """Recognize the BN-folded zero-padded Johnson .t7 topology; return the
+    f=2 block-space params dict, or None to keep the general executor."""
+    from ..models.transformer_net_s2d2 import _scatter_k9_f2
+    from ..models.transformer_net_s2d import _scatter_stride2_s2d2
+
+    cur = _Cursor(layers)
+    p: dict = {}
+    # --- head: conv9 s1 pad4, conv3 s2 pad1, conv3 s2 pad1 -----------------
+    h1 = _take_conv_bn_relu(cur)
+    if h1 is None:
+        return None
+    w, b, st, pad = h1
+    if w.shape[:2] != (9, 9) or w.shape[2] != 3 or st != (1, 1) or pad != (4, 4):
+        return None
+    c0 = w.shape[3]
+    p["c1_w"] = _scatter_k9_f2(w)
+    p["c1_b"] = np.tile(b, 4)
+    h2 = _take_conv_bn_relu(cur)
+    if h2 is None:
+        return None
+    w, b, st, pad = h2
+    if w.shape[:2] != (3, 3) or st != (2, 2) or pad != (1, 1):
+        return None
+    p["c2_w"], p["c2_b"] = _scatter_stride2_s2d2(w), b
+    h3 = _take_conv_bn_relu(cur)
+    if h3 is None:
+        return None
+    w, b, st, pad = h3
+    if w.shape[:2] != (3, 3) or st != (2, 2) or pad != (1, 1):
+        return None
+    p["c3_w"], p["c3_b"] = w, b                 # plain strided pixel conv
+    # --- residual blocks ---------------------------------------------------
+    res = []
+    while True:
+        ct = cur.take("concat_table")
+        if ct is None:
+            break
+        if cur.take("add_table") is None:
+            return None
+        brs = ct["branches"]
+        if len(brs) != 2:
+            return None
+        body = brs[0] if not brs[1] else (brs[1] if not brs[0] else None)
+        if body is None:
+            return None
+        bc = _Cursor(body)
+        r1 = _take_conv_bn_relu(bc)
+        if r1 is None:
+            return None
+        r2 = _take_conv_bn_relu(bc, relu=False)
+        if r2 is None or bc.peek() is not None:
+            return None
+        for (w, b, st, pad) in (r1, r2):
+            if w.shape[:2] != (3, 3) or st != (1, 1) or pad != (1, 1):
+                return None
+        res.append({"w1": r1[0], "b1": r1[1], "w2": r2[0], "b2": r2[1]})
+    if not res:
+        return None
+    p["res"] = res
+    # --- deconvs -----------------------------------------------------------
+    for name in ("d1", "d2"):
+        zp = cur.take("zero_pad")
+        c = cur.take("conv_transpose")
+        if c is None or zp is not None:
+            return None
+        bn = cur.take("batchnorm")
+        if cur.take("relu") is None:
+            return None
+        wT = np.asarray(c["w"], np.float32)
+        sc = _scatter_convT_f2(wT, wT.shape[0], c["pad"], c["adj"])
+        if sc is None or c["stride"] != 2:
+            return None
+        wb, (lo, hi) = sc
+        b = None if c["b"] is None else np.asarray(c["b"], np.float32)
+        wb2, bb = _fold_bn_phases(wb, b, bn)
+        if wb2 is None:
+            return None
+        p[f"{name}_w"], p[f"{name}_b"] = wb2, bb
+        p[f"{name}_pad"] = (lo, hi)
+    # --- tail: conv9 s1 pad4 -> 3ch [tanh] [mul] ---------------------------
+    zp = cur.take("zero_pad")
+    c = cur.take("conv")
+    if c is None:
+        return None
+    w = np.asarray(c["w"], np.float32)
+    pad = (c["pad"][0] + (zp["pad"] if zp else 0),
+           c["pad"][1] + (zp["pad"] if zp else 0))
+    if w.shape[:2] != (9, 9) or w.shape[3] != 3 or c["stride"] != (1, 1) \
+            or pad != (4, 4):
+        return None
+    b = None if c["b"] is None else np.asarray(c["b"], np.float32)
+    if b is None:
+        b = np.zeros(3, np.float32)
+    w5 = _scatter_k9_f2(w)                      # (5,5,4C,12)
+    w_row = np.zeros((1, 5, w5.shape[2], 5 * 12), np.float32)
+    for dy in range(5):
+        w_row[0, :, :, dy * 12 : (dy + 1) * 12] = w5[dy]
+    p["d3_w"] = w_row
+    p["d3_b"] = np.tile(b, 4)
+    p["tanh"] = cur.take("tanh") is not None
+    ml = cur.take("mul")
+    p["mul"] = float(ml["c"]) if ml is not None else None
+    if cur.peek() is not None:
+        return None
+    p["c0"] = c0
+    import jax.numpy as jnp
+
+    out = {}
+    for k, v in p.items():
+        if isinstance(v, np.ndarray):
+            out[k] = jnp.asarray(v)
+        elif isinstance(v, list):
+            out[k] = [{kk: jnp.asarray(vv) for kk, vv in d.items()}
+                      for d in v]
+        else:
+            out[k] = v                          # python meta (pads/flags)
+    return out
+
+
+def _fold_bn_phases(wb, b, bn):
+    """BN fold for a phase-scattered convT weight: the 4*Cout outputs are
+    4 phase copies of the Cout logical channels."""
+    co4 = wb.shape[-1]
+    co = co4 // 4
+    if bn is None:
+        bb = np.zeros(co4, np.float32) if b is None else np.tile(b, 4)
+        return wb, bb
+    if bn["running_mean"] is None or bn["running_var"] is None:
+        return None, None
+    s = 1.0 / np.sqrt(bn["running_var"] + bn["eps"])
+    if bn["weight"] is not None:
+        s = s * bn["weight"]
+    beta = bn["bias"] if bn["bias"] is not None else np.zeros(co, np.float32)
+    b0 = b if b is not None else np.zeros(co, np.float32)
+    s4, m4 = np.tile(s, 4), np.tile(bn["running_mean"], 4)
+    bb = (np.tile(b0, 4) - m4) * s4 + np.tile(beta, 4)
+    return wb * s4, bb
+
+
+def t7_fast_apply(p: dict, x):
+    """f=2 block-space forward for a recognized BN-folded .t7 Johnson net.
+
+    x: NHWC model-space input (caffe_bgr-preprocessed), H, W divisible by 4.
+    Exact vs t7_apply up to float reassociation (zero pads ride the convs;
+    no border fixups needed)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.transformer_net_s2d import d2s, s2d
+    from ..ops.conv import conv2d
+
+    b, h, w, _ = x.shape
+    hb = h // 2
+    c0 = p["c0"]
+    relu = jax.nn.relu
+    y = s2d(x, 2)
+    y = relu(conv2d(y, p["c1_w"], p["c1_b"], padding=2))
+    y = relu(conv2d(y, p["c2_w"], p["c2_b"],
+                    padding=((1, 0), (1, 0))))          # left/top zero halo
+    y = relu(conv2d(y, p["c3_w"], p["c3_b"], stride=2, padding=1))
+    for rp in p["res"]:
+        r = relu(conv2d(y, rp["w1"], rp["b1"], padding=1))
+        r = conv2d(r, rp["w2"], rp["b2"], padding=1)
+        y = y + r
+    pd = p["d1_pad"]
+    y = relu(d2s(conv2d(y, p["d1_w"], p["d1_b"], padding=(pd, pd)), 2, 2 * c0))
+    pd = p["d2_pad"]
+    y = relu(conv2d(y, p["d2_w"], p["d2_b"], padding=(pd, pd)))
+    rows = conv2d(y, p["d3_w"], padding=(2, 2))         # (B, H/2+4, W/2, 60)
+    y = sum(rows[:, dy : dy + hb, :, dy * 12 : (dy + 1) * 12]
+            for dy in range(5))
+    y = y + p["d3_b"].astype(y.dtype)
+    out = d2s(y, 2, 3)
+    if bool(p["tanh"]):
+        out = jnp.tanh(out)
+    if p["mul"] is not None:
+        out = out * jnp.asarray(p["mul"], out.dtype)
+    return out

@@ -37,9 +37,12 @@ def conv2d(
         stride = (stride, stride)
     if isinstance(padding, str):
         pad = padding
+    elif isinstance(padding, int):
+        pad = [(padding, padding), (padding, padding)]
+    elif isinstance(padding[0], (tuple, list)):
+        # asymmetric per-side form ((top, bottom), (left, right))
+        pad = [tuple(padding[0]), tuple(padding[1])]
     else:
-        if isinstance(padding, int):
-            padding = (padding, padding)
         pad = [(padding[0], padding[0]), (padding[1], padding[1])]
     pet = (x.dtype if (_NATIVE_BF16_OUT and x.dtype == jnp.bfloat16)
            else jnp.float32)
