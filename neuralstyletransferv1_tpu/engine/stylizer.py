@@ -152,6 +152,16 @@ def jit_stylizer(model: StyleModel, *, dtype=jnp.float32, optimize: bool = True,
 
     m = model.cast(dtype) if dtype != jnp.float32 else model
 
+    nst_fast_params = None
+    if optimize and model.arch == "nst":
+        from ..models import transformer_net_nst_fast as nstf
+
+        nst_fast_params = nstf.from_nst_params(model.params)
+        if dtype != jnp.float32:
+            nst_fast_params = jax.tree.map(
+                lambda a: a.astype(dtype) if hasattr(a, "astype") else a,
+                nst_fast_params)
+
     t7_fast_params = None
     if optimize and model.arch == "t7":
         from ..io import t7_fast
@@ -192,6 +202,13 @@ def jit_stylizer(model: StyleModel, *, dtype=jnp.float32, optimize: bool = True,
             xin = iop.preprocess(m.io_preset, x)
             out = iop.postprocess(m.io_preset, t7_fast_apply(t7_fast_params,
                                                              xin))
+        elif (nst_fast_params is not None and x.shape[1] % 4 == 0
+              and x.shape[2] % 4 == 0):
+            from ..models import transformer_net_nst_fast as nstf
+
+            xin = iop.preprocess(m.io_preset, x)
+            out = iop.postprocess(m.io_preset, nstf.apply(nst_fast_params,
+                                                          xin))
         else:
             out = stylize(m.arch, m.params, m.io_preset, x)
         return out.astype(jnp.float32)
