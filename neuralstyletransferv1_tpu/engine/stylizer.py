@@ -152,6 +152,17 @@ def jit_stylizer(model: StyleModel, *, dtype=jnp.float32, optimize: bool = True,
 
     m = model.cast(dtype) if dtype != jnp.float32 else model
 
+    reco_fast_params = None
+    if optimize and model.arch == "reconet":
+        from ..models import reconet_fast
+
+        reco_fast_params = reconet_fast.from_reconet_params(model.params)
+        if dtype != jnp.float32:
+            reco_fast_params = jax.tree.map(
+                lambda a: a.astype(dtype)
+                if hasattr(a, "astype") and a.dtype != jnp.bool_ else a,
+                reco_fast_params)
+
     nst_fast_params = None
     if optimize and model.arch == "nst":
         from ..models import transformer_net_nst_fast as nstf
@@ -209,6 +220,13 @@ def jit_stylizer(model: StyleModel, *, dtype=jnp.float32, optimize: bool = True,
             xin = iop.preprocess(m.io_preset, x)
             out = iop.postprocess(m.io_preset, nstf.apply(nst_fast_params,
                                                           xin))
+        elif (reco_fast_params is not None and x.shape[1] % 4 == 0
+              and x.shape[2] % 4 == 0):
+            from ..models import reconet_fast
+
+            xin = iop.preprocess(m.io_preset, x)
+            out = iop.postprocess(m.io_preset,
+                                  reconet_fast.apply(reco_fast_params, xin))
         else:
             out = stylize(m.arch, m.params, m.io_preset, x)
         return out.astype(jnp.float32)
