@@ -1,8 +1,4 @@
-"""mk16: in-net A/Bs of XLA-level variants on the baked s2d2 step at B16.
-
-Variants toggled by module flags: c3 block form. Usage:
-  python -u experiments/mk16_ab_xla.py [batches...]
-"""
+"""mk18: A/B native-bf16 conv outputs (ops.conv._NATIVE_BF16_OUT) in-net."""
 
 import sys
 import time
@@ -12,6 +8,7 @@ import jax.numpy as jnp
 
 sys.path.insert(0, "/root/repo")
 from neuralstyletransferv1_tpu import config
+from neuralstyletransferv1_tpu.ops import conv as opsconv
 from neuralstyletransferv1_tpu.models import transformer_net
 from neuralstyletransferv1_tpu.models import transformer_net_s2d2 as s2d2
 
@@ -48,27 +45,27 @@ def main():
         return jnp.clip(s2d2.apply(bp, x), 0.0, 1.0)
 
     batches = [int(a) for a in sys.argv[1:]] or [16]
-    which = "headpix"
     x = jax.random.uniform(jax.random.key(7), (2, H, W, 3), jnp.bfloat16)
-    # distinct lambdas: jax.jit caches by callable identity, so re-jitting
-    # the same `step` after flipping the flag would silently reuse the trace
     y0 = jax.jit(lambda t: step(t))(x)
-    s2d2._HEAD_PIX = True
+    opsconv._NATIVE_BF16_OUT = True
     y1 = jax.jit(lambda t: step(t))(x)
     mae = float(jnp.mean(jnp.abs(y0.astype(jnp.float32) -
                                  y1.astype(jnp.float32))))
-    print(f"{which} closeness mae={mae:.3e}", flush=True)
-    s2d2._HEAD_PIX = False
+    mx = float(jnp.max(jnp.abs(y0.astype(jnp.float32) -
+                               y1.astype(jnp.float32))))
+    print(f"bf16out closeness mae={mae:.3e} max={mx:.3e} ([0,1] scale)",
+          flush=True)
+    opsconv._NATIVE_BF16_OUT = False
 
     for B in batches:
-        for name, flag in (("s2d-head", False), ("head-pix", True)):
-            s2d2._HEAD_PIX = flag
+        for name, flag in (("f32-out ", False), ("bf16-out", True)):
+            opsconv._NATIVE_BF16_OUT = flag
             tC = timed(step, B, CHAIN)
             t1 = timed(step, B, 1)
             per = (tC - t1) / (CHAIN - 1)
             print(f"B{B} {name}: {per*1e3:7.2f} ms/batch  {B/per:6.1f} fps",
                   flush=True)
-        s2d2._HEAD_PIX = False
+        opsconv._NATIVE_BF16_OUT = False
 
 
 if __name__ == "__main__":
