@@ -57,7 +57,6 @@ def _timed(fn, batch, chain):
 
 def main() -> None:
     from neuralstyletransferv1_tpu import config
-    from neuralstyletransferv1_tpu.models import io_presets as iop
     from neuralstyletransferv1_tpu.models import transformer_net, transformer_net_s2d2 as s2d
 
     print(f"[bench] device: {jax.devices()[0]}", file=sys.stderr)

@@ -39,6 +39,7 @@ def main():
     config.set_conv_precision("default")
     print("device:", jax.devices()[0])
     params = transformer_net.init(jax.random.key(0))
+    s2d2._BUILD_HEAD_SITE = True   # the fused head site needs c3_wb
     bp = jax.tree.map(lambda a: a.astype(jnp.bfloat16),
                       s2d2.from_johnson_params(params))
 

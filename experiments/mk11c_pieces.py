@@ -1,5 +1,7 @@
 """Piecewise timing of the fused tail at 1080p B8: X4 build, P4 (d2 site),
-perimeter fixup, P5 (d3 sum site) — vs the XLA-form equivalents."""
+P5 (d3 sum site) — vs the XLA-form equivalents. (The XLA perimeter-fixup
+piece of the first tail design was removed when the halos moved in-kernel;
+its measured 14.9 ms is recorded in PERF.md round-2c.)"""
 
 import sys
 import time
@@ -17,8 +19,8 @@ from neuralstyletransferv1_tpu.ops.conv import conv2d
 
 B, H2, W2 = 8, 540, 960
 H4, W4 = H2 // 2, W2 // 2
-TS2, TS5, WP = ss._tail_geom(H2, W2)
-print(f"geom ts2={TS2} ts5={TS5} wp={WP}", flush=True)
+HO, HBUF, WP = ss._tail_geom(H2, W2)
+print(f"geom ho={HO} hbuf={HBUF} wp={WP}", flush=True)
 
 
 def bench(fn, args_fn, chain=6, repeats=2):
@@ -62,14 +64,15 @@ def main():
         return (jax.random.normal(k(seed), shape, jnp.float32) * scale).astype(dt)
 
     which = set(sys.argv[1:] or
-                ["x4", "p4", "fix", "p5", "xd2", "xd3", "xd2s"])
+                ["x4", "p4", "p5", "xd2", "xd3", "xd2s"])
 
     # ---- X4 build (d2s + edge pad + junk pad, one XLA pass) ----
     if "x4" in which:
         def x4build(y1raw):
             x = s2d1.d2s(y1raw, 2, 64)
             x = s2d1._pad_edge_blocks(x)
-            return jnp.pad(x, ((0, 0), (2, 2), (2, WP - (W2 + 2) - 2), (0, 0)))
+            return jnp.pad(x, ((0, 0), (2, HBUF - H2 - 2),
+                               (2, WP - (W2 + 2) - 2), (0, 0)))
         t = bench(x4build, lambda s: (r(s, (B, H4, W4, 256)),))
         print(f"x4 build      : {t*1e3:7.2f} ms", flush=True)
 
@@ -78,27 +81,20 @@ def main():
         w9 = bp["d2_w"].reshape(9, 64, 128)
         cb = bp["d2_b"].astype(jnp.float32)[None, :]
         def p4(x4, a4, c4):
-            y5, sout = ss._d2_site(x4, a4, c4, w9, cb, ts2=TS2, h2=H2,
-                                   w2=W2, wp=WP)
+            y5, sout = ss._d2_site(x4, a4, c4, w9, cb, h2=H2, w2=W2,
+                                   hbuf=HBUF, wp=WP)
             return y5.astype(jnp.float32).ravel()[:1] + jnp.sum(sout)
-        t = bench(p4, lambda s: (r(s, (B, H2 + 6, WP, 64)),
+        t = bench(p4, lambda s: (r(s, (B, HBUF + 2, WP, 64)),
                                  r(s + 1, (B, 64), jnp.float32, 0.1),
                                  r(s + 2, (B, 64), jnp.float32, 0.1)))
         print(f"p4 d2-site    : {t*1e3:7.2f} ms", flush=True)
-
-    # ---- fixup ----
-    if "fix" in which:
-        def fix(y5):
-            return ss._fixup_reflect_f2(y5, H2, W2)
-        t = bench(fix, lambda s: (r(s, (B, H2 + 4, WP, 128)),))
-        print(f"fixup         : {t*1e3:7.2f} ms", flush=True)
 
     # ---- P5: d3 sum site ----
     if "p5" in which:
         def p5(y5, a5, c5):
             return ss._d3_sum_site(y5, a5, c5, bp["d3_w"], bp["d3_b"][:12],
-                                   ts5=TS5, h2=H2, w2=W2, wp=WP)
-        t = bench(p5, lambda s: (r(s, (B, H2 + 4, WP, 128)),
+                                   ho=HO, w2=W2, wp=WP)
+        t = bench(p5, lambda s: (r(s, (B, HBUF, WP, 128)),
                                  r(s + 1, (B, 128), jnp.float32, 0.1),
                                  r(s + 2, (B, 128), jnp.float32, 0.1)))
         print(f"p5 d3-site    : {t*1e3:7.2f} ms", flush=True)

@@ -49,6 +49,7 @@ from .transformer_net_s2d import (
 
 _C3_BLOCK = False  # A/B flag: conv3 as 2×2 block conv (experiments/mk16)
 _HEAD_PIX = False  # A/B flag: conv1 as 10×10 s2 pixel conv (experiments/mk16)
+_BUILD_HEAD_SITE = False  # build c3_wb for the gated Pallas head site
 
 
 def _pad_reflect_f2_4px(x: jnp.ndarray, c: int) -> jnp.ndarray:
@@ -130,18 +131,23 @@ def from_johnson_params(p: dict) -> dict:
 
     out: dict = {}
     out["c1_w"] = _scatter_k9_f2(g(p["conv1"]["w"]))
-    # pixel-space head form (10×10 stride-2 dense conv; same math) for the
-    # _HEAD_PIX A/B — kills the input s2d pass if it wins in-net.
-    out["c1p_w"] = _scatter_k9_pixel_s2(g(p["conv1"]["w"]))
+    if _HEAD_PIX:
+        # pixel-space head form (10×10 stride-2 dense conv; same math) for
+        # the experiments/mk16 A/B — measured in-net NEGATIVE (PERF.md);
+        # built only when the flag is set so production params don't carry
+        # the dead tensor.
+        out["c1p_w"] = _scatter_k9_pixel_s2(g(p["conv1"]["w"]))
     out["c1_b"] = bias_tile(p["conv1"]["b"], 4)
     out["in1"] = {"scale": g(p["in1"]["scale"]), "bias": g(p["in1"]["bias"])}
     out["c2_w"] = _scatter_stride2_s2d2(g(p["conv2"]["w"]))
     out["c2_b"] = g(p["conv2"]["b"])
     out["in2"] = {"scale": g(p["in2"]["scale"]), "bias": g(p["in2"]["bias"])}
     out["c3_w"] = g(p["conv3"]["w"])  # plain pixel conv on the 540 grid
-    # block form for the fused head path (2x2 block conv, K=256 — full-MXU
-    # instead of XLA's ~31 TF/s strided-conv path); same math.
-    out["c3_wb"] = _scatter_stride2_s2d2(g(p["conv3"]["w"]))
+    if _C3_BLOCK or _BUILD_HEAD_SITE:
+        # block form (2x2 block conv, K=256) for the _C3_BLOCK A/B and the
+        # gated Pallas head site — both measured in-net NEGATIVE at bf16
+        # (PERF.md round-2c); built only on demand.
+        out["c3_wb"] = _scatter_stride2_s2d2(g(p["conv3"]["w"]))
     out["c3_b"] = g(p["conv3"]["b"])
     out["in3"] = {"scale": g(p["in3"]["scale"]), "bias": g(p["in3"]["bias"])}
     for i in range(1, 6):

@@ -193,3 +193,32 @@ def test_generate_mask_samples(ref_mobilenet_ckpt, tmp_path):
     assert (tmp_path / "out" / "person_styled_comparison.jpg").exists()
     assert (tmp_path / "out" / "person_styled_preset.json").exists()
     assert (tmp_path / "out" / "mask_samples_metadata.json").exists()
+
+
+def test_generate_magenta_self_style(tmp_path):
+    """Seeded-random self-style sample set (reference:
+    scripts/generate_magenta_self_style.py:18-103): deterministic pick,
+    selfstyle_<stem>.jpg naming, skip-existing resume."""
+    import numpy as np
+    from PIL import Image
+
+    from neuralstyletransferv1_tpu.apps.generate_magenta_self_style import main
+
+    rng = np.random.default_rng(0)
+    in_dir = tmp_path / "pool"
+    in_dir.mkdir()
+    for i in range(4):
+        Image.fromarray(rng.integers(0, 255, (72, 88, 3), np.uint8)).save(
+            in_dir / f"img{i}.jpg")
+    out_dir = tmp_path / "out"
+    args = ["--input_dir", str(in_dir), "--output_dir", str(out_dir),
+            "--count", "2", "--seed", "42", "--scale", "88",
+            "--magenta_tile", "64", "--magenta_overlap", "16"]
+    assert main(list(args)) == 0
+    outs = sorted(p.name for p in out_dir.iterdir())
+    assert len(outs) == 2 and all(n.startswith("selfstyle_img") for n in outs)
+    # deterministic seed -> same picks; skip-existing leaves mtimes alone
+    mtimes = {p.name: p.stat().st_mtime_ns for p in out_dir.iterdir()}
+    assert main(list(args)) == 0
+    assert {p.name: p.stat().st_mtime_ns
+            for p in out_dir.iterdir()} == mtimes

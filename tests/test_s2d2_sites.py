@@ -70,8 +70,13 @@ def test_tail_supported_geometry():
 def test_head_parity():
     # H=56 -> H2=28 (ts2=4), H4=14 (ts3=2); W=64 -> W2=32, W4=16.
     params = transformer_net.init(jax.random.key(0))
-    bp = jax.tree.map(lambda a: a.astype(jnp.bfloat16),
-                      s2d2.from_johnson_params(params))
+    s2d2._BUILD_HEAD_SITE = True   # c3_wb is built on demand
+    try:
+        bp = jax.tree.map(lambda a: a.astype(jnp.bfloat16),
+                          s2d2.from_johnson_params(params))
+    finally:
+        s2d2._BUILD_HEAD_SITE = False
+    assert "c3_wb" in bp
     x = jax.random.uniform(jax.random.key(5), (2, 56, 64, 3), jnp.bfloat16)
     y_xla = s2d2.apply(bp, x)
     y_fus = s2d2.apply(bp, x, fused_sites=("head",))
