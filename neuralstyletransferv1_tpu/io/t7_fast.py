@@ -12,6 +12,12 @@ border fixups needed). Nets that don't match (instance-norm variants,
 reflect-padded or shave-style residual graphs) return None and keep the
 exact general executor (t7_apply).
 
+Instance-norm variants (the other half of the jcjohnson model set) also
+ride the fast path: their norms can't fold (runtime stats), so they run as
+deferred per-logical-channel stats + affine in block space — the same
+machinery as models/transformer_net_s2d2. Reflect-padded or shave-style
+residual graphs still fall back to the general executor.
+
 Layer math being restructured: the same Johnson topology as
 /root/reference/transformer_net.py:4-99; upsampling here is
 SpatialFullConvolution (transposed conv), scattered to a block conv by
@@ -93,9 +99,28 @@ class _Cursor:
         return None
 
 
+def _norm_of(cur, co):
+    """Consume an optional norm layer: BN -> ("fold", bn) (static affine),
+    IN -> ("defer", {scale,bias,eps}) (runtime stats), absent -> None."""
+    bn = cur.take("batchnorm")
+    if bn is not None:
+        return ("fold", bn)
+    inorm = cur.take("instancenorm")
+    if inorm is not None:
+        sc = inorm["weight"] if inorm["weight"] is not None \
+            else np.ones(co, np.float32)
+        bi = inorm["bias"] if inorm["bias"] is not None \
+            else np.zeros(co, np.float32)
+        return ("defer", {"scale": np.asarray(sc, np.float32),
+                          "bias": np.asarray(bi, np.float32),
+                          "eps": float(inorm["eps"])})
+    return None
+
+
 def _take_conv_bn_relu(cur, *, relu=True):
-    """conv [+bn] [+relu]; explicit zero_pad layers fold into the conv pad.
-    Returns (w, b, stride, pad) with BN folded, or None."""
+    """conv [+norm] [+relu]; explicit zero_pad layers fold into the conv
+    pad. Returns (w, b, stride, pad, deferred_norm_or_None) with static
+    BNs folded into (w, b), or None on mismatch."""
     extra = 0
     zp = cur.take("zero_pad")
     if zp is not None:
@@ -103,7 +128,8 @@ def _take_conv_bn_relu(cur, *, relu=True):
     c = cur.take("conv")
     if c is None:
         return None
-    bn = cur.take("batchnorm")
+    norm = _norm_of(cur, c["w"].shape[-1])
+    bn = norm[1] if (norm is not None and norm[0] == "fold") else None
     w, b = _fold_bn(np.asarray(c["w"], np.float32),
                     None if c["b"] is None else np.asarray(c["b"], np.float32),
                     bn)
@@ -112,7 +138,8 @@ def _take_conv_bn_relu(cur, *, relu=True):
     if relu and cur.take("relu") is None:
         return None
     pad = (c["pad"][0] + extra, c["pad"][1] + extra)
-    return w, b, c["stride"], pad
+    dn = norm[1] if (norm is not None and norm[0] == "defer") else None
+    return w, b, c["stride"], pad, dn
 
 
 def try_fast_johnson(layers: list[dict]):
@@ -127,26 +154,27 @@ def try_fast_johnson(layers: list[dict]):
     h1 = _take_conv_bn_relu(cur)
     if h1 is None:
         return None
-    w, b, st, pad = h1
+    w, b, st, pad, dn = h1
     if w.shape[:2] != (9, 9) or w.shape[2] != 3 or st != (1, 1) or pad != (4, 4):
         return None
     c0 = w.shape[3]
     p["c1_w"] = _scatter_k9_f2(w)
     p["c1_b"] = np.tile(b, 4)
+    p["n1"] = dn
     h2 = _take_conv_bn_relu(cur)
     if h2 is None:
         return None
-    w, b, st, pad = h2
+    w, b, st, pad, dn = h2
     if w.shape[:2] != (3, 3) or st != (2, 2) or pad != (1, 1):
         return None
-    p["c2_w"], p["c2_b"] = _scatter_stride2_s2d2(w), b
+    p["c2_w"], p["c2_b"], p["n2"] = _scatter_stride2_s2d2(w), b, dn
     h3 = _take_conv_bn_relu(cur)
     if h3 is None:
         return None
-    w, b, st, pad = h3
+    w, b, st, pad, dn = h3
     if w.shape[:2] != (3, 3) or st != (2, 2) or pad != (1, 1):
         return None
-    p["c3_w"], p["c3_b"] = w, b                 # plain strided pixel conv
+    p["c3_w"], p["c3_b"], p["n3"] = w, b, dn    # plain strided pixel conv
     # --- residual blocks ---------------------------------------------------
     res = []
     while True:
@@ -168,10 +196,11 @@ def try_fast_johnson(layers: list[dict]):
         r2 = _take_conv_bn_relu(bc, relu=False)
         if r2 is None or bc.peek() is not None:
             return None
-        for (w, b, st, pad) in (r1, r2):
+        for (w, b, st, pad, _dn) in (r1, r2):
             if w.shape[:2] != (3, 3) or st != (1, 1) or pad != (1, 1):
                 return None
-        res.append({"w1": r1[0], "b1": r1[1], "w2": r2[0], "b2": r2[1]})
+        res.append({"w1": r1[0], "b1": r1[1], "rn1": r1[4],
+                    "w2": r2[0], "b2": r2[1], "rn2": r2[4]})
     if not res:
         return None
     p["res"] = res
@@ -181,7 +210,8 @@ def try_fast_johnson(layers: list[dict]):
         c = cur.take("conv_transpose")
         if c is None or zp is not None:
             return None
-        bn = cur.take("batchnorm")
+        co = c["w"].shape[2]                    # (k,k,Cout,Cin)
+        norm = _norm_of(cur, co)
         if cur.take("relu") is None:
             return None
         wT = np.asarray(c["w"], np.float32)
@@ -190,11 +220,14 @@ def try_fast_johnson(layers: list[dict]):
             return None
         wb, (lo, hi) = sc
         b = None if c["b"] is None else np.asarray(c["b"], np.float32)
+        bn = norm[1] if (norm is not None and norm[0] == "fold") else None
         wb2, bb = _fold_bn_phases(wb, b, bn)
         if wb2 is None:
             return None
         p[f"{name}_w"], p[f"{name}_b"] = wb2, bb
         p[f"{name}_pad"] = (lo, hi)
+        p[f"n_{name}"] = norm[1] if (norm is not None
+                                     and norm[0] == "defer") else None
     # --- tail: conv9 s1 pad4 -> 3ch [tanh] [mul] ---------------------------
     zp = cur.take("zero_pad")
     c = cur.take("conv")
@@ -223,16 +256,15 @@ def try_fast_johnson(layers: list[dict]):
     p["c0"] = c0
     import jax.numpy as jnp
 
-    out = {}
-    for k, v in p.items():
+    def cv(v):
         if isinstance(v, np.ndarray):
-            out[k] = jnp.asarray(v)
-        elif isinstance(v, list):
-            out[k] = [{kk: jnp.asarray(vv) for kk, vv in d.items()}
-                      for d in v]
-        else:
-            out[k] = v                          # python meta (pads/flags)
-    return out
+            return jnp.asarray(v)
+        if isinstance(v, dict):
+            return {kk: cv(vv) for kk, vv in v.items()}
+        if isinstance(v, list):
+            return [cv(e) for e in v]
+        return v                                # python meta (pads/flags/eps)
+    return {k: cv(v) for k, v in p.items()}
 
 
 def _fold_bn_phases(wb, b, bn):
@@ -255,8 +287,30 @@ def _fold_bn_phases(wb, b, bn):
     return wb * s4, bb
 
 
+def _defer_norm(y, nrm, phases, c, *, act=True):
+    """Deferred instance norm + optional ReLU over a block tensor whose
+    channels are ``phases`` phase copies of ``c`` logical channels."""
+    import jax
+    import jax.numpy as jnp
+
+    b, hb, wb, _ = y.shape
+    yr = y.reshape(b, hb, wb, phases, c).astype(jnp.float32)
+    mean = jnp.mean(yr, axis=(1, 2, 3))
+    var = jnp.mean(jnp.square(yr), axis=(1, 2, 3)) - mean * mean
+    inv = jax.lax.rsqrt(var + nrm["eps"])
+    sc = nrm["scale"].astype(jnp.float32)
+    bi = nrm["bias"].astype(jnp.float32)
+    a = jnp.tile(inv * sc, (1, phases))[:, None, None, :]
+    bb = jnp.tile(bi - mean * inv * sc, (1, phases))[:, None, None, :]
+    out = y.astype(jnp.float32) * a + bb
+    if act:
+        out = jax.nn.relu(out)
+    return out.astype(y.dtype)
+
+
 def t7_fast_apply(p: dict, x):
-    """f=2 block-space forward for a recognized BN-folded .t7 Johnson net.
+    """f=2 block-space forward for a recognized .t7 Johnson net (BN folded;
+    IN deferred).
 
     x: NHWC model-space input (caffe_bgr-preprocessed), H, W divisible by 4.
     Exact vs t7_apply up to float reassociation (zero pads ride the convs;
@@ -271,19 +325,30 @@ def t7_fast_apply(p: dict, x):
     hb = h // 2
     c0 = p["c0"]
     relu = jax.nn.relu
+
+    def na(y, nrm, phases, c, *, act=True):
+        if nrm is None:
+            return relu(y) if act else y
+        return _defer_norm(y, nrm, phases, c, act=act)
+
     y = s2d(x, 2)
-    y = relu(conv2d(y, p["c1_w"], p["c1_b"], padding=2))
-    y = relu(conv2d(y, p["c2_w"], p["c2_b"],
-                    padding=((1, 0), (1, 0))))          # left/top zero halo
-    y = relu(conv2d(y, p["c3_w"], p["c3_b"], stride=2, padding=1))
+    y = na(conv2d(y, p["c1_w"], p["c1_b"], padding=2), p["n1"], 4, c0)
+    y = na(conv2d(y, p["c2_w"], p["c2_b"],
+                  padding=((1, 0), (1, 0))),            # left/top zero halo
+           p["n2"], 1, 2 * c0)
+    y = na(conv2d(y, p["c3_w"], p["c3_b"], stride=2, padding=1),
+           p["n3"], 1, 4 * c0)
     for rp in p["res"]:
-        r = relu(conv2d(y, rp["w1"], rp["b1"], padding=1))
-        r = conv2d(r, rp["w2"], rp["b2"], padding=1)
+        r = na(conv2d(y, rp["w1"], rp["b1"], padding=1), rp["rn1"], 1, 4 * c0)
+        r = na(conv2d(r, rp["w2"], rp["b2"], padding=1), rp["rn2"], 1, 4 * c0,
+               act=False)
         y = y + r
     pd = p["d1_pad"]
-    y = relu(d2s(conv2d(y, p["d1_w"], p["d1_b"], padding=(pd, pd)), 2, 2 * c0))
+    y = conv2d(y, p["d1_w"], p["d1_b"], padding=(pd, pd))
+    y = na(d2s(y, 2, 2 * c0), p["n_d1"], 1, 2 * c0)
     pd = p["d2_pad"]
-    y = relu(conv2d(y, p["d2_w"], p["d2_b"], padding=(pd, pd)))
+    y = na(conv2d(y, p["d2_w"], p["d2_b"], padding=(pd, pd)),
+           p["n_d2"], 4, c0)
     rows = conv2d(y, p["d3_w"], padding=(2, 2))         # (B, H/2+4, W/2, 60)
     y = sum(rows[:, dy : dy + hb, :, dy * 12 : (dy + 1) * 12]
             for dy in range(5))

@@ -89,11 +89,30 @@ def test_convT_scatter_exact():
                                    atol=1e-5)
 
 
-def test_rejects_instance_norm_net():
+def _in(c):
+    return {"op": "instancenorm",
+            "weight": rng.uniform(0.5, 1.5, c).astype(np.float32),
+            "bias": rng.normal(0, 0.1, c).astype(np.float32), "eps": 1e-5}
+
+
+def test_instance_norm_net_fast_parity():
+    """IN variants ride the fast path too (deferred stats, not folded)."""
     layers = _johnson_layers()
-    layers[1] = {"op": "instancenorm", "weight": np.ones(8, np.float32),
-                 "bias": np.zeros(8, np.float32), "eps": 1e-5}
-    assert t7_fast.try_fast_johnson(layers) is None
+    # swap every batchnorm for an instancenorm of the same width
+    layers = [(_in(l["weight"].shape[0]) if l["op"] == "batchnorm" else l)
+              for l in layers]
+    for l in layers:
+        if l["op"] == "concat_table":
+            l["branches"][0][:] = [
+                (_in(b["weight"].shape[0]) if b["op"] == "batchnorm" else b)
+                for b in l["branches"][0]]
+    fp = t7_fast.try_fast_johnson(layers)
+    assert fp is not None
+    x = jnp.asarray(rng.normal(0, 50, (2, 32, 40, 3)).astype(np.float32))
+    y_ref = t7_apply(layers, x)
+    y_fast = t7_fast.t7_fast_apply(fp, x)
+    mae = float(jnp.mean(jnp.abs(y_ref - y_fast)))
+    assert mae < 1e-3, mae
 
 
 def test_rejects_reflect_pad_net():
