@@ -18,8 +18,12 @@ WORKDIR /app
 RUN apt-get update && apt-get install -y --no-install-recommends \
     ffmpeg \
     fonts-dejavu-core \
+    g++ \
     libgl1 \
     libglib2.0-0 \
+    libjpeg-dev \
+    libpng-dev \
+    make \
     && rm -rf /var/lib/apt/lists/*
 
 RUN pip install --no-cache-dir \
@@ -37,5 +41,9 @@ RUN pip install --no-cache-dir \
 RUN mkdir -p /app/_work /app/input /app/input_videos /app/output /app/models
 
 COPY . /app
+
+# Build the C++ threaded frame loader from source (never shipped as a
+# committed binary; it also auto-builds on first import as a fallback).
+RUN make native
 
 CMD ["bash"]

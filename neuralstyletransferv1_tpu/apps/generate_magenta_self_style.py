@@ -6,6 +6,12 @@ directory, magenta-stylize each with ITSELF as the style image (tile 512 /
 overlap 64, long side scaled to ``--scale``), write ``selfstyle_<stem>.jpg``
 into the output dir, skipping existing files. Runs in-process (one resident
 JAX stylizer) instead of one pipeline.py subprocess per image.
+
+Deliberate deviation: the pool is SORTED before ``random.sample``, so the
+same ``--seed`` is reproducible across machines. The reference samples from
+raw ``glob`` order (filesystem-dependent), so its selection for a given seed
+is not reproducible anywhere — exact selection parity is impossible either
+way (ADVICE round 2).
 """
 
 from __future__ import annotations

@@ -91,10 +91,17 @@ def _bilinear_patch(img, y0, x0):
     return (v00 * (1 - fx) + v01 * fx) * (1 - fy) + (v10 * (1 - fx) + v11 * fx) * fy
 
 
-NB_RADIUS = 6  # per-level refinement radius (px) around the init displacement
+# Per-level refinement radius (px) around the init displacement. The
+# gather-free iterations pre-gather a (PATCH+2R)² neighborhood per patch, so
+# each level can correct the pyramid init by at most ±R px (the old
+# per-iteration-gather code allowed PATCH/2 per iteration cumulatively).
+# Motion that each coarser level underestimates by more than R px per level
+# is unrecoverable; raise via dis_flow(nb_radius=...) to trade speed for
+# range (cost grows ~(PATCH+2R)²).
+NB_RADIUS = 6
 
 
-def _inverse_search_level(i0, i1, flow_init, iters: int):
+def _inverse_search_level(i0, i1, flow_init, iters: int, nb_radius: int = NB_RADIUS):
     """One pyramid level: batched per-patch inverse search + densification.
 
     Gather-free iterations: the search window is bounded — each patch refines at
@@ -110,7 +117,7 @@ def _inverse_search_level(i0, i1, flow_init, iters: int):
     h, w = i0.shape
     ys, xs = _grid_centers(h, w)
     ny, nx = ys.shape[0], xs.shape[0]
-    R = NB_RADIUS
+    R = nb_radius
     NBW = PATCH + 2 * R                       # neighborhood width (20)
     NSEL = 2 * R + 1                          # selector length (13)
 
@@ -291,12 +298,15 @@ def dis_flow(
     iters: int = 16,
     refine_iters: int = 5,
     smooth_sigma: float = 1.0,
+    nb_radius: int = NB_RADIUS,
 ) -> jnp.ndarray:
     """Dense flow prev→curr, cv2 convention (flow[y,x] = (dx, dy)).
 
     PRESET_FAST-like defaults: finest level at quarter resolution, 8×8
     patches stride 4, 16 inverse-search iterations per level, then
-    variational refinement at the finest level.
+    variational refinement at the finest level. ``nb_radius`` bounds each
+    level's correction of the coarse init (speed/range tradeoff — see
+    NB_RADIUS).
     """
     H, W = prev_gray.shape
     i0 = prev_gray.astype(jnp.float32)
@@ -313,7 +323,7 @@ def dis_flow(
             flow = jnp.zeros((lh, lw, 2), jnp.float32)
         else:
             flow = resize_bilinear(flow, (lh, lw)) * 2.0
-        flow = _inverse_search_level(a, b, flow, iters)
+        flow = _inverse_search_level(a, b, flow, iters, nb_radius)
 
     if refine_iters > 0:
         lh, lw, _ = levels[-1]

@@ -5,6 +5,8 @@ from pathlib import Path
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # whole-pipeline equivalence runs (~100 s)
+
 
 @pytest.fixture(scope="module")
 def small_video(tmp_path_factory):

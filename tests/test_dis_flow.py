@@ -108,3 +108,29 @@ def test_variational_refine_reduces_residual(reference_path):
     r0 = np.abs(np.asarray(_warp_scalar(i1, coarse)) - prev)[24:-24, 24:-24].mean()
     r1 = np.abs(np.asarray(_warp_scalar(i1, refined)) - prev)[24:-24, 24:-24].mean()
     assert r1 < r0, (r0, r1)
+
+
+@pytest.mark.slow  # 512x288 pyramid on CPU jax (~2 min)
+def test_dis_large_displacement(reference_path):
+    """ADVICE round 2: the gather-free iterations clamp each level's
+    correction to ±nb_radius around the pyramid init, so large motion must
+    be recovered through the coarse levels. 32 px translation at 512x288
+    exercises exactly that (per-level residual after doubling stays under
+    the radius only if every coarser level converged)."""
+    cv2 = pytest.importorskip("cv2")
+    from PIL import Image
+
+    img = np.asarray(
+        Image.open("/root/reference/input/frame.jpeg").convert("L").resize((512, 288)),
+        np.float32,
+    )
+    M = np.float32([[1, 0, 32], [0, 1, 12]])
+    curr = cv2.warpAffine(img, M, (512, 288), borderMode=cv2.BORDER_REFLECT)
+    ours = np.asarray(dis_flow(jnp.asarray(img), jnp.asarray(curr)))
+    inner = ours[48:-48, 48:-48]
+    assert abs(inner[..., 0].mean() - 32.0) < 1.0, inner[..., 0].mean()
+    assert abs(inner[..., 1].mean() - 12.0) < 1.0, inner[..., 1].mean()
+    dis = cv2.DISOpticalFlow_create(cv2.DISOPTICAL_FLOW_PRESET_FAST)
+    ref = dis.calc(img.astype(np.uint8), curr.astype(np.uint8), None)
+    d = np.abs(ours - ref)[48:-48, 48:-48]
+    assert d.mean() < 1.0, d.mean()

@@ -73,6 +73,7 @@ def test_variable_name_map_covers_graph(synthetic_savedmodel):
     assert "InceptionV3/Mixed_6e/Branch_0/Conv2d_0a_1x1/weights" in variables
 
 
+@pytest.mark.slow  # TF-oracle SavedModel round-trip (~1 min)
 def test_executor_matches_tf_oracle(synthetic_savedmodel):
     tf = pytest.importorskip("tensorflow")
     from neuralstyletransferv1_tpu.io.tf_saved_model import TFGraphExecutor
@@ -96,6 +97,7 @@ def test_executor_matches_tf_oracle(synthetic_savedmodel):
     assert np.abs(got - want).max() < 0.05
 
 
+@pytest.mark.slow  # TF-oracle SavedModel round-trip (~1 min)
 def test_engine_magenta_slot_uses_savedmodel(synthetic_savedmodel, tmp_path):
     """The A-H slot loader must pick up a complete SavedModel under
     --magenta_model_root and stylize through the real graph."""
