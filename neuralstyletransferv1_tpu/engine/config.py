@@ -125,5 +125,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
                     help="Shard each stylize batch across the first N devices "
                     "(data-parallel over a 1-D ICI mesh; params replicate). "
                     "Requires --frame_batch; the batch is rounded up to a "
-                    "multiple of N. 0/1 = single device.")
+                    "multiple of N. 0/1 = single device. Temporal smoothing "
+                    "(flow/LAB EMA) then runs CHUNKED: each device scans its "
+                    "local time chunk seeded by its neighbor's boundary frame "
+                    "over the ICI ring — chunk seams restart the EMA one "
+                    "frame back (error decays like (1-alpha)^t into the "
+                    "chunk).")
     return ap

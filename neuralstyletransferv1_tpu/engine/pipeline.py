@@ -167,6 +167,25 @@ def list_frame_files(args, frames_dir: Path):
     return frame_files
 
 
+def _mask_debug_dump(args, frames_dir, idx: int, alpha: np.ndarray, base_u8: np.ndarray):
+    """Fitted-alpha PNG + red overlay JPEG debug artifacts
+    (reference: pipeline.py:2017-2025, 2055-2070)."""
+    from PIL import Image as _Image
+
+    debug_dir = frames_dir.parent / "debug"
+    debug_dir.mkdir(parents=True, exist_ok=True)
+    if args.mask_debug_alpha:
+        _Image.fromarray((alpha[..., 0] * 255).astype(np.uint8)).save(
+            debug_dir / f"alpha_{idx:04d}.png"
+        )
+    if args.mask_debug_overlay:
+        tint = np.zeros_like(base_u8)
+        tint[..., 0] = 255
+        a3 = np.repeat(alpha, 3, axis=2)
+        overlay = (base_u8 * (1.0 - 0.35 * a3) + tint * (0.35 * a3)).clip(0, 255).astype(np.uint8)
+        _Image.fromarray(overlay).save(debug_dir / f"overlay_{idx:04d}.jpg", quality=92)
+
+
 # ---------------------------------------------------------------------------
 # Slot bank
 # ---------------------------------------------------------------------------
@@ -220,11 +239,17 @@ def load_slot_bank(args) -> list:
 
 def style_frames_batched(args, frames_dir: Path, image_mode: bool, save_map: dict[int, str]):
     """Process frames in device batches: one jitted stylize per batch and the
-    whole temporal chain (flow EMA / LAB EMA / motion blend) as an in-graph
-    scan (temporal.temporal_postprocess_scan). State carries across batches.
+    whole temporal chain (flow EMA / LAB EMA / mask composite / motion blend)
+    as an in-graph scan (temporal.temporal_postprocess_scan). State carries
+    across batches.
 
-    The per-frame path remains for region-animated masks; everything else the
-    reference's hot loop does per frame happens here per batch.
+    Region blending (--region_mode) and mask compositing (--mask/--mask_dir)
+    ride this path too: region masks are host-generated per frame exactly as
+    on the per-frame path (same caches/animations) and composited in-graph
+    against the batched slot outputs; mask alphas stack per batch and
+    composite inside the temporal scan at the reference's position in the
+    chain (pipeline.py:1982-2048). Only the crop-based --region_optimize
+    stays per-frame (it deliberately avoids full-frame stylization).
     """
     import jax
     import jax.numpy as jnp
@@ -271,6 +296,66 @@ def style_frames_batched(args, frames_dir: Path, image_mode: bool, save_map: dic
     frame_files = list_frame_files(args, frames_dir)
     preflight_mask_dir(args, frame_files)
 
+    # Region config, parsed once like the per-frame path.
+    region_active = bool(args.region_mode)
+    morph_anim = blend_anims = scale_anims = region_sizes = region_seed = None
+    if region_active:
+        from ..region import (
+            parse_morph_animation,
+            parse_region_blend_animations,
+            parse_region_scale_animations,
+            parse_region_sizes,
+        )
+
+        morph_anim = parse_morph_animation(args.region_morph) if args.region_morph else None
+        blend_anims = (
+            parse_region_blend_animations(args.blend_animate_regions or args.blend_animate,
+                                          args.region_count or num_models)
+            if (args.blend_animate or args.blend_animate_regions)
+            else None
+        )
+        scale_anims = (
+            parse_region_scale_animations(args.scale_animate_regions or args.scale_animate,
+                                          args.region_count or num_models)
+            if (args.scale_animate or args.scale_animate_regions)
+            else None
+        )
+        region_sizes = (
+            parse_region_sizes(args.region_sizes, args.region_count or num_models)
+            if args.region_sizes
+            else None
+        )
+        region_seed = _parse_region_seed(args, morph_anim)
+
+    mask_active = bool(args.mask or args.mask_dir)
+    composite_keep = args.composite_mode == "keep"
+    _mask_alpha_cache: dict = {}  # constant --mask reloads once per shape
+
+    def _frame_alpha(frame_path, H0, W0):
+        """(alpha HxWx1 f32, has) for one frame — same loader/fallbacks as the
+        per-frame path (reference: pipeline.py:1982-2048)."""
+        mask_file = args.mask
+        if not mask_file and args.mask_dir:
+            stem_num = frame_path.stem.split("_")[-1]
+            cand = Path(args.mask_dir) / f"mask_{stem_num}.png"
+            mask_file = str(cand) if cand.exists() else None
+        if not mask_file:
+            return np.zeros((H0, W0, 1), np.float32), False
+        feather_px = args.mask_feather
+        if args.mask_feather_pct > 0:
+            feather_px = max(feather_px, int(H0 * args.mask_feather_pct / 100.0))
+        key = (mask_file, H0, W0)
+        if key in _mask_alpha_cache:
+            return _mask_alpha_cache[key], True
+        alpha = load_mask_fit(
+            mask_file, (H0, W0), args.mask_invert, feather_px,
+            autofix=args.mask_autofix,
+            force_transpose=args.mask_force_transpose,
+        )
+        if mask_file == args.mask:  # constant mask: load once per shape
+            _mask_alpha_cache[key] = alpha
+        return alpha, True
+
     B = max(1, int(args.frame_batch))
     if args.flow_method == "dis":
         from ..ops.dis_flow import dis_flow as _flow_fn
@@ -307,10 +392,22 @@ def style_frames_batched(args, frames_dir: Path, image_mode: bool, save_map: dic
         w = jnp.asarray(weights, jnp.float32)[:, None, None, None, None]
         return jnp.clip(jnp.sum(w * outs_stacked, axis=0), 0.0, 1.0)
 
+    scan_kwargs = dict(
+        flow_ema=args.flow_ema, flow_alpha=args.flow_alpha,
+        smooth_lightness=args.smooth_lightness, smooth_chroma=args.smooth_chroma,
+        smooth_alpha=args.smooth_alpha, chroma_alpha=args.chroma_alpha,
+        motion_blend=args.motion_blend, blend=args.blend,
+        composite_keep=composite_keep,
+    )
+
     @partial(jax.jit, static_argnames=("first",))
-    def batch_post(styled, orig, grays, prev_gray, state: TemporalState, first: bool):
+    def batch_post(styled, orig, grays, prev_gray, state: TemporalState, first: bool,
+                   mask_alphas=None, mask_has=None):
         flows = None
         if args.flow_ema:
+            # Computed globally (frame t-1 → t for every t, previous batch's
+            # boundary included) so the sharded chunk seams warp with the
+            # true cross-boundary flow.
             prevs = jnp.concatenate([prev_gray[None], grays[:-1]], 0)
             if flow_ds > 1:
                 H, W = grays.shape[1], grays.shape[2]
@@ -322,14 +419,25 @@ def style_frames_batched(args, frames_dir: Path, image_mode: bool, save_map: dic
                 flows = resize_bilinear(f_small, (H, W)) * float(flow_ds)
             else:
                 flows = flow_pairs(prevs, grays)
-        out, new_state = temporal_postprocess_scan(
-            styled, orig, flows,
-            flow_ema=args.flow_ema, flow_alpha=args.flow_alpha,
-            smooth_lightness=args.smooth_lightness, smooth_chroma=args.smooth_chroma,
-            smooth_alpha=args.smooth_alpha, chroma_alpha=args.chroma_alpha,
-            motion_blend=args.motion_blend, blend=args.blend,
-            init=None if first else state,
-        )
+        if mesh is not None:
+            # Chunked temporal stage over the ICI ring: each shard scans its
+            # local chunk, boundary frames travel via ppermute
+            # (parallel.mesh.temporal_postprocess_sharded).
+            from ..parallel.mesh import temporal_postprocess_sharded
+
+            if flows is None:
+                flows = jnp.zeros(styled.shape[:3] + (2,), jnp.float32)
+            out, new_state = temporal_postprocess_sharded(
+                mesh, styled, orig, flows, state=state, first=first,
+                mask_alphas=mask_alphas, mask_has=mask_has, **scan_kwargs,
+            )
+        else:
+            out, new_state = temporal_postprocess_scan(
+                styled, orig, flows,
+                init=None if first else state,
+                mask_alphas=mask_alphas, mask_has=mask_has,
+                **scan_kwargs,
+            )
         return out, new_state, grays[-1]
 
     from PIL import Image
@@ -387,7 +495,40 @@ def style_frames_batched(args, frames_dir: Path, image_mode: bool, save_map: dic
         outs = [
             o if o.shape[1:3] == (H0, W0) else resize_bilinear(o, (H0, W0)) for o in outs
         ]
-        styled = blend_batch(jnp.stack(outs, 0))
+        if region_active:
+            # Region composite per frame against the batched slot outputs —
+            # the identical host mask generation/animation as the per-frame
+            # path (same caches, same RNG call order), einsum composite
+            # in-graph. Padded tail frames reuse the last real frame so the
+            # mask RNG stream matches the per-frame path exactly.
+            from ..region import blend_by_regions, blend_by_regions_advanced
+
+            styled_frames = []
+            for i in range(B):
+                if i >= n_real:
+                    styled_frames.append(styled_frames[-1])
+                    continue
+                styled_frames.append(_region_blend(
+                    args, [o[i] for o in outs], orig[i], H0, W0, b0 + i + 1,
+                    num_models, region_seed, morph_anim, blend_anims,
+                    blend_by_regions, blend_by_regions_advanced,
+                    scale_anims=scale_anims, region_sizes=region_sizes,
+                ))
+            styled = jnp.stack(styled_frames, 0)
+        else:
+            styled = blend_batch(jnp.stack(outs, 0))
+
+        m_alphas = m_has = None
+        if mask_active:
+            alphas_np = np.zeros((B, H0, W0, 1), np.float32)
+            has_np = np.zeros((B,), bool)
+            for i in range(n_real):
+                alphas_np[i], has_np[i] = _frame_alpha(chunk[i], H0, W0)
+                if has_np[i] and (args.mask_debug_alpha or args.mask_debug_overlay):
+                    _mask_debug_dump(args, frames_dir, b0 + i + 1,
+                                     alphas_np[i], imgs[i])
+            m_alphas = jnp.asarray(alphas_np)
+            m_has = jnp.asarray(has_np)
 
         first = state is None
         if first:
@@ -396,7 +537,8 @@ def style_frames_batched(args, frames_dir: Path, image_mode: bool, save_map: dic
                 jnp.zeros((H0, W0, 3), jnp.float32), jnp.zeros((H0, W0, 3), jnp.float32)
             )
             prev_gray = grays[0]
-        out, state, prev_gray = batch_post(styled, orig, grays, prev_gray, state, first)
+        out, state, prev_gray = batch_post(styled, orig, grays, prev_gray,
+                                           state, first, m_alphas, m_has)
 
         # One-batch pipelining: the u8 result stays a device array here (jax
         # dispatch is async); the PREVIOUS batch's outputs are materialized
@@ -692,23 +834,9 @@ def style_frames(args, frames_dir: Path, image_mode: bool, save_map: dict[int, s
             )
             out01 = mask_composite(out01, x_orig_j, jnp.asarray(alpha))
             mask_used = True
-            # Debug artifacts (reference: pipeline.py:2017-2025, 2055-2070).
             if args.mask_debug_alpha or args.mask_debug_overlay:
-                from PIL import Image as _Image
-
-                debug_dir = frames_dir.parent / "debug"
-                debug_dir.mkdir(parents=True, exist_ok=True)
-                if args.mask_debug_alpha:
-                    _Image.fromarray((alpha[..., 0] * 255).astype(np.uint8)).save(
-                        debug_dir / f"alpha_{idx:04d}.png"
-                    )
-                if args.mask_debug_overlay:
-                    base_u8 = (np.asarray(x_orig_j) * 255).clip(0, 255).astype(np.uint8)
-                    tint = np.zeros_like(base_u8)
-                    tint[..., 0] = 255
-                    a3 = np.repeat(alpha, 3, axis=2)
-                    overlay = (base_u8 * (1.0 - 0.35 * a3) + tint * (0.35 * a3)).clip(0, 255).astype(np.uint8)
-                    _Image.fromarray(overlay).save(debug_dir / f"overlay_{idx:04d}.jpg", quality=92)
+                base_u8 = (np.asarray(x_orig_j) * 255).clip(0, 255).astype(np.uint8)
+                _mask_debug_dump(args, frames_dir, idx, alpha, base_u8)
 
         # --- motion-adaptive / uniform blend (reference: pipeline.py:2072-2092) ---
         if args.motion_blend and last_flow is not None and not mask_used:
@@ -1076,14 +1204,14 @@ def main(argv=None) -> int:
             out_stem = f"{args.output_prefix}_{m.group(1)}" if m else f"{base}{args.output_suffix or ''}"
             save_map[i] = str((Path(args.output_dir) / f"{out_stem}{out_ext}").resolve())
 
-    use_batched = (
-        args.frame_batch > 1
-        and not args.region_mode
-        and not args.mask
-        and not args.mask_dir
-    )
+    # Region-blended and mask-composited jobs ride the batched path too
+    # (reference semantics: pipeline.py:1124-1407, 1982-2048). Only the
+    # crop-based --region_optimize stays per-frame: it styles per-region
+    # crops instead of full frames, which is its own batching scheme.
+    use_batched = args.frame_batch > 1 and not (args.region_mode and args.region_optimize)
     if args.frame_batch > 1 and not use_batched:
-        print("[warn] --frame_batch falls back to per-frame processing with region/mask options.")
+        print("[note] --region_optimize styles per-region crop batches; the "
+              "full-frame batched path does not apply.")
     runner = style_frames_batched if use_batched else style_frames
     if args.profile_dir:
         import jax

@@ -52,3 +52,69 @@ def temporal_halo_exchange(prev_last_frames: jnp.ndarray, axis: str = "data") ->
     n = jax.lax.axis_size(axis)
     perm = [(i, (i + 1) % n) for i in range(n)]
     return jax.lax.ppermute(prev_last_frames, axis, perm)
+
+
+def temporal_postprocess_sharded(
+    mesh: Mesh,
+    styled01: jnp.ndarray,
+    orig01: jnp.ndarray,
+    flows: jnp.ndarray,
+    *,
+    state,
+    first: bool,
+    mask_alphas: jnp.ndarray | None = None,
+    mask_has: jnp.ndarray | None = None,
+    axis: str = "data",
+    **scan_kwargs,
+):
+    """The temporal chain over an ICI-sharded frame batch: each shard scans
+    its local time chunk; the EMA seed for shard k is shard k-1's boundary
+    stylized frame, moved over the ring (temporal_halo_exchange). Shard 0
+    seeds from ``state`` — the true sequential carry from the previous batch —
+    so only the interior shard boundaries are chunked approximations: their
+    init ``prev`` is the raw boundary frame rather than its EMA-smoothed
+    version, an error that decays like (1-alpha)^t into each chunk (SURVEY §5:
+    the flow-EMA warp makes the recurrence non-associative, so chip-local
+    chunks with a 1-frame ICI halo is the TPU mapping).
+
+    ``flows`` must already be computed globally (flow t-1→t for every t, the
+    boundary pairs included), so the warp across each chunk seam uses the
+    true cross-boundary flow. Returns (out THWC, final TemporalState of the
+    LAST shard — the sequential carry for the next batch).
+    """
+    from jax import shard_map
+    from ..ops.color import rgb_to_lab_u8
+    from ..temporal.ema import TemporalState, temporal_postprocess_scan
+
+    n = mesh.shape[axis]
+    T = styled01.shape[0]
+    assert T % n == 0, (T, n)
+    if mask_alphas is None:
+        mask_alphas = jnp.zeros((T, 1, 1, 1), jnp.float32)
+        mask_has = jnp.zeros((T,), bool)
+
+    def chunk(styled_l, orig_l, flows_l, alphas_l, has_l, carry_styled, carry_lab):
+        idx = jax.lax.axis_index(axis)
+        halo = temporal_halo_exchange(styled_l[-1], axis)
+        init = TemporalState(
+            jnp.where(idx == 0, carry_styled, halo),
+            jnp.where(idx == 0, carry_lab, rgb_to_lab_u8(halo)),
+        )
+        warmup = jnp.logical_and(idx == 0, first)
+        out, fstate = temporal_postprocess_scan(
+            styled_l, orig_l, flows_l,
+            mask_alphas=alphas_l, mask_has=has_l,
+            init=init, warmup=warmup, **scan_kwargs,
+        )
+        return out, fstate.prev_styled01[None], fstate.prev_lab[None]
+
+    P_t = P(axis)
+    P_thwc = P(axis, None, None, None)
+    out, last_styled, last_lab = shard_map(
+        chunk,
+        mesh=mesh,
+        in_specs=(P_thwc, P_thwc, P_thwc, P_thwc, P_t, P(), P()),
+        out_specs=(P_thwc, P_thwc, P_thwc),
+    )(styled01, orig01, flows, mask_alphas, mask_has,
+      state.prev_styled01, state.prev_lab)
+    return out, TemporalState(last_styled[-1], last_lab[-1])

@@ -111,30 +111,50 @@ def temporal_postprocess_scan(
     motion_blend: bool = False,
     blend: float = 1.0,
     init: TemporalState | None = None,
+    mask_alphas: jnp.ndarray | None = None,
+    mask_has: jnp.ndarray | None = None,
+    composite_keep: bool = True,
+    warmup: jnp.ndarray | bool | None = None,
 ) -> tuple[jnp.ndarray, TemporalState]:
     """Run the full per-frame temporal chain over a THWC batch in one scan.
 
     flows[t] is the dense flow from frame t-1 → t (flows[0] is ignored for
     the first frame when ``init`` is None, matching the reference's warm-up
     behavior). Returns (output THWC, final state for the next chunk).
+
+    ``mask_alphas`` [T,H,W,1] + ``mask_has`` [T] enable the per-frame mask
+    composite between the LAB EMA and the final blend — the reference's
+    ordering (pipeline.py:1982-2048 then 2072-2092); a masked frame always
+    takes the uniform blend, never the motion-adaptive one
+    (reference: pipeline.py:2074 ``not mask_used``). ``composite_keep``:
+    keep = stylize masked region, replace = stylize unmasked
+    (reference: pipeline.py:2040-2043).
     """
     T = styled01.shape[0]
     use_lab = smooth_lightness or smooth_chroma
+    use_mask = mask_alphas is not None
 
     if flows is None:
         flows = jnp.zeros(styled01.shape[:3] + (2,), jnp.float32)
+    if not use_mask:
+        mask_alphas = jnp.zeros((T, 1, 1, 1), jnp.float32)
+        mask_has = jnp.zeros((T,), bool)
 
+    # ``warmup``: frame 0 has no real predecessor — skip its flow fusion and
+    # seed the LAB EMA from itself. Defaults from ``init`` presence; pass a
+    # traced bool to decide per shard inside shard_map (the chunked ICI
+    # temporal stage: only shard 0 of the first batch warms up).
     if init is None:
         init_state = TemporalState(styled01[0], rgb_to_lab_u8(styled01[0]))
-        first_is_warmup = True
+        first_is_warmup = True if warmup is None else warmup
     else:
         init_state = init
-        first_is_warmup = False
+        first_is_warmup = False if warmup is None else warmup
 
     ts = jnp.arange(T)
 
     def step(state: TemporalState, inp):
-        t, curr, orig, flow = inp
+        t, curr, orig, flow, alpha, has_mask = inp
         out = curr
         if flow_ema:
             fused = flow_ema_fuse(curr, state.prev_styled01, flow, flow_alpha)
@@ -155,13 +175,21 @@ def temporal_postprocess_scan(
             new_lab = sm
         else:
             new_lab = state.prev_lab
+        if use_mask:
+            comp = (out * alpha + orig * (1.0 - alpha)) if composite_keep \
+                else (orig * alpha + out * (1.0 - alpha))
+            out = jnp.where(has_mask, comp, out)
         if motion_blend:
             blended = motion_adaptive_blend(out, orig, flow, blend)
             skip = jnp.logical_and(t == 0, first_is_warmup)
+            if use_mask:
+                skip = jnp.logical_or(skip, has_mask)
             out = jnp.where(skip, uniform_blend(out, orig, blend), blended)
         else:
             out = uniform_blend(out, orig, blend)
         return TemporalState(new_prev_styled, new_lab), out
 
-    final_state, outs = jax.lax.scan(step, init_state, (ts, styled01, orig01, flows))
+    final_state, outs = jax.lax.scan(
+        step, init_state, (ts, styled01, orig01, flows, mask_alphas, mask_has)
+    )
     return outs, final_state
