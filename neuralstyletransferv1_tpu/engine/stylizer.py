@@ -197,38 +197,54 @@ def jit_stylizer(model: StyleModel, *, dtype=jnp.float32, optimize: bool = True,
         if dtype != jnp.float32:
             s2d_params = jax.tree.map(lambda a: a.astype(dtype), s2d_params)
 
-    def fn(x01):
+    has_fast = any(p is not None for p in
+                   (s2d_params, t7_fast_params, nst_fast_params,
+                    reco_fast_params))
+
+    def fast_apply(x):
+        """Fast f=2 forms; x must have H, W divisible by 4."""
         from ..models import transformer_net_s2d2 as tns2d
         from ..ops.resize import resize_bilinear
 
-        x = x01.astype(dtype)
-        if s2d_params is not None and x.shape[1] % 4 == 0 and x.shape[2] % 4 == 0:
+        if s2d_params is not None:
             out = jnp.clip(tns2d.apply(s2d_params, x), 0.0, 1.0)
             if out.shape[1:3] != x.shape[1:3]:
                 out = resize_bilinear(out, (x.shape[1], x.shape[2]))
-        elif (t7_fast_params is not None and x.shape[1] % 4 == 0
-              and x.shape[2] % 4 == 0):
+            return out
+        if t7_fast_params is not None:
             from ..io.t7_fast import t7_fast_apply
 
             xin = iop.preprocess(m.io_preset, x)
-            out = iop.postprocess(m.io_preset, t7_fast_apply(t7_fast_params,
-                                                             xin))
-        elif (nst_fast_params is not None and x.shape[1] % 4 == 0
-              and x.shape[2] % 4 == 0):
+            return iop.postprocess(m.io_preset, t7_fast_apply(t7_fast_params,
+                                                              xin))
+        if nst_fast_params is not None:
             from ..models import transformer_net_nst_fast as nstf
 
             xin = iop.preprocess(m.io_preset, x)
-            out = iop.postprocess(m.io_preset, nstf.apply(nst_fast_params,
-                                                          xin))
-        elif (reco_fast_params is not None and x.shape[1] % 4 == 0
-              and x.shape[2] % 4 == 0):
-            from ..models import reconet_fast
+            return iop.postprocess(m.io_preset, nstf.apply(nst_fast_params,
+                                                           xin))
+        from ..models import reconet_fast
 
-            xin = iop.preprocess(m.io_preset, x)
-            out = iop.postprocess(m.io_preset,
-                                  reconet_fast.apply(reco_fast_params, xin))
-        else:
+        xin = iop.preprocess(m.io_preset, x)
+        return iop.postprocess(m.io_preset,
+                               reconet_fast.apply(reco_fast_params, xin))
+
+    def fn(x01):
+        x = x01.astype(dtype)
+        H, W = x.shape[1], x.shape[2]
+        ph, pw = (-H) % 4, (-W) % 4
+        if not has_fast or H < 8 or W < 8:
             out = stylize(m.arch, m.params, m.io_preset, x)
+        elif ph or pw:
+            # Arbitrary resolutions ride the fast forms: reflect-pad H/W to
+            # the next multiple of 4 and crop back. The reference's own net
+            # grows odd dims to %4 before the pipeline resizes down
+            # (reference: pipeline.py:1514-1518) — pad-and-crop keeps the
+            # interior lossless instead of blurring the whole frame.
+            xp = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="reflect")
+            out = fast_apply(xp)[:, :H, :W]
+        else:
+            out = fast_apply(x)
         return out.astype(jnp.float32)
 
     return _jit_batch(fn, mesh)
