@@ -251,9 +251,10 @@ def jit_stylizer(model: StyleModel, *, dtype=jnp.float32, optimize: bool = True,
 
 
 def _jit_magenta_stylizer(model: StyleModel, *, dtype=jnp.float32):
-    """Magenta slot: optional downscale → batched tiled transform → feather
-    stitch → upscale back (reference flow: pipeline.py:190-265). One compile
-    per content shape; all tiles run as a single device batch."""
+    """Magenta slot: optional downscale → tiled transform → feather stitch →
+    upscale back (reference flow: pipeline.py:190-265). One compile per
+    content shape; tiles from the WHOLE frame batch run as one device batch
+    (models/magenta.stylize_tiled_batch)."""
     from ..models import magenta
     from ..ops.resize import resize_bilinear
 
@@ -264,20 +265,16 @@ def _jit_magenta_stylizer(model: StyleModel, *, dtype=jnp.float32):
 
     @jax.jit
     def fn(x01):
-        outs = []
-        for i in range(x01.shape[0]):
-            c = x01[i]
-            H, W = c.shape[0], c.shape[1]
-            work = c
-            if target_res and max(H, W) > target_res:
-                r = target_res / max(H, W)
-                work = resize_bilinear(c, (int(H * r), int(W * r)))
-            y = magenta.stylize_tiled(params, work, style01, tile_size=tile,
-                                      overlap=overlap, transfer_fn=transfer_fn)
-            if y.shape[:2] != (H, W):
-                y = resize_bilinear(y, (H, W))
-            outs.append(y)
-        return jnp.stack(outs, 0).astype(jnp.float32)
+        H, W = x01.shape[1], x01.shape[2]
+        work = x01
+        if target_res and max(H, W) > target_res:
+            r = target_res / max(H, W)
+            work = resize_bilinear(x01, (int(H * r), int(W * r)))
+        y = magenta.stylize_tiled_batch(params, work, style01, tile_size=tile,
+                                        overlap=overlap, transfer_fn=transfer_fn)
+        if y.shape[1:3] != (H, W):
+            y = resize_bilinear(y, (H, W))
+        return y.astype(jnp.float32)
 
     return fn
 
@@ -294,21 +291,50 @@ def stack_models(models: list[StyleModel]) -> StyleModel:
                       f"bank[{len(models)}]", models[0].model_type)
 
 
-def jit_ladder_stylizer(models: list[StyleModel], *, dtype=jnp.float32):
+def jit_ladder_stylizer(models: list[StyleModel], *, dtype=jnp.float32,
+                        optimize: bool = True):
     """One jitted call styling a batch with EVERY model of a same-arch bank
     (the style_all_weights / weight-ladder workload, BASELINE config #2).
 
     Returns f(batch01[N,H,W,C]) -> [M,N,H,W,C]: the vmap over stacked params
     multiplies MXU work per dispatch instead of re-dispatching per checkpoint.
+
+    With ``optimize`` (default), Johnson banks vmap the f=2 s2d2 fast form
+    with each model's IO-preset affines baked in (exact — same path as
+    jit_stylizer); inputs with H/W not divisible by 4 reflect-pad and crop
+    like the single-model path.
     """
     bank = stack_models(models)
+    arch, preset = bank.arch, bank.io_preset
+
+    s2d_stack = None
+    if optimize and arch == "johnson":
+        from ..models import transformer_net_s2d2 as tns2d
+
+        per_model = [
+            tns2d.bake_io_affine(tns2d.from_johnson_params(m.params), preset)
+            for m in models
+        ]
+        s2d_stack = jax.tree.map(lambda *xs: jnp.stack(xs, 0), *per_model)
+        if dtype != jnp.float32:
+            s2d_stack = jax.tree.map(lambda a: a.astype(dtype), s2d_stack)
+
     if dtype != jnp.float32:
         bank = bank.cast(dtype)
-    arch, preset = bank.arch, bank.io_preset
 
     @jax.jit
     def fn(x01):
         x = x01.astype(dtype)
+        if s2d_stack is not None and x.shape[1] >= 8 and x.shape[2] >= 8:
+            from ..models import transformer_net_s2d2 as tns2d
+
+            H, W = x.shape[1], x.shape[2]
+            ph, pw = (-H) % 4, (-W) % 4
+            xp = (jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="reflect")
+                  if (ph or pw) else x)
+            out = jax.vmap(lambda p: jnp.clip(tns2d.apply(p, xp), 0.0, 1.0))(
+                s2d_stack)
+            return out[:, :, :H, :W].astype(jnp.float32)
 
         def one(params):
             return stylize(arch, params, preset, x)

@@ -85,3 +85,24 @@ def test_magenta_cli_slot(tmp_path):
     )
     assert rc == 0
     assert Image.open(out).size == (128, 96)
+
+
+def test_stylize_tiled_batch_matches_perframe():
+    """Frame-batched tiling (all frames' tiles in one transform batch) must
+    match the per-frame path exactly (VERDICT round 2, Missing #7)."""
+    import jax
+
+    from neuralstyletransferv1_tpu.models import magenta
+
+    params = magenta.init(jax.random.key(0))
+    rng = np.random.default_rng(3)
+    frames = jnp.asarray(rng.random((3, 70, 90, 3)), jnp.float32)
+    style = jnp.asarray(rng.random((64, 64, 3)), jnp.float32)
+
+    batched = magenta.stylize_tiled_batch(params, frames, style,
+                                          tile_size=64, overlap=16)
+    for i in range(3):
+        single = magenta.stylize_tiled(params, frames[i], style,
+                                       tile_size=64, overlap=16)
+        np.testing.assert_allclose(np.asarray(batched[i]), np.asarray(single),
+                                   atol=2e-6)
