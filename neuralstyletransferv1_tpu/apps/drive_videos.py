@@ -329,7 +329,58 @@ def main(argv=None) -> int:
         print(f"[drive] no videos in {in_dir}")
         return 0
 
+    ctx = (dirs, out_dir, pytorch_models, torch_models, magenta_styles,
+           magenta_available, magenta_dir)
+
+    # ---- multi-host work sharding (SURVEY §2.8's DCN axis; the reference
+    # is single-host serial, drive_videos.py:918) ----
+    queue_dir = os.getenv("QUEUE_DIR", "").strip()
+    if queue_dir:
+        # Dynamic per-video claiming over a shared filesystem: run this SAME
+        # command on every host with the same QUEUE_DIR. Enqueue is
+        # idempotent (job id = video name), claiming is atomic-rename.
+        from ..parallel.jobqueue import JobQueue, default_worker_id
+
+        q = JobQueue(queue_dir)
+        role = os.getenv("QUEUE_ROLE", "both").lower()
+        if role in ("enqueue", "both"):
+            added = sum(q.enqueue_unique({"video": str(v)}, job_id=v.stem)
+                        for v in vids)
+            print(f"[drive] queue {queue_dir}: enqueued {added} new / "
+                  f"{len(vids)} videos ({q.counts()})")
+        if role in ("work", "both"):
+            worker = os.getenv("WORKER_ID", "") or default_worker_id()
+
+            def _job(rec):
+                _process_video(pathlib.Path(rec["video"]), ctx)
+                return {}
+
+            n = q.work(_job, worker=worker,
+                       stale_secs=float(os.getenv("QUEUE_STALE_SECS", "1800")))
+            print(f"[drive] worker {worker} processed {n} video(s); "
+                  f"queue now {q.counts()}")
+        return 0
+
+    num_hosts = int(os.getenv("NUM_HOSTS", "1") or 1)
+    if num_hosts > 1:
+        # Static round-robin for hosts with no shared filesystem.
+        from ..parallel.jobqueue import shard_static
+
+        host_id = int(os.getenv("HOST_ID", "0") or 0)
+        vids = shard_static(vids, host_id, num_hosts)
+        print(f"[drive] host {host_id}/{num_hosts}: {len(vids)} video(s)")
+
     for vid in vids:
+        _process_video(vid, ctx)
+    return 0
+
+
+def _process_video(vid, ctx) -> None:
+    """Plan + render ONE video (the reference's per-video loop body,
+    drive_videos.py:918-1010) — the work unit for multi-host sharding."""
+    (dirs, out_dir, pytorch_models, torch_models, magenta_styles,
+     magenta_available, magenta_dir) = ctx
+    if True:  # keep the original loop body's indentation
         models_env = os.getenv("MODELS", "").strip()
         if models_env:
             models = parse_models_env(models_env)
@@ -344,7 +395,7 @@ def main(argv=None) -> int:
 
             if os.getenv("MONTAGE", "0").lower() in {"1", "true", "yes", "on"}:
                 _montage(vid, models, models_env, dirs, out_dir)
-                continue
+                return
 
             strategy = os.getenv("CHUNK_STRATEGY", "chunk").lower()
             chunks = plan_chunks(models, strategy)
@@ -359,7 +410,7 @@ def main(argv=None) -> int:
                     _run_chunk(vid, env)
                 except Exception as e:  # keep going per-video like the reference
                     print(f"[error] Video {vid.name}: chunk {idx} failed: {e}")
-            continue
+            return
 
         # Random plan path
         config = random_plan(vid.name, pytorch_models, torch_models, magenta_styles,
@@ -378,7 +429,6 @@ def main(argv=None) -> int:
             _run_chunk(vid, env)
         except Exception as e:
             print(f"[error] Video {vid.name}: {e}")
-    return 0
 
 
 def _montage(vid, models, models_env, dirs, out_dir):
