@@ -121,6 +121,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
                     "stylize runs batched and the temporal chain runs as one "
                     "in-graph scan per batch. Region modes fall back to "
                     "per-frame processing.")
+    ap.add_argument("--stream", choices=["auto", "off"], default="auto",
+                    help="Video jobs with --frame_batch stream decode → "
+                    "device → encode with NO per-frame files (threaded "
+                    "overlap of video IO with device compute; same fps "
+                    "select/scale/resample math as extract+assemble). "
+                    "'off' restores the extract → frame files → assemble "
+                    "flow, e.g. to keep intermediate frames in the work dir.")
     ap.add_argument("--mesh_devices", type=int, default=0,
                     help="Shard each stylize batch across the first N devices "
                     "(data-parallel over a 1-D ICI mesh; params replicate). "

@@ -237,19 +237,14 @@ def load_slot_bank(args) -> list:
 # ---------------------------------------------------------------------------
 
 
-def style_frames_batched(args, frames_dir: Path, image_mode: bool, save_map: dict[int, str]):
-    """Process frames in device batches: one jitted stylize per batch and the
-    whole temporal chain (flow EMA / LAB EMA / mask composite / motion blend)
-    as an in-graph scan (temporal.temporal_postprocess_scan). State carries
-    across batches.
+def _make_batched_core(args, frames_dir: Path):
+    """The jitted per-batch compute pipeline shared by the file-driven
+    batched path and the streaming video path: slot-bank stylize →
+    region/mask composite → temporal chain, with uint8 device transfers.
 
-    Region blending (--region_mode) and mask compositing (--mask/--mask_dir)
-    ride this path too: region masks are host-generated per frame exactly as
-    on the per-frame path (same caches/animations) and composited in-graph
-    against the batched slot outputs; mask alphas stack per batch and
-    composite inside the temporal scan at the reference's position in the
-    chain (pipeline.py:1982-2048). Only the crop-based --region_optimize
-    stays per-frame (it deliberately avoids full-frame stylization).
+    Returns (B, process_batch) where
+    ``process_batch(imgs: list[np.uint8 HWC], names: list[Path], b0) ->
+    device uint8 [B,H,W,3]`` (temporal state carries across calls).
     """
     import jax
     import jax.numpy as jnp
@@ -292,9 +287,6 @@ def style_frames_batched(args, frames_dir: Path, image_mode: bool, save_map: dic
         if (num_models > 1 and not use_lab_blend)
         else [1.0]
     )
-
-    frame_files = list_frame_files(args, frames_dir)
-    preflight_mask_dir(args, frame_files)
 
     # Region config, parsed once like the per-frame path.
     region_active = bool(args.region_mode)
@@ -440,27 +432,6 @@ def style_frames_batched(args, frames_dir: Path, image_mode: bool, save_map: dic
             )
         return out, new_state, grays[-1]
 
-    from PIL import Image
-
-    # C++ threaded decode prefetcher: staged frames carry no EXIF (the
-    # engine strips it when staging / extraction writes clean files), so the
-    # native path is exact; any unavailable/failed decode falls back to PIL.
-    native_iter = None
-    try:
-        from ..io.native_loader import NativeFrameLoader
-
-        native_iter = NativeFrameLoader(frame_files, threads=4,
-                                        capacity=max(8, 2 * B))
-        print(f"[batch] native frame loader active ({len(frame_files)} frames)")
-    except Exception as e:
-        print(f"[batch] native frame loader unavailable ({e}); using PIL")
-
-    state = None
-    prev_gray = None
-    written = 0
-    pending = None  # previous batch's (device u8, chunk, n, b0) — see _flush
-    infer_hw = None  # --inference_res (reference: pipeline.py:1089-1097)
-    t_start = time.perf_counter()
     # uint8 host<->device transfers: frames cross the PCIe/relay link as u8
     # (4x less than f32) and convert on device; the output clip*255 truncation
     # happens on device too — identical math to the previous host-side
@@ -468,27 +439,25 @@ def style_frames_batched(args, frames_dir: Path, image_mode: bool, save_map: dic
     _to01 = jax.jit(lambda u: u.astype(jnp.float32) / 255.0)
     _tou8 = jax.jit(lambda o: (jnp.clip(o, 0.0, 1.0) * 255.0)
                     .astype(jnp.uint8))
+    _jgray = jax.jit(lambda x: rgb_to_gray(x * 255.0))
 
-    for b0 in range(0, len(frame_files), B):
-        chunk = frame_files[b0 : b0 + B]
-        if native_iter is not None:
-            imgs = [next(native_iter) for _ in chunk]
-        else:
-            imgs = [np.asarray(fio.load_image_exif_rgb(str(p)), np.uint8)
-                    for p in chunk]
+    carry = {"state": None, "prev_gray": None, "infer_hw": None}
+
+    def process_batch(imgs: list, names: list, b0: int):
         n_real = len(imgs)
+        imgs = list(imgs)
         while len(imgs) < B:  # pad final batch, outputs ignored
             imgs.append(imgs[-1])
         orig = _to01(jnp.asarray(np.stack(imgs, 0)))
         H0, W0 = int(orig.shape[1]), int(orig.shape[2])
-        grays = jax.jit(lambda x: rgb_to_gray(x * 255.0))(orig)
+        grays = _jgray(orig)
 
         src = orig
         if args.inference_res and max(H0, W0) > args.inference_res:
-            if infer_hw is None:
+            if carry["infer_hw"] is None:
                 s = args.inference_res / max(H0, W0)
-                infer_hw = (int(round(H0 * s)), int(round(W0 * s)))
-            src = resize_bilinear(orig, infer_hw)
+                carry["infer_hw"] = (int(round(H0 * s)), int(round(W0 * s)))
+            src = resize_bilinear(orig, carry["infer_hw"])
 
         outs = [fn(src) for fn in stylize_fns]
         # lock to content size (reference: pipeline.py:1514-1518)
@@ -523,64 +492,192 @@ def style_frames_batched(args, frames_dir: Path, image_mode: bool, save_map: dic
             alphas_np = np.zeros((B, H0, W0, 1), np.float32)
             has_np = np.zeros((B,), bool)
             for i in range(n_real):
-                alphas_np[i], has_np[i] = _frame_alpha(chunk[i], H0, W0)
+                alphas_np[i], has_np[i] = _frame_alpha(names[i], H0, W0)
                 if has_np[i] and (args.mask_debug_alpha or args.mask_debug_overlay):
                     _mask_debug_dump(args, frames_dir, b0 + i + 1,
                                      alphas_np[i], imgs[i])
             m_alphas = jnp.asarray(alphas_np)
             m_has = jnp.asarray(has_np)
 
-        first = state is None
+        first = carry["state"] is None
         if first:
-            H0, W0 = orig.shape[1], orig.shape[2]
-            state = TemporalState(
+            carry["state"] = TemporalState(
                 jnp.zeros((H0, W0, 3), jnp.float32), jnp.zeros((H0, W0, 3), jnp.float32)
             )
-            prev_gray = grays[0]
-        out, state, prev_gray = batch_post(styled, orig, grays, prev_gray,
-                                           state, first, m_alphas, m_has)
+            carry["prev_gray"] = grays[0]
+        out, carry["state"], carry["prev_gray"] = batch_post(
+            styled, orig, grays, carry["prev_gray"], carry["state"], first,
+            m_alphas, m_has)
+        return _tou8(out)
 
-        # One-batch pipelining: the u8 result stays a device array here (jax
-        # dispatch is async); the PREVIOUS batch's outputs are materialized
-        # and JPEG-encoded while the device crunches this batch, so host IO
-        # rides under device compute.
-        def _flush(ent):
-            out_dev, f_chunk, f_n, f_b0 = ent
-            nonlocal written
-            out_np = np.asarray(out_dev)
-            for i in range(f_n):
-                idx = f_b0 + i + 1
-                frame_path = f_chunk[i]
-                idx_str = frame_path.stem.split("_")[-1]
-                save_as_jpg = args.image_ext.lower() == "jpg"
-                if image_mode and idx in save_map:
-                    out_path = Path(save_map[idx])
-                    out_path.parent.mkdir(parents=True, exist_ok=True)
-                    save_as_jpg = out_path.suffix.lower() in (".jpg", ".jpeg")
-                else:
-                    out_path = (
-                        frames_dir / f"{args.output_prefix}_{idx_str}"
-                    ).with_suffix(".jpg" if save_as_jpg else ".png")
-                img = Image.fromarray(out_np[i])
-                if save_as_jpg:
-                    img.save(out_path, format="JPEG",
-                             quality=int(args.jpeg_quality))
-                else:
-                    img.save(out_path)
-                written += 1
-            done = min(f_b0 + B, len(frame_files))
-            fps_now = done / max(1e-9, time.perf_counter() - t_start)
-            print(f"[batch][{done}/{len(frame_files)}] {fps_now:.1f} "
-                  f"frames/s cumulative")
+    return B, process_batch
 
+
+def style_frames_batched(args, frames_dir: Path, image_mode: bool, save_map: dict[int, str]):
+    """Process frames in device batches: one jitted stylize per batch and the
+    whole temporal chain (flow EMA / LAB EMA / mask composite / motion blend)
+    as an in-graph scan (temporal.temporal_postprocess_scan). State carries
+    across batches.
+
+    Region blending (--region_mode) and mask compositing (--mask/--mask_dir)
+    ride this path too: region masks are host-generated per frame exactly as
+    on the per-frame path (same caches/animations) and composited in-graph
+    against the batched slot outputs; mask alphas stack per batch and
+    composite inside the temporal scan at the reference's position in the
+    chain (pipeline.py:1982-2048). Only the crop-based --region_optimize
+    stays per-frame (it deliberately avoids full-frame stylization).
+    """
+    from PIL import Image
+
+    B, process_batch = _make_batched_core(args, frames_dir)
+    frame_files = list_frame_files(args, frames_dir)
+    preflight_mask_dir(args, frame_files)
+
+    # C++ threaded decode prefetcher: staged frames carry no EXIF (the
+    # engine strips it when staging / extraction writes clean files), so the
+    # native path is exact; any unavailable/failed decode falls back to PIL.
+    native_iter = None
+    try:
+        from ..io.native_loader import NativeFrameLoader
+
+        native_iter = NativeFrameLoader(frame_files, threads=4,
+                                        capacity=max(8, 2 * B))
+        print(f"[batch] native frame loader active ({len(frame_files)} frames)")
+    except Exception as e:
+        print(f"[batch] native frame loader unavailable ({e}); using PIL")
+
+    written = 0
+    pending = None  # previous batch's (device u8, chunk, n, b0) — see _flush
+    t_start = time.perf_counter()
+
+    # One-batch pipelining: the u8 result stays a device array (jax dispatch
+    # is async); the PREVIOUS batch's outputs are materialized and
+    # JPEG-encoded while the device crunches this batch, so host IO rides
+    # under device compute.
+    def _flush(ent):
+        out_dev, f_chunk, f_n, f_b0 = ent
+        nonlocal written
+        out_np = np.asarray(out_dev)
+        for i in range(f_n):
+            idx = f_b0 + i + 1
+            frame_path = f_chunk[i]
+            idx_str = frame_path.stem.split("_")[-1]
+            save_as_jpg = args.image_ext.lower() == "jpg"
+            if image_mode and idx in save_map:
+                out_path = Path(save_map[idx])
+                out_path.parent.mkdir(parents=True, exist_ok=True)
+                save_as_jpg = out_path.suffix.lower() in (".jpg", ".jpeg")
+            else:
+                out_path = (
+                    frames_dir / f"{args.output_prefix}_{idx_str}"
+                ).with_suffix(".jpg" if save_as_jpg else ".png")
+            img = Image.fromarray(out_np[i])
+            if save_as_jpg:
+                img.save(out_path, format="JPEG",
+                         quality=int(args.jpeg_quality))
+            else:
+                img.save(out_path)
+            written += 1
+        done = min(f_b0 + B, len(frame_files))
+        fps_now = done / max(1e-9, time.perf_counter() - t_start)
+        print(f"[batch][{done}/{len(frame_files)}] {fps_now:.1f} "
+              f"frames/s cumulative")
+
+    for b0 in range(0, len(frame_files), B):
+        chunk = frame_files[b0 : b0 + B]
+        if native_iter is not None:
+            imgs = [next(native_iter) for _ in chunk]
+        else:
+            imgs = [np.asarray(fio.load_image_exif_rgb(str(p)), np.uint8)
+                    for p in chunk]
+        out_dev = process_batch(imgs, chunk, b0)
         if pending is not None:
             _flush(pending)
-        pending = (_tou8(out), chunk, n_real, b0)
+        pending = (out_dev, chunk, len(chunk), b0)
     if pending is not None:
         _flush(pending)
     if native_iter is not None:
         native_iter.close()
     return written, len(frame_files)
+
+
+def style_video_stream(args, frames_dir: Path):
+    """Streaming video path: decode → device batches → encode, NO frame
+    files. Decode and encode ride background threads (io/frames
+    VideoFrameStream / VideoStreamWriter) so host video IO overlaps device
+    compute; the result is identical to extract → batched style → assemble
+    with the OpenCV toolchain (same fps-filter select, same scale math, same
+    output-clock resample), minus the per-frame image round trips — which
+    measured 0.6 fps e2e at 1080p against 115 fps device-side (BENCH r3).
+    Reference flow being replaced: pipeline.py:384-419 → 1444-1486 →
+    2128-2150.
+
+    Returns (written_frames, streamed_frames, src_fps).
+    """
+    B, process_batch = _make_batched_core(args, frames_dir)
+
+    extract_fps = args.pre_fps or args.fps
+    canvas_wh = None
+    if args.canvas:
+        cw, ch = args.canvas.lower().split("x")
+        canvas_wh = (int(cw), int(ch))
+    stream = fio.VideoFrameStream(
+        Path(args.input_video).resolve(), fps=extract_fps, scale=args.scale,
+        canvas_wh=canvas_wh, max_frames=args.max_frames,
+    )
+    framerate_in = float(args.pre_fps or args.fps or stream.src_fps or 24)
+    fps_out = float(args.fps) if (args.pre_fps and args.fps) else None
+    writer = fio.VideoStreamWriter(
+        Path(args.output_video).resolve(), framerate_in, fps_out,
+    )
+    est = stream.estimated_frames
+    if args.mask_dir:
+        # Index-based preflight (no frame files exist on this path).
+        md = Path(args.mask_dir)
+        if est and not any(
+            (md / f"mask_{i:04d}.png").exists() for i in range(1, est + 1)
+        ):
+            print(f"[mask][WARN] no mask_NNNN.png files in {md} match frames "
+                  f"1..{est}; frames without masks pass through fully styled.")
+
+    t_start = time.perf_counter()
+    streamed = 0
+    pending = None  # (device u8, n_real)
+
+    def _flush(ent):
+        out_dev, f_n = ent
+        out_np = np.asarray(out_dev)
+        for i in range(f_n):
+            writer.write(out_np[i])
+        fps_now = streamed / max(1e-9, time.perf_counter() - t_start)
+        total = f"/{est}" if est else ""
+        print(f"[stream][{streamed}{total}] {fps_now:.1f} frames/s cumulative")
+
+    batch_imgs: list = []
+    it = iter(stream)
+    while True:
+        frame = next(it, None)
+        if frame is not None:
+            batch_imgs.append(frame)
+            if len(batch_imgs) < B:
+                continue
+        if not batch_imgs:
+            break
+        b0 = streamed
+        names = [Path(f"frame_{b0 + i + 1:04d}.png")
+                 for i in range(len(batch_imgs))]
+        out_dev = process_batch(batch_imgs, names, b0)
+        streamed += len(batch_imgs)
+        if pending is not None:
+            _flush(pending)
+        pending = (out_dev, len(batch_imgs))
+        batch_imgs = []
+        if frame is None:
+            break
+    if pending is not None:
+        _flush(pending)
+    written = writer.close()
+    return written, streamed, stream.src_fps
 
 
 # ---------------------------------------------------------------------------
@@ -1161,9 +1258,23 @@ def main(argv=None) -> int:
             _purge(["frame_*.png", "frame_*.jpg", "frame_*.jpeg"])
         _purge(["styled_frame_*.png", "styled_frame_*.jpg", "styled_frame_*.jpeg"])
 
+    # Region-blended and mask-composited jobs ride the batched path too
+    # (reference semantics: pipeline.py:1124-1407, 1982-2048). Only the
+    # crop-based --region_optimize stays per-frame: it styles per-region
+    # crops instead of full frames, which is its own batching scheme.
+    use_batched = args.frame_batch > 1 and not (args.region_mode and args.region_optimize)
+    # Streaming: plain video jobs skip the frame-file round trip entirely
+    # (decode → device → encode; --stream off restores extract/assemble,
+    # e.g. to keep the intermediate frames in the work dir).
+    use_stream = (video_mode and use_batched
+                  and args.stream != "off")
+
     save_map: dict[int, str] = {}
     src_fps = None
-    if video_mode:
+    if video_mode and use_stream:
+        if args.pre_fps and args.fps:
+            print(f"[note] --pre_fps set; frames streamed at pre_fps={args.pre_fps}, encoded at fps={args.fps}.")
+    elif video_mode:
         input_video = Path(args.input_video).resolve()
         if args.pre_fps and args.fps:
             print(f"[note] --pre_fps set; frames extracted at pre_fps={args.pre_fps}, assembled at fps={args.fps}.")
@@ -1204,21 +1315,19 @@ def main(argv=None) -> int:
             out_stem = f"{args.output_prefix}_{m.group(1)}" if m else f"{base}{args.output_suffix or ''}"
             save_map[i] = str((Path(args.output_dir) / f"{out_stem}{out_ext}").resolve())
 
-    # Region-blended and mask-composited jobs ride the batched path too
-    # (reference semantics: pipeline.py:1124-1407, 1982-2048). Only the
-    # crop-based --region_optimize stays per-frame: it styles per-region
-    # crops instead of full frames, which is its own batching scheme.
-    use_batched = args.frame_batch > 1 and not (args.region_mode and args.region_optimize)
     if args.frame_batch > 1 and not use_batched:
         print("[note] --region_optimize styles per-region crop batches; the "
               "full-frame batched path does not apply.")
-    runner = style_frames_batched if use_batched else style_frames
     if args.profile_dir:
         import jax
 
         jax.profiler.start_trace(args.profile_dir)
     try:
-        written, planned = runner(args, frames_dir, image_mode_single or image_mode_batch, save_map)
+        if use_stream:
+            written, planned, _sfps = style_video_stream(args, frames_dir)
+        else:
+            runner = style_frames_batched if use_batched else style_frames
+            written, planned = runner(args, frames_dir, image_mode_single or image_mode_batch, save_map)
     finally:
         if args.profile_dir:
             import jax
@@ -1227,11 +1336,13 @@ def main(argv=None) -> int:
             print(f"[profile] trace written to {args.profile_dir}")
     print(f"[done] wrote {written}/{planned} styled frames")
 
-    if video_mode:
+    if video_mode and not use_stream:
         framerate_in = float(args.pre_fps or args.fps or src_fps or 24)
         fps_out = float(args.fps) if (args.pre_fps and args.fps) else None
         n = fio.assemble_video(frames_dir, Path(args.output_video).resolve(), framerate_in, fps_out)
         print(f"[assemble] {n} frames -> {args.output_video}")
+    elif video_mode:
+        print(f"[stream] encoded {written} frames -> {args.output_video}")
 
     # --clean_frames: drop extracted/styled frames after assembly
     # (reference: pipeline.py:2657-2661).

@@ -246,3 +246,54 @@ def test_batched_mask_dir_matches_perframe(small_video, tmp_path):
     for i, (x, y) in enumerate(zip(fa, fb)):
         mae = np.abs(x - y).mean()
         assert mae < 2.0, (i, mae)
+
+
+def test_stream_matches_file_path(small_video, tmp_path):
+    """--stream (decode→device→encode, no frame files) must match the
+    extract → batched-style → assemble flow frame-for-frame (PNG
+    intermediates make the file path lossless; both end in the same mp4
+    encoder, so only codec noise separates them)."""
+    cv2 = pytest.importorskip("cv2")
+
+    a = tmp_path / "file.mp4"
+    b = tmp_path / "stream.mp4"
+    common = ["--frame_batch", "4", "--image_ext", "png"]
+    _run(small_video, a, tmp_path / "_w1", common + ["--stream", "off"])
+    _run(small_video, b, tmp_path / "_w2", common)
+
+    # streaming left no frame files behind
+    assert not list((tmp_path / "_w2").glob("**/frame_*.png"))
+    assert not list((tmp_path / "_w2").glob("**/styled_frame_*"))
+
+    def frames(p):
+        cap = cv2.VideoCapture(str(p))
+        out = []
+        while True:
+            ok, fr = cap.read()
+            if not ok:
+                break
+            out.append(fr.astype(np.float32))
+        return out
+
+    fa, fb = frames(a), frames(b)
+    assert len(fa) == len(fb) and len(fa) == 6
+    for i, (x, y) in enumerate(zip(fa, fb)):
+        mae = np.abs(x - y).mean()
+        assert mae < 2.0, (i, mae)
+
+
+def test_stream_pre_fps_resample(small_video, tmp_path):
+    """--pre_fps + --fps through the streaming path resamples onto the
+    output clock exactly like assemble_video (duplicate/drop)."""
+    cv2 = pytest.importorskip("cv2")
+
+    out = tmp_path / "o.mp4"
+    _run(small_video, out, tmp_path / "_w",
+         ["--frame_batch", "3", "--pre_fps", "4"])
+    # source is 8 fps, 6 frames (0.75 s): pre_fps 4 -> 3 streamed frames,
+    # encoded at fps 8 -> ~6 output frames (duplicates)
+    cap = cv2.VideoCapture(str(out))
+    n = 0
+    while cap.read()[0]:
+        n += 1
+    assert n == 6, n
