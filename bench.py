@@ -221,7 +221,7 @@ def _ladder(extras):
     """Config #2: vmapped 8-model Johnson bank @1080p (fast s2d2 forms)."""
     from neuralstyletransferv1_tpu.engine import stylizer as st
 
-    M, B = 8, 4
+    M, B = 8, 2  # B=4 exceeded HBM (16.09G/15.75G) with the chain harness
     models = [st.make_random_model("johnson", seed=s) for s in range(M)]
     f = st.jit_ladder_stylizer(models, dtype=jnp.bfloat16)
 

@@ -1,0 +1,89 @@
+"""mk24: in-net int8 A/B — the full s2d2 net at 1080p, bf16 vs --quantize
+int8 structure (same process, same protocol as the headline bench), plus
+the quality check (MAE of clipped outputs)."""
+
+import functools
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, "/root/repo")
+from neuralstyletransferv1_tpu import config
+from neuralstyletransferv1_tpu.models import transformer_net
+from neuralstyletransferv1_tpu.models import transformer_net_s2d2 as s2d2
+
+H, W = 1080, 1920
+
+
+def timed_step(step, batch, chain=8, repeats=2):
+    g = jax.jit(lambda x: jnp.sum(
+        jax.lax.fori_loop(0, chain, lambda i, y: step(y).astype(y.dtype), x)
+        .astype(jnp.float32)))
+    x = jax.random.uniform(jax.random.key(0), (batch, H, W, 3), jnp.bfloat16)
+    float(g(x))
+    best = float("inf")
+    for r in range(repeats):
+        x2 = jax.random.uniform(jax.random.key(100 + r), (batch, H, W, 3),
+                                jnp.bfloat16)
+        float(jnp.sum(x2.astype(jnp.float32)))
+        t0 = time.perf_counter()
+        float(g(x2))
+        best = min(best, time.perf_counter() - t0)
+    d1 = best
+    g1 = jax.jit(lambda x: jnp.sum(step(x).astype(jnp.float32)))
+    float(g1(x))
+    x2 = jax.random.uniform(jax.random.key(999), (batch, H, W, 3), jnp.bfloat16)
+    float(jnp.sum(x2.astype(jnp.float32)))
+    t0 = time.perf_counter()
+    float(g1(x2))
+    done = time.perf_counter() - t0
+    return (d1 - done) / (chain - 1)
+
+
+def main():
+    config.set_conv_precision("default")
+    print("device:", jax.devices()[0], flush=True)
+    params = transformer_net.init(jax.random.key(0))
+    bp32 = s2d2.bake_io_affine(s2d2.from_johnson_params(params), "imagenet_255")
+    bp = jax.tree.map(lambda a: a.astype(jnp.bfloat16), bp32)
+
+    import os
+    drop = set((os.environ.get("DROP_SITES") or "").split(",")) - {""}
+    only = set((os.environ.get("ONLY_SITES") or "").split(",")) - {""}
+    xc = jax.random.uniform(jax.random.key(7), (1, H, W, 3), jnp.float32)
+    scales = s2d2.calibrate_act_scales(bp32, xc)
+    if only:
+        def keep(k):
+            return k in only or ("res" in only and k.startswith("r"))
+        scales = {k: v for k, v in scales.items() if keep(k)}
+    scales = {k: v for k, v in scales.items() if k not in drop}
+    quant = s2d2.quantize_net(bp32, scales)
+    print(f"sites: {sorted(quant)}", flush=True)
+
+    def step_bf16(x):
+        return jnp.clip(s2d2.apply(bp, x), 0.0, 1.0)
+
+    def step_int8(x):
+        return jnp.clip(s2d2.apply(bp, x, quant=quant), 0.0, 1.0)
+
+    # quality on a real-ish input
+    y0 = np.asarray(jax.jit(step_bf16)(xc.astype(jnp.bfloat16)), np.float32)
+    y1 = np.asarray(jax.jit(step_int8)(xc.astype(jnp.bfloat16)), np.float32)
+    d = np.abs(y0 - y1)
+    print(f"quality: MAE {d.mean():.5f} max {d.max():.4f}", flush=True)
+
+    import os as _os
+    batches = (16,) if _os.environ.get("ONLY_SITES") else (16, 48)
+    for B in batches:
+        tb = timed_step(step_bf16, B)
+        print(f"[bf16 B{B}] {tb*1e3:.1f} ms/batch  {B/tb:.1f} fps", flush=True)
+        ti = timed_step(step_int8, B)
+        print(f"[int8 B{B}] {ti*1e3:.1f} ms/batch  {B/ti:.1f} fps", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -121,6 +121,15 @@ def build_arg_parser() -> argparse.ArgumentParser:
                     "stylize runs batched and the temporal chain runs as one "
                     "in-graph scan per batch. Region modes fall back to "
                     "per-frame processing.")
+    ap.add_argument("--quantize", choices=["none", "int8"], default="none",
+                    help="int8: Johnson slots run per-out-channel int8 convs "
+                    "with per-site activation scales calibrated on the first "
+                    "batch (conv1/deconv3 stay bf16). Output differs from "
+                    "the exact path by <1e-2 MAE (quality-gated in tests). "
+                    "NOTE: under the current XLA lowering this is NOT faster "
+                    "than bf16 (the materialized quantize passes offset the "
+                    "2.3x conv win — PERF.md round-3); kept opt-in as the "
+                    "calibration/quality harness for the Pallas int8 path.")
     ap.add_argument("--stream", choices=["auto", "off"], default="auto",
                     help="Video jobs with --frame_batch stream decode → "
                     "device → encode with NO per-frame files (threaded "

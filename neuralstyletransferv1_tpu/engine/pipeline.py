@@ -280,7 +280,8 @@ def _make_batched_core(args, frames_dir: Path):
                 args.frame_batch = new_b
             mesh = make_mesh(n_mesh)
             print(f"[mesh] data-parallel stylize over {n_mesh} device(s)")
-    stylize_fns = [st.jit_stylizer(m, dtype=dtype, mesh=mesh) for m in models]
+    stylize_fns = [st.jit_stylizer(m, dtype=dtype, mesh=mesh,
+                                   quantize=args.quantize) for m in models]
     use_lab_blend = args.blend_models_lab and num_models > 1
     weights = (
         parse_blend_weights(args.blend_models_weights, num_models)
@@ -716,7 +717,8 @@ def style_frames(args, frames_dir: Path, image_mode: bool, save_map: dict[int, s
     num_models = len(models)
     print(f"[bank] {num_models} slot(s): " + ", ".join(f"{m.name}({m.arch}/{m.io_preset})" for m in models))
 
-    stylize_fns = [st.jit_stylizer(m, dtype=dtype) for m in models]
+    stylize_fns = [st.jit_stylizer(m, dtype=dtype,
+                                   quantize=args.quantize) for m in models]
 
     ext = args.image_ext
     frame_files = list_frame_files(args, frames_dir)

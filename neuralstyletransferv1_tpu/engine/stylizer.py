@@ -132,7 +132,7 @@ def _jit_batch(fn, mesh):
 
 
 def jit_stylizer(model: StyleModel, *, dtype=jnp.float32, optimize: bool = True,
-                 mesh=None):
+                 mesh=None, quantize: str = "none"):
     """Compile a stylize fn for one model; returns f(batch01) -> batch01.
 
     ``dtype=jnp.bfloat16`` selects the MXU speed path (params cast once).
@@ -186,28 +186,30 @@ def jit_stylizer(model: StyleModel, *, dtype=jnp.float32, optimize: bool = True,
             print(f"[stylizer] t7 fast path active for {model.name}")
 
     s2d_params = None
+    s2d_params32 = None
     if optimize and model.arch == "johnson":
         from ..models import transformer_net_s2d2 as tns2d
 
         # the IO preset's pre/post affines fold into conv1/deconv3 (exact;
         # kills the separate elementwise passes — PERF.md round-2c), so the
         # s2d2 path consumes/produces [0,1] RGB directly.
-        s2d_params = tns2d.bake_io_affine(
+        s2d_params32 = tns2d.bake_io_affine(
             tns2d.from_johnson_params(model.params), m.io_preset)
+        s2d_params = s2d_params32
         if dtype != jnp.float32:
-            s2d_params = jax.tree.map(lambda a: a.astype(dtype), s2d_params)
+            s2d_params = jax.tree.map(lambda a: a.astype(dtype), s2d_params32)
 
     has_fast = any(p is not None for p in
                    (s2d_params, t7_fast_params, nst_fast_params,
                     reco_fast_params))
 
-    def fast_apply(x):
+    def fast_apply(x, quant=None):
         """Fast f=2 forms; x must have H, W divisible by 4."""
         from ..models import transformer_net_s2d2 as tns2d
         from ..ops.resize import resize_bilinear
 
         if s2d_params is not None:
-            out = jnp.clip(tns2d.apply(s2d_params, x), 0.0, 1.0)
+            out = jnp.clip(tns2d.apply(s2d_params, x, quant=quant), 0.0, 1.0)
             if out.shape[1:3] != x.shape[1:3]:
                 out = resize_bilinear(out, (x.shape[1], x.shape[2]))
             return out
@@ -229,25 +231,62 @@ def jit_stylizer(model: StyleModel, *, dtype=jnp.float32, optimize: bool = True,
         return iop.postprocess(m.io_preset,
                                reconet_fast.apply(reco_fast_params, xin))
 
-    def fn(x01):
-        x = x01.astype(dtype)
-        H, W = x.shape[1], x.shape[2]
-        ph, pw = (-H) % 4, (-W) % 4
-        if not has_fast or H < 8 or W < 8:
-            out = stylize(m.arch, m.params, m.io_preset, x)
-        elif ph or pw:
-            # Arbitrary resolutions ride the fast forms: reflect-pad H/W to
-            # the next multiple of 4 and crop back. The reference's own net
-            # grows odd dims to %4 before the pipeline resizes down
-            # (reference: pipeline.py:1514-1518) — pad-and-crop keeps the
-            # interior lossless instead of blurring the whole frame.
-            xp = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="reflect")
-            out = fast_apply(xp)[:, :H, :W]
-        else:
-            out = fast_apply(x)
-        return out.astype(jnp.float32)
+    def make_fn(quant=None):
+        def fn(x01):
+            x = x01.astype(dtype)
+            H, W = x.shape[1], x.shape[2]
+            ph, pw = (-H) % 4, (-W) % 4
+            if not has_fast or H < 8 or W < 8:
+                out = stylize(m.arch, m.params, m.io_preset, x)
+            elif ph or pw:
+                # Arbitrary resolutions ride the fast forms: reflect-pad H/W
+                # to the next multiple of 4 and crop back. The reference's
+                # own net grows odd dims to %4 before the pipeline resizes
+                # down (reference: pipeline.py:1514-1518) — pad-and-crop
+                # keeps the interior lossless instead of blurring the whole
+                # frame.
+                xp = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)),
+                             mode="reflect")
+                out = fast_apply(xp, quant)[:, :H, :W]
+            else:
+                out = fast_apply(x, quant)
+            return out.astype(jnp.float32)
 
-    return _jit_batch(fn, mesh)
+        return fn
+
+    if quantize == "int8":
+        if s2d_params is None:
+            print(f"[stylizer][WARN] --quantize int8 supports the Johnson "
+                  f"s2d2 fast path only; {model.name} ({model.arch}) stays "
+                  f"{'bf16' if dtype != jnp.float32 else 'f32'}.")
+        else:
+            from ..models import transformer_net_s2d2 as tns2d
+
+            # Lazy first-batch calibration: one jitted f32 forward taps the
+            # per-site activation maxima, then the int8 graph compiles with
+            # static scales (PTQ structure per experiments/mk22: quantize
+            # rides the apply pass, per-channel dequant rides the conv's
+            # output fusion, conv1 stays bf16).
+            state: dict = {}
+
+            def call(x01):
+                if "fn" not in state:
+                    xc = x01[:1].astype(jnp.float32)
+                    H, W = xc.shape[1], xc.shape[2]
+                    ph, pw = (-H) % 4, (-W) % 4
+                    if ph or pw:
+                        xc = jnp.pad(xc, ((0, 0), (0, ph), (0, pw), (0, 0)),
+                                     mode="reflect")
+                    scales = tns2d.calibrate_act_scales(s2d_params32, xc)
+                    quant = tns2d.quantize_net(s2d_params32, scales)
+                    state["fn"] = _jit_batch(make_fn(quant), mesh)
+                    print(f"[stylizer] int8 path calibrated for {model.name} "
+                          f"({len(quant)} sites)")
+                return state["fn"](x01)
+
+            return call
+
+    return _jit_batch(make_fn(), mesh)
 
 
 def _jit_magenta_stylizer(model: StyleModel, *, dtype=jnp.float32):

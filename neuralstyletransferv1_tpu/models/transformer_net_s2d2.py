@@ -249,7 +249,7 @@ def _conv1_same_fixed(ys: jnp.ndarray, w: jnp.ndarray,
 
 
 def apply(params: dict, x: jnp.ndarray, *, tap=None,
-          fused_sites: tuple = ()) -> jnp.ndarray:
+          fused_sites: tuple = (), quant: dict | None = None) -> jnp.ndarray:
     """Forward pass, same contract as transformer_net.apply.
 
     x: NHWC with H, W divisible by 4. Instance norms split into a stats
@@ -273,6 +273,43 @@ def apply(params: dict, x: jnp.ndarray, *, tap=None,
     p = params
     if tap is None:
         tap = lambda name, t: None  # noqa: E731
+
+    def _qc(site, xin, wkey_w, bias=None, affine=None, **kw):
+        """Site conv: int8 (quantize folded into this read, per-channel
+        dequant into the conv's output fusion) when the site is in
+        ``quant``, plain bf16/f32 conv2d otherwise.
+
+        affine: optional deferred-IN ``(mean, inv, scale, bias, phases)``
+        (ReLU implied) that precedes the conv. In the bf16 path it runs as
+        the usual `_apply_in_relu` (fuses into the conv's input). In the
+        int8 path it folds INTO the quantize: q = clamp(round(x·(a·qin)
+        + b·qin), 0, 127) — one mul+add per element instead of the
+        affine→relu→bf16→f32→scale→round chain (the standalone quant
+        passes were 56.8 ms/B16 before folding; trace in PERF.md)."""
+        qs = quant.get(site) if quant is not None else None
+        if qs is None:
+            if affine is not None:
+                xin = _apply_in_relu(xin, *affine)
+            return conv2d(xin, wkey_w, bias, **kw)
+        from ..ops.conv import conv2d_i8
+
+        xf = xin.astype(jnp.float32)
+        if affine is not None:
+            m_, inv_, sc, bi, ph = affine
+            scf = sc.astype(jnp.float32)
+            a = (inv_ * scf) * qs["qin"]
+            bb = (bi.astype(jnp.float32) - m_ * inv_ * scf) * qs["qin"]
+            a = jnp.tile(a, (1, ph))[:, None, None, :]
+            bb = jnp.tile(bb, (1, ph))[:, None, None, :]
+            # qin > 0 so the ReLU folds into the clamp's lower bound
+            xq = jnp.clip(jnp.round(xf * a + bb), 0.0, 127.0)
+        else:
+            xq = jnp.clip(jnp.round(xf * qs["qin"]), -127.0, 127.0)
+        xq = xq.astype(jnp.int8)
+        y = conv2d_i8(xq, qs["w"], **kw).astype(jnp.float32) * qs["ws"]
+        if bias is not None:
+            y = y + bias.astype(jnp.float32)
+        return y.astype(xin.dtype)
     tap("c1", x)
 
     # conv1: the only input s2d, then a 2-block phase-reflect halo (padding
@@ -313,10 +350,9 @@ def apply(params: dict, x: jnp.ndarray, *, tap=None,
         y = _apply_in_relu(y, m, inv, p["in3"]["scale"], p["in3"]["bias"], 1)
     else:
         y = _pad_stride2_halo(y, 32)              # left/top phase halo
-        y = _apply_in_relu(y, m, inv, p["in1"]["scale"], p["in1"]["bias"], 4)
-
-        tap("c2", y)
-        y = conv2d(y, p["c2_w"], p["c2_b"])       # [B, H/2, W/2, 64] = 540p px
+        af = (m, inv, p["in1"]["scale"], p["in1"]["bias"], 4)
+        tap("c2", _apply_in_relu(y, *af))         # DCE'd when tap is a no-op
+        y = _qc("c2", y, p["c2_w"], p["c2_b"], affine=af)  # [B,H/2,W/2,64]
         m, inv = _in_stats(y, 1, 64)
         if _C3_BLOCK and "c3_wb" in p:
             # 2×2 block conv at K=256 on the s2d'd tensor instead of XLA's
@@ -330,28 +366,27 @@ def apply(params: dict, x: jnp.ndarray, *, tap=None,
             y = conv2d(x3, p["c3_wb"], p["c3_b"])      # [B, H/4, W/4, 128]
         else:
             y = reflect_pad_2d(y, 1)              # plain pixel reflect @540p
-            y = _apply_in_relu(y, m, inv, p["in2"]["scale"],
-                               p["in2"]["bias"], 1)
-            tap("c3", y)
-            y = conv2d(y, p["c3_w"], p["c3_b"], stride=2)
+            af = (m, inv, p["in2"]["scale"], p["in2"]["bias"], 1)
+            tap("c3", _apply_in_relu(y, *af))
+            y = _qc("c3", y, p["c3_w"], p["c3_b"], stride=2, affine=af)
         m, inv = _in_stats(y, 1, 128)
         y = _apply_in_relu(y, m, inv, p["in3"]["scale"], p["in3"]["bias"], 1)
 
     for i in range(1, 6):
         rp = p[f"res{i}"]
         tap(f"r{i}a", y)
-        r = conv2d(reflect_pad_2d(y, 1), rp["conv1"]["w"], rp["conv1"]["b"])
+        r = _qc(f"r{i}a", reflect_pad_2d(y, 1), rp["conv1"]["w"], rp["conv1"]["b"])
         m, inv = _in_stats(r, 1, 128)
         r = reflect_pad_2d(r, 1)
-        r = _apply_in_relu(r, m, inv, rp["in1"]["scale"], rp["in1"]["bias"], 1)
-        tap(f"r{i}b", r)
-        r = conv2d(r, rp["conv2"]["w"], rp["conv2"]["b"])
+        af = (m, inv, rp["in1"]["scale"], rp["in1"]["bias"], 1)
+        tap(f"r{i}b", _apply_in_relu(r, *af))
+        r = _qc(f"r{i}b", r, rp["conv2"]["w"], rp["conv2"]["b"], affine=af)
         y = instance_norm(r, rp["in2"]["scale"], rp["in2"]["bias"]) + y
 
     # deconv1: up×2 + conv → f2-of-540p on the 270 grid, then ONE d2s.
     tap("d1", y)
     y = _pad_edge_blocks(y)
-    y = conv2d(y, p["d1_w"], p["d1_b"])           # [B, H/4, W/4, 256]
+    y = _qc("d1", y, p["d1_w"], p["d1_b"])        # [B, H/4, W/4, 256]
     m, inv = _in_stats(y, 4, 64)
 
     if "tail" in fused_sites:
@@ -365,11 +400,11 @@ def apply(params: dict, x: jnp.ndarray, *, tap=None,
 
     y = d2s(y, 2, 64)                             # [B, H/2, W/2, 64] = 540p px
     y = _pad_edge_blocks(y)                       # nearest-up edge copies
-    y = _apply_in_relu(y, m, inv, p["in4"]["scale"], p["in4"]["bias"], 1)
 
     # deconv2: 3×3 on the 540 grid → 32ch@1080p as f2 phases.
-    tap("d2", y)
-    y = conv2d(y, p["d2_w"], p["d2_b"])           # [B, H/2, W/2, 128]
+    af = (m, inv, p["in4"]["scale"], p["in4"]["bias"], 1)
+    tap("d2", _apply_in_relu(y, *af))
+    y = _qc("d2", y, p["d2_w"], p["d2_b"], affine=af)  # [B, H/2, W/2, 128]
     m, inv = _in_stats(y, 4, 32)
 
     # deconv3: tap-packed — 1×5 conv to 60 lanes on the padded rows, then
@@ -416,7 +451,7 @@ def apply(params: dict, x: jnp.ndarray, *, tap=None,
         rig = _d3_strip(y[:, :, -4:])[:, :, -2:]
         ya = _apply_in_relu(y, m, inv, p["in5"]["scale"], p["in5"]["bias"], 4)
         tap("d3", ya)
-        rows = conv2d(ya, p["d3_w"], padding=(2, 2))  # [B, H/2+4, W/2, 60]
+        rows = _qc("d3", ya, p["d3_w"], padding=(2, 2))  # [B, H/2+4, W/2, 60]
         y = sum(rows[:, dy : dy + hb, :, dy * 12 : (dy + 1) * 12]
                 for dy in range(5))
         y = y.at[:, :2].set(top)
@@ -432,3 +467,70 @@ def apply(params: dict, x: jnp.ndarray, *, tap=None,
                 for dy in range(5))
     y = y + p["d3_b"].astype(y.dtype)             # [B, H/2, W/2, 12]
     return d2s(y, 2, 3)
+
+
+# ---------------------------------------------------------------------------
+# int8 engine mode (opt-in): per-out-channel int8 weights + per-site static
+# activation scales, with the FUSION-AWARE structure the round-2 PTQ lacked:
+# the quantize rides the existing apply-affine pass (bf16 read, int8 write),
+# the int8 conv accumulates in i32 on the MXU's 394-TOPS path, and the
+# per-channel dequant folds into the conv's output fusion (raws stay bf16 —
+# int8 raws measured slower, experiments/mk22_int8_xla_unit.py: bf16 2.75 /
+# int8 1.45 / int8-raws 1.56 ms per res unit). conv1 stays bf16 (shallow
+# 12-channel contraction was 4 -> 21 ms in s8, PERF.md round 2).
+# ---------------------------------------------------------------------------
+
+#: conv sites that ride int8 (site name -> param key); res sites are
+#: (res{i}, conv{1,2}). conv1 stays bf16 (shallow 12-ch contraction was
+#: 4 -> 21 ms in s8) and d3 stays bf16: its 60-lane i32 conv output
+#: refuses to fuse with the 5-row slice-add consumers, so XLA
+#: materializes s32[B,544,960,60] (OOM at B48; +26 ms at B16 —
+#: experiments/mk24_ab_int8.py with ONLY_SITES=d3).
+QUANT_SITES = ("c2", "c3", "r1a", "r1b", "r2a", "r2b", "r3a", "r3b",
+               "r4a", "r4b", "r5a", "r5b", "d1", "d2")
+
+
+def _site_weight(bp: dict, site: str):
+    if site.startswith("r"):
+        i, ab = int(site[1]), site[2]
+        rp = bp[f"res{i}"][f"conv{'1' if ab == 'a' else '2'}"]
+        return rp["w"]
+    return bp[f"{site}_w"]
+
+
+def calibrate_act_scales(bp: dict, x_cal: jnp.ndarray) -> dict:
+    """Per-site max|activation| from ONE jitted calibration forward: the tap
+    hook fires at trace time with exactly the tensor each conv consumes
+    (halos copy values, so maxima agree)."""
+    def run(x):
+        vals: dict = {}
+
+        def tap(site, t):
+            if site in QUANT_SITES:
+                vals[site] = jnp.max(jnp.abs(t.astype(jnp.float32)))
+
+        apply(bp, x, tap=tap)
+        return vals
+
+    out = jax.jit(run)(x_cal)
+    return {k: float(v) for k, v in out.items()}
+
+
+def quantize_net(bp: dict, act_scales: dict) -> dict:
+    """Build the ``quant=`` dict for ``apply``: per-out-channel symmetric
+    int8 weights; the activation scale folds into both the input quantizer
+    (qin = 127/A) and the dequant row (ws = w_scale * A / 127)."""
+    q = {}
+    for site in QUANT_SITES:
+        if site not in act_scales:
+            continue
+        w = np.asarray(_site_weight(bp, site), np.float32)
+        ws = np.maximum(np.max(np.abs(w), axis=(0, 1, 2)) / 127.0, 1e-12)
+        wq = np.clip(np.round(w / ws), -127, 127).astype(np.int8)
+        a = max(float(act_scales[site]), 1e-6)
+        q[site] = {
+            "w": jnp.asarray(wq),
+            "ws": jnp.asarray(ws * (a / 127.0), jnp.float32),
+            "qin": jnp.float32(127.0 / a),
+        }
+    return q

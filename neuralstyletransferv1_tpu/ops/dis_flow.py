@@ -100,6 +100,162 @@ def _bilinear_patch(img, y0, x0):
 # range (cost grows ~(PATCH+2R)²).
 NB_RADIUS = 6
 
+# Iteration engine: the Pallas per-patch-block kernel (all Gauss-Newton
+# iterations VMEM-resident; interpret-mode on CPU) vs the XLA
+# selection-einsum loop. Flip for A/B (experiments/mk23_ab_dis.py).
+_ITER_PALLAS = True
+
+# Neighborhood source: pre-warp I1 by the dense init flow (static strided
+# windows, no per-patch gather) vs the per-patch integer-init gather.
+_PREWARP = True
+
+
+def _iter_kernel(nb_ref, t_ref, g_ref, scal_ref, o0_ref, out_ref, *,
+                 iters: int, R: int):
+    """All Gauss-Newton iterations for one 128-patch block, in VMEM.
+
+    Patch-lane layout: lane p = one patch; nb (NBW, NBW, 128) is its
+    pre-gathered I1 neighborhood, t/gx/gy (P, P, 128) the template and its
+    gradients, scal (4, 128) = hxx, hxy, hyy, 1/det, o0 (2, 128) the init
+    offset (u - lo) in [0, 2R). The separable one-hot bilinear selection
+    runs as lane-broadcast fma chains (the XLA form materialized
+    [ny,nx,NSEL,P,NBW] stacks in HBM every iteration — PERF.md round 2b).
+    Writes (4, 128): ox, oy, residual, junk.
+    """
+    NSEL = 2 * R + 1
+    nb = nb_ref[0]                                    # (NBW, NBW, 128)
+    t = t_ref[0]                                      # (P, P, 128)
+    gx = g_ref[0, 0]                                  # (P, P, 128)
+    gy = g_ref[0, 1]
+    hxx = scal_ref[0, 0:1]                            # (1, 128)
+    hxy = scal_ref[0, 1:2]
+    hyy = scal_ref[0, 2:3]
+    inv_det = scal_ref[0, 3:4]
+    hi = 2 * R - 1e-3
+
+    def warp(o):
+        """o (2,128) offset -> warped (P, P, 128) via separable one-hot
+        bilinear row/col selection (exactly _sel/warp_from_nb)."""
+        ox = o[0:1]
+        oy = o[1:2]
+        iy = jnp.floor(oy)
+        fy = oy - iy
+        ix = jnp.floor(ox)
+        fx = ox - ix
+        rows = []
+        for i in range(PATCH):
+            acc = None
+            for a in range(NSEL):
+                wa = jnp.where(iy == float(a), 1.0 - fy,
+                               jnp.where(iy == float(a - 1), fy, 0.0))
+                term = nb[a + i] * wa                  # (NBW,128)*(1,128)
+                acc = term if acc is None else acc + term
+            rows.append(acc)                           # (NBW, 128)
+        out_rows = []
+        for j in range(PATCH):
+            accs = []
+            for b in range(NSEL):
+                wb = jnp.where(ix == float(b), 1.0 - fx,
+                               jnp.where(ix == float(b - 1), fx, 0.0))
+                accs.append(wb)                        # (1, 128)
+            col = []
+            for i in range(PATCH):
+                acc = None
+                for b in range(NSEL):
+                    term = rows[i][b + j : b + j + 1] * accs[b]
+                    acc = term if acc is None else acc + term
+                col.append(acc)                        # (1, 128)
+            out_rows.append(jnp.concatenate(col, 0))   # (P, 128)
+        return jnp.stack(out_rows, 1)                  # (P, P, 128)
+
+    def body(_, o):
+        warped = warp(o)
+        r = warped - t
+        j0 = jnp.sum((gx * r).reshape(PATCH * PATCH, 128), axis=0,
+                     keepdims=True)                    # (1, 128)
+        j1 = jnp.sum((gy * r).reshape(PATCH * PATCH, 128), axis=0,
+                     keepdims=True)
+        du_x = (hyy * j0 - hxy * j1) * inv_det
+        du_y = (hxx * j1 - hxy * j0) * inv_det
+        du_x = jnp.clip(du_x, -PATCH / 2, PATCH / 2)
+        du_y = jnp.clip(du_y, -PATCH / 2, PATCH / 2)
+        return jnp.concatenate(
+            [jnp.clip(o[0:1] - du_x, 0.0, hi),
+             jnp.clip(o[1:2] - du_y, 0.0, hi)], 0)
+
+    o = jax.lax.fori_loop(0, iters, body, o0_ref[0])
+    res = jnp.mean(jnp.abs(warp(o) - t).reshape(PATCH * PATCH, 128), axis=0,
+                   keepdims=True)
+    out_ref[0, 0:2] = o
+    out_ref[0, 2:3] = res
+    out_ref[0, 3:4] = res
+
+
+def _iter_search_pallas(nb, t_patches, gx_p, gy_p, hxx, hxy, hyy, det, u0, lo,
+                        iters: int, R: int):
+    """Run the per-patch iteration loop as a Pallas TPU kernel.
+
+    nb: [ny,nx,NBW,NBW]; t/gx/gy: [ny,nx,P,P]; scalars [ny,nx]; u0/lo
+    [ny,nx,2]. Returns (u [ny,nx,2], res [ny,nx]).
+    """
+    from functools import partial as _partial
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    ny, nx = nb.shape[0], nb.shape[1]
+    NBW = nb.shape[2]
+    NP = ny * nx
+    NB = -(-NP // 128)
+    pad = NB * 128 - NP
+
+    def to_lanes(x, inner):
+        flat = x.reshape((NP,) + inner)
+        flat = jnp.pad(flat, ((0, pad),) + ((0, 0),) * len(inner))
+        perm = (0,) + tuple(range(2, 2 + len(inner))) + (1,)
+        return flat.reshape((NB, 128) + inner).transpose(perm)
+
+    nb_l = to_lanes(nb, (NBW, NBW))                    # (NB, NBW, NBW, 128)
+    t_l = to_lanes(t_patches, (PATCH, PATCH))
+    g_l = jnp.stack([to_lanes(gx_p, (PATCH, PATCH)),
+                     to_lanes(gy_p, (PATCH, PATCH))], 1)
+    inv_det = 1.0 / det
+    scal = jnp.stack([hxx, hxy, hyy, inv_det], -1)     # (ny, nx, 4)
+    scal_l = to_lanes(scal, (4,))                      # (NB, 4, 128)
+    o0 = jnp.moveaxis(u0 - lo, -1, 0).reshape(2, NP)
+    o0_l = jnp.pad(o0, ((0, 0), (0, pad))).reshape(2, NB, 128) \
+        .transpose(1, 0, 2)                            # (NB, 2, 128)
+
+    kern = _partial(_iter_kernel, iters=iters, R=R)
+    interpret = jax.default_backend() == "cpu"
+    out = pl.pallas_call(
+        kern,
+        grid=(NB,),
+        in_specs=[
+            pl.BlockSpec((1, NBW, NBW, 128), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, PATCH, PATCH, 128), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, PATCH, PATCH, 128), lambda b: (b, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, 128), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, 128), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 4, 128), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((NB, 4, 128), jnp.float32),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(nb_l, t_l, g_l, scal_l, o0_l)
+
+    o = out[:, 0:2].transpose(1, 0, 2).reshape(2, NB * 128)[:, :NP]
+    o = jnp.moveaxis(o.reshape(2, ny, nx), 0, -1)      # (ny, nx, 2)
+    res = out[:, 2].reshape(NB * 128)[:NP].reshape(ny, nx)
+    return o + lo, res
+
 
 def _inverse_search_level(i0, i1, flow_init, iters: int, nb_radius: int = NB_RADIUS):
     """One pyramid level: batched per-patch inverse search + densification.
@@ -144,23 +300,55 @@ def _inverse_search_level(i0, i1, flow_init, iters: int, nb_radius: int = NB_RAD
     y0f = ys.astype(jnp.float32)[:, None] + jnp.zeros((1, nx))
     x0f = xs.astype(jnp.float32)[None, :] + jnp.zeros((ny, 1))
 
-    # ---- one-time neighborhood gather around the integer init ----
-    by = jnp.round(u0[..., 1]).astype(jnp.int32)          # [ny,nx]
-    bx = jnp.round(u0[..., 0]).astype(jnp.int32)
-    row_base = ys[:, None] + by - R                        # [ny,nx]
-    col_base = xs[None, :] + bx - R
-    rr = jnp.clip(row_base[..., None] + jnp.arange(NBW), 0, h - 1)  # [ny,nx,NBW]
-    cc = jnp.clip(col_base[..., None] + jnp.arange(NBW), 0, w - 1)
-    lin_idx = rr[..., :, None] * w + cc[..., None, :]      # [ny,nx,NBW,NBW]
-    nb = jnp.take(i1.reshape(-1), lin_idx.reshape(-1), axis=0).reshape(
-        ny, nx, NBW, NBW)
+    if _PREWARP:
+        # ---- pre-warp: I1 warped ONCE by the dense init flow, so every
+        # patch's ±R neighborhood is a STATIC strided window — the 3.1M-
+        # element per-patch gather (the round-2b cost that remained after
+        # the gather-free iterations) becomes one h*w dense warp plus 2*NBW
+        # strided slice copies. The per-pixel init also beats the old
+        # per-patch integer rounding when the init flow varies inside a
+        # patch (the search solves the same bounded residual).
+        i1w = _warp_scalar(i1, fy_init)
+        i1p = jnp.pad(i1w, R, mode="edge")
+        rowsA = jnp.stack(
+            [i1p[t : t + STRIDE * (ny - 1) + 1 : STRIDE] for t in range(NBW)],
+            1,
+        )                                                  # [ny, NBW, w+2R]
+        nb = jnp.stack(
+            [rowsA[:, :, s : s + STRIDE * (nx - 1) + 1 : STRIDE]
+             for s in range(NBW)],
+            -1,
+        ).transpose(0, 2, 1, 3)                            # [ny,nx,NBW,NBW]
+        lo = u0 - R                                        # fractional center
+        hi = lo + (2 * R - 1e-3)
+    else:
+        # ---- one-time neighborhood gather around the integer init ----
+        by = jnp.round(u0[..., 1]).astype(jnp.int32)      # [ny,nx]
+        bx = jnp.round(u0[..., 0]).astype(jnp.int32)
+        row_base = ys[:, None] + by - R                    # [ny,nx]
+        col_base = xs[None, :] + bx - R
+        rr = jnp.clip(row_base[..., None] + jnp.arange(NBW), 0, h - 1)
+        cc = jnp.clip(col_base[..., None] + jnp.arange(NBW), 0, w - 1)
+        lin_idx = rr[..., :, None] * w + cc[..., None, :]  # [ny,nx,NBW,NBW]
+        nb = jnp.take(i1.reshape(-1), lin_idx.reshape(-1), axis=0).reshape(
+            ny, nx, NBW, NBW)
+
+        # representable displacement range per patch (nb covers it exactly)
+        lo = jnp.stack([(bx - R).astype(jnp.float32),
+                        (by - R).astype(jnp.float32)], -1)
+        hi = lo + (2 * R - 1e-3)
+
+    if _ITER_PALLAS:
+        # all iterations in one VMEM-resident Pallas kernel per patch block
+        # — the XLA form below re-materializes [ny,nx,NSEL,P,NBW] HBM
+        # stacks every iteration.
+        u, res = _iter_search_pallas(nb, t_patches, gx_p, gy_p,
+                                     hxx, hxy, hyy, det, u0, lo, iters, R)
+        wgt = 1.0 / (1.0 + res * res)
+        return _densify(u, wgt, h, w)
+
     # iteration-invariant row-shift stack: nbs[..,a,i,:] = nb[.., a+i, :]
     nbs = jnp.stack([nb[:, :, a:a + PATCH, :] for a in range(NSEL)], axis=2)
-
-    # representable displacement range per patch (the nb covers it exactly)
-    lo = jnp.stack([(bx - R).astype(jnp.float32),
-                    (by - R).astype(jnp.float32)], -1)
-    hi = lo + (2 * R - 1e-3)
 
     def _sel(frac):
         """[ny,nx] float offset in [0, 2R) -> [ny,nx,NSEL] bilinear one-hot."""
@@ -197,19 +385,24 @@ def _inverse_search_level(i0, i1, flow_init, iters: int, nb_radius: int = NB_RAD
     # Densification: residual-weighted average of covering patches.
     res = jnp.mean(jnp.abs(warp_from_nb(u) - t_patches), axis=(2, 3))
     wgt = 1.0 / (1.0 + res * res)  # [ny,nx]
+    return _densify(u, wgt, h, w)
 
-    # Densification scatter, flattened to 1-D linear indices (like the
-    # gathers above, 1-D scatters lower markedly faster on TPU).
-    ys_i = ys[:, None] + jnp.arange(PATCH)[None, :]  # [ny,P]
-    xs_i = xs[:, None] + jnp.arange(PATCH)[None, :]
-    yy = jnp.broadcast_to(ys_i[:, None, :, None], (ny, nx, PATCH, PATCH)).reshape(-1)
-    xx = jnp.broadcast_to(xs_i[None, :, None, :], (ny, nx, PATCH, PATCH)).reshape(-1)
-    uu = jnp.broadcast_to(u[:, :, None, None, :], (ny, nx, PATCH, PATCH, 2)).reshape(-1, 2)
-    ww = jnp.broadcast_to(wgt[:, :, None, None], (ny, nx, PATCH, PATCH)).reshape(-1)
-    lin = yy * w + xx
-    flow_acc = jnp.zeros((h * w, 2), jnp.float32).at[lin].add(uu * ww[:, None])
-    w_acc = jnp.zeros((h * w, 1), jnp.float32).at[lin].add(ww[:, None])
-    return (flow_acc / jnp.clip(w_acc, 1e-8, None)).reshape(h, w, 2)
+
+def _densify(u, wgt, h, w):
+    """Scatter-free densification: with stride 4 and 8x8 patches, pixel
+    (y, x) is covered by exactly the patches (y//4, x//4) and their -1
+    neighbors, so the weighted accumulation is a x4 nearest-upsample plus
+    one shifted add per axis — pure dense VPU work (the old .at[].add
+    scatter of ny*nx*64 elements was the densification cost on TPU;
+    identical math, float add order aside)."""
+    ny, nx = u.shape[0], u.shape[1]
+    P = jnp.concatenate([u * wgt[..., None], wgt[..., None]], -1)  # [ny,nx,3]
+    U = jnp.repeat(jnp.repeat(P, PATCH // 2, 0), PATCH // 2, 1)    # [4ny,4nx,3]
+    U = jnp.pad(U, ((0, h - (PATCH // 2) * ny), (0, w - (PATCH // 2) * nx),
+                    (0, 0)))
+    C = U + jnp.pad(U, ((0, 0), (PATCH // 2, 0), (0, 0)))[:, :w]
+    A = C + jnp.pad(C, ((PATCH // 2, 0), (0, 0), (0, 0)))[:h]
+    return A[..., :2] / jnp.clip(A[..., 2:], 1e-8, None)
 
 
 def _warp_scalar(img, flow):
