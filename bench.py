@@ -27,6 +27,8 @@ Missing #4):
     workload in practice)
   - deeplab_masked_fps (config #4): DeepLab-resnet @513 mask → upsample →
     composite with the stylized 1080p frame (sky_swap workload)
+  - magenta_tiled_fps_1080: frame-batched tiled magenta transform (compact
+    net, random weights — the real SavedModel's shard is stripped)
   - flow_video_fps_1080 / flow_video_fps_1080_ds2 (config #5): stylize +
     DIS flow on gray pairs + the full temporal chain (flow EMA, LAB
     smoothing, motion blend) in one graph; ds2 = --flow_downscale 2
@@ -295,6 +297,25 @@ def _deeplab_masked(extras, bparams):
     _log(f"deeplab masked stylize {extras['deeplab_masked_fps']:.1f} fps")
 
 
+def _magenta(extras):
+    """Magenta tiled stylization @1080p, frame-batched tiling (the compact
+    arbitrary-style net, random weights — the real SavedModel's shard is
+    stripped from the mount). Reference tiling loop:
+    /root/reference/pipeline.py:190-265."""
+    from neuralstyletransferv1_tpu.models import magenta
+
+    B = 8
+    params = magenta.init(jax.random.key(0))
+    style = jax.random.uniform(jax.random.key(1), (256, 256, 3))
+
+    def step(x01):
+        return magenta.stylize_tiled_batch(params, x01, style)
+
+    extras["magenta_tiled_fps_1080"] = _fps(
+        step, lambda s: _rand_img(s, B, H, W, jnp.float32), B, chain=3)
+    _log(f"magenta tiled {extras['magenta_tiled_fps_1080']:.1f} fps")
+
+
 def _flow_video(extras, bparams):
     """Config #5: stylize + DIS flow + full temporal chain, one graph."""
     from functools import partial
@@ -402,6 +423,7 @@ def main() -> None:
             ("ladder", lambda: _ladder(extras)),
             ("gram_nst", lambda: _gram_nst(extras)),
             ("deeplab", lambda: _deeplab_masked(extras, bparams)),
+            ("magenta", lambda: _magenta(extras)),
             ("flow", lambda: _flow_video(extras, bparams)),
             ("e2e", lambda: _e2e_video(extras)),
         ]:

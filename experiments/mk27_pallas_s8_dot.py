@@ -82,13 +82,15 @@ def _k_bf16cast(x_ref, w_ref, o_ref):
         o_ref[t * MT : (t + 1) * MT] = acc.astype(jnp.bfloat16)
 
 
-def build(kern, xdt, wdt):
-    B = 8
+GRID = 32
+CHAIN = 20
 
+
+def build(kern, xdt, wdt):
     def f(x, w):
         return pl.pallas_call(
             kern,
-            grid=(B,),
+            grid=(GRID,),
             in_specs=[
                 pl.BlockSpec((ROWS + 64, C), lambda b: (0, 0),
                              memory_space=pltpu.VMEM),
@@ -101,24 +103,36 @@ def build(kern, xdt, wdt):
             compiler_params=_params(),
         )(x.astype(xdt), w.astype(wdt))
 
-    return jax.jit(f)
+    return f, xdt
 
 
-def timeit(f, x, w, chain=30):
-    g = jax.jit(lambda x, w: sum(
-        jnp.sum(f_(x, w).astype(jnp.float32)) for f_ in [f] * 1))
-    # chain by re-calling with perturbed input to defeat memoization/CSE
-    def run(xs):
-        t0 = time.perf_counter()
-        for xi in xs:
-            float(jnp.sum(f(xi, w).astype(jnp.float32)))
-        return time.perf_counter() - t0
+def timeit(fx, x, w):
+    """In-graph chain (fori_loop feedback) minus 1-chain, fresh inputs."""
+    f, xdt = fx
 
-    xs = [x + i for i in range(chain)]
-    for xi in xs:
-        float(jnp.sum(xi.astype(jnp.float32)))
-    run(xs[:2])  # warm
-    return run(xs) / chain
+    def chain(x, w, n):
+        def body(i, xc):
+            out = f(xc, w)
+            return jnp.pad(out, ((0, 64), (0, 0))).astype(xdt)
+
+        y = jax.lax.fori_loop(0, n, body, x.astype(xdt))
+        return jnp.sum(y.astype(jnp.float32))
+
+    gN = jax.jit(functools.partial(chain, n=CHAIN))
+    g1 = jax.jit(functools.partial(chain, n=1))
+
+    def best(g):
+        b = float("inf")
+        for r in range(3):
+            xi = x + r
+            float(jnp.sum(xi.astype(jnp.float32)))
+            float(g(xi, w))  # warm on first rep (compile)
+            t0 = time.perf_counter()
+            float(g(xi + 1, w))
+            b = min(b, time.perf_counter() - t0)
+        return b
+
+    return (best(gN) - best(g1)) / (CHAIN - 1)
 
 
 def main():
@@ -145,27 +159,28 @@ def main():
     results = {}
     for name, kern, xdt in [
         ("bf16", _k_bf16, jnp.bfloat16),
-        ("s8_aligned", _k_s8_aligned, jnp.int8),
         ("s8_unaligned", _k_s8_unaligned, jnp.int8),
         ("bf16cast", _k_bf16cast, jnp.bfloat16),
     ]:
         wdt = jnp.int8 if "s8" in name or name == "bf16cast" else jnp.bfloat16
         try:
-            f = build(kern, xdt, wdt)
-            out = np.asarray(f(x, w)).astype(np.float64)
-            if name != "bf16":
-                ref = oracle("aligned" if name == "s8_aligned" else "shift")
-                # bf16 output rounds i32; compare in bf16 space
+            fx = build(kern, xdt, wdt)
+            if name == "s8_unaligned":  # exactness (oracle is slow; once)
+                out = np.asarray(jax.jit(fx[0])(x.astype(xdt), w.astype(wdt))
+                                 ).astype(np.float64)
+                ref = oracle("shift")
                 refb = np.asarray(jnp.asarray(ref, jnp.float32)
                                   .astype(jnp.bfloat16)).astype(np.float64)
-                err = np.max(np.abs(out - refb))
-                print(f"[{name}] max err vs i64 oracle (bf16-rounded): {err}")
-            dt = timeit(f, x, w)
-            flops = 8 * ROWS * C * CO * 2 * REPS
+                print(f"[{name}] max err vs i64 oracle (bf16-rounded): "
+                      f"{np.max(np.abs(out - refb))}", flush=True)
+            dt = timeit(fx, x, w)
+            flops = GRID * ROWS * C * CO * 2 * REPS
             results[name] = dt
-            print(f"[{name}] {dt*1e3:.3f} ms/call  {flops/dt/1e12:.1f} TOP/s")
+            print(f"[{name}] {dt*1e3:.3f} ms/call  {flops/dt/1e12:.1f} TOP/s",
+                  flush=True)
         except Exception as e:
-            print(f"[{name}] FAILED: {type(e).__name__}: {str(e)[:300]}")
+            print(f"[{name}] FAILED: {type(e).__name__}: {str(e)[:300]}",
+                  flush=True)
     if "bf16" in results:
         for k, v in results.items():
             if k != "bf16":

@@ -209,7 +209,15 @@ def jit_stylizer(model: StyleModel, *, dtype=jnp.float32, optimize: bool = True,
         from ..ops.resize import resize_bilinear
 
         if s2d_params is not None:
-            out = jnp.clip(tns2d.apply(s2d_params, x, quant=quant), 0.0, 1.0)
+            fused = ()
+            if quant is not None and jax.default_backend() == "tpu":
+                # int8 res + deconv sites run as Pallas fused kernels
+                # (quantize in the kernel prologue — the XLA standalone
+                # quantize passes were the whole int8 loss; PERF.md int8
+                # section).
+                fused = ("res_i8", "dec_i8", "d3_i8")
+            out = jnp.clip(tns2d.apply(s2d_params, x, quant=quant,
+                                       fused_sites=fused), 0.0, 1.0)
             if out.shape[1:3] != x.shape[1:3]:
                 out = resize_bilinear(out, (x.shape[1], x.shape[2]))
             return out
@@ -277,7 +285,16 @@ def jit_stylizer(model: StyleModel, *, dtype=jnp.float32, optimize: bool = True,
                     if ph or pw:
                         xc = jnp.pad(xc, ((0, 0), (0, ph), (0, pw), (0, 0)),
                                      mode="reflect")
-                    scales = tns2d.calibrate_act_scales(s2d_params32, xc)
+                    scales = tns2d.calibrate_act_scales(
+                        s2d_params32, xc, sites=tns2d.QUANT_SITES_PALLAS)
+                    # Quantize only the sites that ride Pallas fused kernels
+                    # (res chain + deconv1/2/3). XLA-int8 on the remaining
+                    # sites (c2/c3) is a measured LOSS — each pays a
+                    # standalone HBM quantize pass (PERF.md int8 section;
+                    # experiments/mk24: res-only 119.0 vs all-site 115.0
+                    # fps @B16) — so they stay bf16.
+                    scales = {k: v for k, v in scales.items()
+                              if k.startswith("r") or k in ("d1", "d2", "d3")}
                     quant = tns2d.quantize_net(s2d_params32, scales)
                     state["fn"] = _jit_batch(make_fn(quant), mesh)
                     print(f"[stylizer] int8 path calibrated for {model.name} "

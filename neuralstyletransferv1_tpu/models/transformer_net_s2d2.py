@@ -372,40 +372,65 @@ def apply(params: dict, x: jnp.ndarray, *, tap=None,
         m, inv = _in_stats(y, 1, 128)
         y = _apply_in_relu(y, m, inv, p["in3"]["scale"], p["in3"]["bias"], 1)
 
-    for i in range(1, 6):
-        rp = p[f"res{i}"]
-        tap(f"r{i}a", y)
-        r = _qc(f"r{i}a", reflect_pad_2d(y, 1), rp["conv1"]["w"], rp["conv1"]["b"])
-        m, inv = _in_stats(r, 1, 128)
-        r = reflect_pad_2d(r, 1)
-        af = (m, inv, rp["in1"]["scale"], rp["in1"]["bias"], 1)
-        tap(f"r{i}b", _apply_in_relu(r, *af))
-        r = _qc(f"r{i}b", r, rp["conv2"]["w"], rp["conv2"]["b"], affine=af)
-        y = instance_norm(r, rp["in2"]["scale"], rp["in2"]["bias"]) + y
+    use_res_i8 = False
+    if "res_i8" in fused_sites and quant is not None:
+        from . import s2d2_sites_i8
+        use_res_i8 = (all(f"r{i}{ab}" in quant
+                          for i in range(1, 6) for ab in "ab")
+                      and s2d2_sites_i8.res_supported(y.shape[1], y.shape[2]))
+    if use_res_i8:
+        # all ten res-site convs as Pallas int8 fused kernels: the quantize
+        # runs in each kernel's prologue from VMEM (the standalone XLA
+        # quantize passes were 56.8 ms/B16 — PERF.md int8 section) and the
+        # IN stats ride the epilogue.
+        y = s2d2_sites_i8.res_chain(y, p, quant)
+    else:
+        for i in range(1, 6):
+            rp = p[f"res{i}"]
+            tap(f"r{i}a", y)
+            r = _qc(f"r{i}a", reflect_pad_2d(y, 1), rp["conv1"]["w"], rp["conv1"]["b"])
+            m, inv = _in_stats(r, 1, 128)
+            r = reflect_pad_2d(r, 1)
+            af = (m, inv, rp["in1"]["scale"], rp["in1"]["bias"], 1)
+            tap(f"r{i}b", _apply_in_relu(r, *af))
+            r = _qc(f"r{i}b", r, rp["conv2"]["w"], rp["conv2"]["b"], affine=af)
+            y = instance_norm(r, rp["in2"]["scale"], rp["in2"]["bias"]) + y
 
-    # deconv1: up×2 + conv → f2-of-540p on the 270 grid, then ONE d2s.
-    tap("d1", y)
-    y = _pad_edge_blocks(y)
-    y = _qc("d1", y, p["d1_w"], p["d1_b"])        # [B, H/4, W/4, 256]
-    m, inv = _in_stats(y, 4, 64)
+    use_dec_i8 = False
+    if "dec_i8" in fused_sites and quant is not None:
+        from . import s2d2_sites_i8
+        use_dec_i8 = ("d1" in quant and "d2" in quant
+                      and s2d2_sites_i8.dec_supported(y.shape[1], y.shape[2]))
+    if use_dec_i8:
+        # deconv1+deconv2 as Pallas int8 fused sites (edge halos + the in4
+        # affine in the d2 kernel's quantize prologue; d2s stays XLA).
+        tap("d1", y)
+        y, m, inv = s2d2_sites_i8.dec_chain(y, p, quant)
+    else:
+        # deconv1: up×2 + conv → f2-of-540p on the 270 grid, then ONE d2s.
+        tap("d1", y)
+        y = _pad_edge_blocks(y)
+        y = _qc("d1", y, p["d1_w"], p["d1_b"])    # [B, H/4, W/4, 256]
+        m, inv = _in_stats(y, 4, 64)
 
-    if "tail" in fused_sites:
-        from . import s2d2_sites
-        if s2d2_sites.tail_supported(h // 2, w // 2):
-            # fused deconv2+deconv3: two Pallas sites + XLA perimeter fixup
-            # replace every remaining full-tensor elementwise pass.
-            y12 = s2d2_sites.tail(y, m, inv, p["in4"], p["d2_w"], p["d2_b"],
-                                  p["in5"], p["d3_w"], p["d3_b"], tap=tap)
-            return d2s(y12, 2, 3)
+        if "tail" in fused_sites:
+            from . import s2d2_sites
+            if s2d2_sites.tail_supported(h // 2, w // 2):
+                # fused deconv2+deconv3: two Pallas sites + XLA perimeter
+                # fixup replace every remaining full-tensor elementwise pass.
+                y12 = s2d2_sites.tail(y, m, inv, p["in4"], p["d2_w"],
+                                      p["d2_b"], p["in5"], p["d3_w"],
+                                      p["d3_b"], tap=tap)
+                return d2s(y12, 2, 3)
 
-    y = d2s(y, 2, 64)                             # [B, H/2, W/2, 64] = 540p px
-    y = _pad_edge_blocks(y)                       # nearest-up edge copies
+        y = d2s(y, 2, 64)                         # [B, H/2, W/2, 64] = 540p px
+        y = _pad_edge_blocks(y)                   # nearest-up edge copies
 
-    # deconv2: 3×3 on the 540 grid → 32ch@1080p as f2 phases.
-    af = (m, inv, p["in4"]["scale"], p["in4"]["bias"], 1)
-    tap("d2", _apply_in_relu(y, *af))
-    y = _qc("d2", y, p["d2_w"], p["d2_b"], affine=af)  # [B, H/2, W/2, 128]
-    m, inv = _in_stats(y, 4, 32)
+        # deconv2: 3×3 on the 540 grid → 32ch@1080p as f2 phases.
+        af = (m, inv, p["in4"]["scale"], p["in4"]["bias"], 1)
+        tap("d2", _apply_in_relu(y, *af))
+        y = _qc("d2", y, p["d2_w"], p["d2_b"], affine=af)  # [B,H/2,W/2,128]
+        m, inv = _in_stats(y, 4, 32)
 
     # deconv3: tap-packed — 1×5 conv to 60 lanes on the padded rows, then
     # five shifted slice-adds collapse the kernel-row axis; only output d2s.
@@ -449,9 +474,35 @@ def apply(params: dict, x: jnp.ndarray, *, tap=None,
         bot = _d3_strip(y[:, -4:])[:, -2:]
         lef = _d3_strip(y[:, :, :4])[:, :, :2]  # (B, hb, 2, 12)
         rig = _d3_strip(y[:, :, -4:])[:, :, -2:]
-        ya = _apply_in_relu(y, m, inv, p["in5"]["scale"], p["in5"]["bias"], 4)
-        tap("d3", ya)
-        rows = _qc("d3", ya, p["d3_w"], padding=(2, 2))  # [B, H/2+4, W/2, 60]
+        use_d3_i8 = False
+        if "d3_i8" in fused_sites and quant is not None and "d3" in quant:
+            from . import s2d2_sites_i8
+            use_d3_i8 = s2d2_sites_i8.d3_supported(hb, wb)
+        if use_d3_i8:
+            # rows conv as a fused int8 site: the in5 affine + ReLU fold
+            # into the kernel's quantize prologue (the standalone apply
+            # pass dies) and the 1×5 conv rides the int8 MXU. Borders
+            # stay strip-fixed, same as the XLA zero-SAME branch.
+            qd = quant["d3"]
+            scf = p["in5"]["scale"].astype(jnp.float32)
+            bif = p["in5"]["bias"].astype(jnp.float32)
+            a5 = jnp.tile(inv * scf, (1, 4)) * qd["qin"]
+            c5 = jnp.tile(bif - m * inv * scf, (1, 4)) * qd["qin"]
+            tap("d3", y)
+            K = s2d2_sites_i8.d3_rows_site(
+                y, a5, c5, qd["w"].reshape(5, y.shape[-1], -1), qd["ws"])
+            rows = jnp.pad(K, ((0, 0), (2, 2), (0, 0), (0, 0)))
+        else:
+            ya = _apply_in_relu(y, m, inv, p["in5"]["scale"],
+                                p["in5"]["bias"], 4)
+            tap("d3", ya)
+            # XLA int8 d3 is catastrophic (the 60-lane i32 conv output
+            # refuses to fuse with the slice-add consumers — s32 OOM at
+            # B48; PERF.md), so "d3" in quant ONLY runs through the Pallas
+            # site: when the caller asked for d3_i8 but the geometry is
+            # unsupported, fall back to bf16, not XLA-i8.
+            d3_site = "d3" if "d3_i8" not in fused_sites else "_d3_bf16"
+            rows = _qc(d3_site, ya, p["d3_w"], padding=(2, 2))
         y = sum(rows[:, dy : dy + hb, :, dy * 12 : (dy + 1) * 12]
                 for dy in range(5))
         y = y.at[:, :2].set(top)
@@ -489,6 +540,11 @@ def apply(params: dict, x: jnp.ndarray, *, tap=None,
 QUANT_SITES = ("c2", "c3", "r1a", "r1b", "r2a", "r2b", "r3a", "r3b",
                "r4a", "r4b", "r5a", "r5b", "d1", "d2")
 
+#: sites that additionally ride int8 when their Pallas fused kernel is on
+#: (models/s2d2_sites_i8) — NEVER through the XLA _qc path (see the d3
+#: branch note in apply).
+QUANT_SITES_PALLAS = QUANT_SITES + ("d3",)
+
 
 def _site_weight(bp: dict, site: str):
     if site.startswith("r"):
@@ -498,15 +554,20 @@ def _site_weight(bp: dict, site: str):
     return bp[f"{site}_w"]
 
 
-def calibrate_act_scales(bp: dict, x_cal: jnp.ndarray) -> dict:
+def calibrate_act_scales(bp: dict, x_cal: jnp.ndarray,
+                         sites: tuple = QUANT_SITES) -> dict:
     """Per-site max|activation| from ONE jitted calibration forward: the tap
     hook fires at trace time with exactly the tensor each conv consumes
-    (halos copy values, so maxima agree)."""
+    (halos copy values, so maxima agree).
+
+    Note the "d3" tap fires with the APPLIED (post-in5) tensor in the XLA
+    branch but the RAW tensor under d3_i8 — calibration always runs with
+    fused_sites=() so the scale is the applied maximum either way."""
     def run(x):
         vals: dict = {}
 
         def tap(site, t):
-            if site in QUANT_SITES:
+            if site in sites:
                 vals[site] = jnp.max(jnp.abs(t.astype(jnp.float32)))
 
         apply(bp, x, tap=tap)
@@ -521,9 +582,7 @@ def quantize_net(bp: dict, act_scales: dict) -> dict:
     int8 weights; the activation scale folds into both the input quantizer
     (qin = 127/A) and the dequant row (ws = w_scale * A / 127)."""
     q = {}
-    for site in QUANT_SITES:
-        if site not in act_scales:
-            continue
+    for site in act_scales:
         w = np.asarray(_site_weight(bp, site), np.float32)
         ws = np.maximum(np.max(np.abs(w), axis=(0, 1, 2)) / 127.0, 1e-12)
         wq = np.clip(np.round(w / ws), -127, 127).astype(np.int8)

@@ -90,3 +90,78 @@ def test_engine_quantize_flag(tmp_path):
     assert len(fa) == len(fb) == 3
     for x, y in zip(fa, fb):
         assert np.abs(x - y).mean() < 2.0  # u8 scale: ~0.8% of range
+
+
+def test_res_i8_pallas_parity(baked):
+    """fused_sites=("res_i8",) — the Pallas int8 res-chain kernels
+    (models/s2d2_sites_i8.py, interpret mode on CPU) match the XLA int8
+    path: same quant scales, stats taken over the same bf16-rounded conv
+    outputs, so drift is bf16/summation-order only."""
+    from neuralstyletransferv1_tpu.models import s2d2_sites_i8
+
+    bp = jax.tree.map(lambda a: a.astype(jnp.bfloat16), baked)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.random((2, 32, 256, 3)), jnp.bfloat16)
+    scales = s2d2.calibrate_act_scales(baked, x.astype(jnp.float32))
+    quant = s2d2.quantize_net(baked, scales)
+    assert s2d2_sites_i8.res_supported(8, 64)
+
+    s2d2_sites_i8._INTERPRET = True
+    try:
+        y_xla = s2d2.apply(bp, x, quant=quant)
+        y_pal = s2d2.apply(bp, x, quant=quant, fused_sites=("res_i8",))
+    finally:
+        s2d2_sites_i8._INTERPRET = False
+    assert y_pal.shape == y_xla.shape
+    d = np.abs(np.asarray(y_xla, np.float32) - np.asarray(y_pal, np.float32))
+    assert d.mean() < 1e-3, (d.mean(), d.max())
+
+
+def test_d3_i8_pallas_parity(baked):
+    """fused_sites=("d3_i8",) — the Pallas int8 deconv3 rows site (zero
+    column pads + border strip fixups, like the zero-SAME XLA branch)
+    matches the XLA int8 d3 everywhere the strips don't overwrite, and the
+    bf16 strips keep the borders exact."""
+    from neuralstyletransferv1_tpu.models import s2d2_sites_i8
+
+    bp = jax.tree.map(lambda a: a.astype(jnp.bfloat16), baked)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.random((2, 32, 256, 3)), jnp.bfloat16)
+    scales = s2d2.calibrate_act_scales(baked, x.astype(jnp.float32),
+                                       sites=s2d2.QUANT_SITES_PALLAS)
+    quant = s2d2.quantize_net(baked, {"d3": scales["d3"]})
+    assert s2d2_sites_i8.d3_supported(16, 128)
+
+    s2d2_sites_i8._INTERPRET = True
+    try:
+        y_xla = s2d2.apply(bp, x, quant=quant)
+        y_pal = s2d2.apply(bp, x, quant=quant, fused_sites=("d3_i8",))
+    finally:
+        s2d2_sites_i8._INTERPRET = False
+    assert y_pal.shape == y_xla.shape
+    d = np.abs(np.asarray(y_xla, np.float32) - np.asarray(y_pal, np.float32))
+    assert d.mean() < 1e-3, (d.mean(), d.max())
+
+
+def test_dec_i8_pallas_parity(baked):
+    """fused_sites=("dec_i8",) — the Pallas int8 deconv1+deconv2 sites
+    (edge halos in-kernel, in4 affine in the d2 prologue) match the XLA
+    int8 path to bf16 rounding."""
+    from neuralstyletransferv1_tpu.models import s2d2_sites_i8
+
+    bp = jax.tree.map(lambda a: a.astype(jnp.bfloat16), baked)
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.random((2, 32, 256, 3)), jnp.bfloat16)
+    scales = s2d2.calibrate_act_scales(baked, x.astype(jnp.float32))
+    quant = s2d2.quantize_net(baked, scales)
+    assert s2d2_sites_i8.dec_supported(8, 64)
+
+    s2d2_sites_i8._INTERPRET = True
+    try:
+        y_xla = s2d2.apply(bp, x, quant=quant)
+        y_pal = s2d2.apply(bp, x, quant=quant, fused_sites=("dec_i8",))
+    finally:
+        s2d2_sites_i8._INTERPRET = False
+    assert y_pal.shape == y_xla.shape
+    d = np.abs(np.asarray(y_xla, np.float32) - np.asarray(y_pal, np.float32))
+    assert d.mean() < 1e-3, (d.mean(), d.max())
