@@ -15,6 +15,8 @@ publishes no numbers of its own — BASELINE.md).
 ``extras`` covers every BASELINE.md config + the other fast-path backends so
 the driver regress-detects them each round (VERDICT round 2, Weak #3 /
 Missing #4):
+  - int8_fps_1080: the opt-in --quantize int8 engine config (Pallas fused
+    res+dec sites, quality MAE ~3e-5 vs bf16 — PERF.md round-3)
   - latency_ms_p50_512 / latency_ms_p50_1080: B1 single-image p50 incl. the
     relay round trip (BASELINE "single-image latency" row)
   - t7_fps_1080 / nst_fps_1080 / reconet_fps_1080: the other three f=2
@@ -105,6 +107,28 @@ def _headline(bparams):
     per_batch = max(1e-9, (d_chain - d_one) / (CHAIN - 1))
     _log(f"headline per-batch{BATCH}: {per_batch * 1000:.1f} ms")
     return BATCH / per_batch
+
+
+def _int8(extras, bparams, bparams32):
+    """Opt-in --quantize int8 engine config: Pallas fused res+dec sites
+    (quantize in the kernel prologue; PERF.md round-3), c2/c3/conv1/d3
+    bf16. Quality vs the bf16 path is MAE ~3e-5 on clipped output."""
+    from neuralstyletransferv1_tpu.models import transformer_net_s2d2 as s2d
+
+    xc = jax.random.uniform(jax.random.key(7), (1, H, W, 3), jnp.float32)
+    scales = s2d.calibrate_act_scales(bparams32, xc)
+    scales = {k: v for k, v in scales.items()
+              if k.startswith("r") or k in ("d1", "d2")}
+    quant = s2d.quantize_net(bparams32, scales)
+
+    def step(x):
+        return jnp.clip(s2d.apply(bparams, x, quant=quant,
+                                  fused_sites=("res_i8", "dec_i8")), 0.0, 1.0)
+
+    extras["int8_fps_1080"] = _fps(
+        step, lambda s: _rand_img(s, BATCH, H, W), BATCH, chain=CHAIN,
+        repeats=REPEATS)
+    _log(f"int8 engine mode {extras['int8_fps_1080']:.1f} fps")
 
 
 def _latency_p50(bparams, h, w):
@@ -406,9 +430,9 @@ def main() -> None:
     params = transformer_net.init(jax.random.key(0))
     # the preset's pre/post affines are folded into conv1/deconv3 (exact;
     # kills the separate elementwise passes — PERF.md round-2c)
-    bparams = s2d.bake_io_affine(s2d.from_johnson_params(params),
-                                 "imagenet_255")
-    bparams = jax.tree.map(lambda a: a.astype(jnp.bfloat16), bparams)
+    bparams32 = s2d.bake_io_affine(s2d.from_johnson_params(params),
+                                   "imagenet_255")
+    bparams = jax.tree.map(lambda a: a.astype(jnp.bfloat16), bparams32)
 
     t_start = time.perf_counter()
     fps = _headline(bparams)
@@ -416,6 +440,7 @@ def main() -> None:
     extras = {}
     if os.environ.get("BENCH_EXTRAS", "1") != "0":
         for name, fn in [
+            ("int8", lambda: _int8(extras, bparams, bparams32)),
             ("latency", lambda: extras.update(
                 latency_ms_p50_512=_latency_p50(bparams, 512, 512),
                 latency_ms_p50_1080=_latency_p50(bparams, H, W))),

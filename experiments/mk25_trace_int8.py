@@ -66,20 +66,30 @@ def main():
     drop = set((os.environ.get("DROP_SITES") or "").split(",")) - {""}
     only = set((os.environ.get("ONLY_SITES") or "").split(",")) - {""}
     xc = jax.random.uniform(jax.random.key(7), (1, H, W, 3), jnp.float32)
-    scales = s2d2.calibrate_act_scales(bp32, xc)
+    scales = s2d2.calibrate_act_scales(bp32, xc,
+                                       sites=s2d2.QUANT_SITES_PALLAS)
     if only:
         scales = {k: v for k, v in scales.items()
                   if k in only or ("res" in only and k.startswith("r"))}
     scales = {k: v for k, v in scales.items() if k not in drop}
-    quant = s2d2.quantize_net(bp32, scales)
-    print(f"sites: {sorted(quant)}", flush=True)
+    quant3 = s2d2.quantize_net(bp32, scales)
+    quant = {k: v for k, v in quant3.items() if k != "d3"}
+    print(f"sites: {sorted(quant3)}", flush=True)
 
-    def make(q):
-        return jax.jit(lambda x: jnp.clip(s2d2.apply(bp, x, quant=q), 0.0, 1.0))
+    def make(q, fused=()):
+        return jax.jit(lambda x: jnp.clip(
+            s2d2.apply(bp, x, quant=q, fused_sites=fused), 0.0, 1.0))
 
     variants = sys.argv[1:] or ["bf16", "int8"]
     for name in variants:
-        g = make(quant if name == "int8" else None)
+        if name == "bf16":
+            g = make(None)
+        elif name == "int8":
+            g = make(quant)
+        elif name == "pallas":       # the engine config
+            g = make(quant, ("res_i8", "dec_i8"))
+        else:                        # "pallas3": + the gated d3 site
+            g = make(quant3, ("res_i8", "dec_i8", "d3_i8"))
         x = jax.random.uniform(jax.random.key(1), (B, H, W, 3), jnp.bfloat16)
         float(jnp.sum(g(x).astype(jnp.float32)))  # compile+warm
         tdir = f"/tmp/trace_i8_{name}"

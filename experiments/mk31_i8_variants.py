@@ -248,16 +248,9 @@ def main():
             k_v1_noaffine, (TS + 2) * WP + 32)(x, stat, w9, dq)[0],
         "v2 nostats ": lambda x: build(
             k_v2_nostats, (TS + 2) * WP + 32)(x, stat, w9, dq)[0],
-        "v3 pingpong": lambda x: build(
-            k_v3_pingpong, 2 * (MT + 2) * WP + 32)(x, stat, w9, dq)[0],
+        # v3 pingpong: TPU backend Internal crash — do not run
+        # (kept above for the record).
     }
-
-    # exactness: v3 vs v0
-    xs = jax.random.normal(jax.random.key(5), (2, H4, W0, C),
-                           jnp.bfloat16) * 2.0
-    o0 = np.asarray(jax.jit(variants["v0 full    "])(xs), np.float32)
-    o3 = np.asarray(jax.jit(variants["v3 pingpong"])(xs), np.float32)
-    print(f"v3 vs v0 exact: max {np.abs(o0 - o3).max():.2e}", flush=True)
 
     for name, fn in variants.items():
         def step(y, fn=fn):

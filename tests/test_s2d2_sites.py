@@ -22,6 +22,7 @@ def _interpret():
     s2d2_sites._INTERPRET = False
 
 
+@pytest.mark.slow
 def test_d3_site_parity():
     # tiny geometry: H=56 -> H2=28, HP=32 (TS=8); W=32 -> W2=16 (WP=24)
     params = transformer_net.init(jax.random.key(0))
@@ -43,6 +44,7 @@ def test_d3_supported_geometry():
     assert s2d2_sites._pick_ts(544) == 8
 
 
+@pytest.mark.slow
 def test_tail_parity():
     # tiny geometry: H=56 -> H2=28 (28+4=32, 8-aligned), W=64 -> W2=32
     params = transformer_net.init(jax.random.key(0))
@@ -67,6 +69,7 @@ def test_tail_supported_geometry():
     assert not s2d2_sites.tail_supported(12, 64)     # too short
 
 
+@pytest.mark.slow
 def test_head_parity():
     # H=56 -> H2=28 (ts2=4), H4=14 (ts3=2); W=64 -> W2=32, W4=16.
     params = transformer_net.init(jax.random.key(0))
