@@ -89,6 +89,12 @@ def main():
                                    fused_sites=("res_i8", "dec_i8", "d3_i8")),
                         0.0, 1.0)
 
+    def step_pallas4(x):
+        return jnp.clip(
+            s2d2.apply(bp, x, quant=quant,
+                       fused_sites=("res_i8", "dec_i8", "head_i8")),
+            0.0, 1.0)
+
     # quality on a real-ish input
     y0 = np.asarray(jax.jit(step_bf16)(xc.astype(jnp.bfloat16)), np.float32)
     y1 = np.asarray(jax.jit(step_int8)(xc.astype(jnp.bfloat16)), np.float32)
@@ -111,9 +117,18 @@ def main():
         d4 = np.abs(y0 - y4)
         print(f"quality pallas+d3:  MAE {d4.mean():.5f} max {d4.max():.4f}",
               flush=True)
+    if "c2" in quant and "c3" in quant:
+        y5 = np.asarray(jax.jit(step_pallas4)(xc.astype(jnp.bfloat16)),
+                        np.float32)
+        d5 = np.abs(y0 - y5)
+        print(f"quality pallas+head: MAE {d5.mean():.5f} max {d5.max():.4f}",
+              flush=True)
 
     import os as _os
-    batches = (16,) if _os.environ.get("ONLY_SITES") else (16, 48)
+    if _os.environ.get("BATCHES"):
+        batches = tuple(int(b) for b in _os.environ["BATCHES"].split(","))
+    else:
+        batches = (16,) if _os.environ.get("ONLY_SITES") else (16, 48)
     for B in batches:
         tb = timed_step(step_bf16, B)
         print(f"[bf16      B{B}] {tb*1e3:.1f} ms/batch  {B/tb:.1f} fps",
@@ -131,6 +146,10 @@ def main():
         if "d3" in quant3:
             tr = timed_step(step_pallas3, B)
             print(f"[i8-pal+d3  B{B}] {tr*1e3:.1f} ms/batch  {B/tr:.1f} fps",
+                  flush=True)
+        if "c2" in quant and "c3" in quant:
+            th = timed_step(step_pallas4, B)
+            print(f"[i8-pal+head B{B}] {th*1e3:.1f} ms/batch {B/th:.1f} fps",
                   flush=True)
 
 

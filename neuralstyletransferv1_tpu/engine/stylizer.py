@@ -29,6 +29,14 @@ ARCH_APPLY = {
     "reconet": reconet.apply,
 }
 
+# The measured-win int8 fused-site set for the s2d2 path (PERF.md round-3:
+# res chain + deconv1/2 = 121.6 fps @B16 vs 110.1 bf16). "head_i8"
+# (pair-packed c2/c3) and "d3_i8" exist and are parity-tested but are NOT
+# in the default: d3_i8 measured a regression, head_i8's in-net TPU A/B is
+# still pending (experiments/mk24_ab_int8.py is the harness).
+_I8_FUSED_SITES = ("res_i8", "dec_i8")
+_I8_QUANT_KEEP = {"d1", "d2"}  # + every r{i}{a,b}; c2/c3 iff head_i8 lands
+
 
 @dataclass
 class StyleModel:
@@ -174,11 +182,13 @@ def jit_stylizer(model: StyleModel, *, dtype=jnp.float32, optimize: bool = True,
                 nst_fast_params)
 
     t7_fast_params = None
+    t7_fast_params32 = None
     if optimize and model.arch == "t7":
         from ..io import t7_fast
 
         t7_fast_params = t7_fast.try_fast_johnson(model.params["layers"])
         if t7_fast_params is not None:
+            t7_fast_params32 = t7_fast_params
             if dtype != jnp.float32:
                 t7_fast_params = jax.tree.map(
                     lambda a: a.astype(dtype)
@@ -215,7 +225,11 @@ def jit_stylizer(model: StyleModel, *, dtype=jnp.float32, optimize: bool = True,
                 # (quantize in the kernel prologue — the XLA standalone
                 # quantize passes were the whole int8 loss; PERF.md int8
                 # section).
-                fused = ("res_i8", "dec_i8", "d3_i8")
+                # NOT "d3_i8": measured 133.5 -> 146.3 ms/B16 REGRESSION
+                # (the bf16 in5 apply input-fuses into the conv for free;
+                # the kernel's 60-lane writes cost more than i8 saves —
+                # PERF.md round-3).
+                fused = _I8_FUSED_SITES
             out = jnp.clip(tns2d.apply(s2d_params, x, quant=quant,
                                        fused_sites=fused), 0.0, 1.0)
             if out.shape[1:3] != x.shape[1:3]:
@@ -224,9 +238,14 @@ def jit_stylizer(model: StyleModel, *, dtype=jnp.float32, optimize: bool = True,
         if t7_fast_params is not None:
             from ..io.t7_fast import t7_fast_apply
 
+            fused = ()
+            if quant is not None and jax.default_backend() == "tpu":
+                fused = ("res_i8",)
             xin = iop.preprocess(m.io_preset, x)
-            return iop.postprocess(m.io_preset, t7_fast_apply(t7_fast_params,
-                                                              xin))
+            return iop.postprocess(
+                m.io_preset,
+                t7_fast_apply(t7_fast_params, xin, quant=quant,
+                              fused_sites=fused))
         if nst_fast_params is not None:
             from ..models import transformer_net_nst_fast as nstf
 
@@ -263,10 +282,37 @@ def jit_stylizer(model: StyleModel, *, dtype=jnp.float32, optimize: bool = True,
         return fn
 
     if quantize == "int8":
-        if s2d_params is None:
+        if s2d_params is None and t7_fast_params is None:
             print(f"[stylizer][WARN] --quantize int8 supports the Johnson "
-                  f"s2d2 fast path only; {model.name} ({model.arch}) stays "
+                  f"s2d2 and .t7 fast paths only; {model.name} "
+                  f"({model.arch}) stays "
                   f"{'bf16' if dtype != jnp.float32 else 'f32'}.")
+        elif t7_fast_params is not None:
+            from ..io import t7_fast as t7f
+
+            # Same lazy-first-batch PTQ structure as the s2d2 branch below:
+            # one jitted f32 forward taps the per-res-site maxima, then the
+            # int8 graph (Pallas fused res sites on TPU, XLA int8 on CPU)
+            # compiles with static scales.
+            state: dict = {}
+
+            def call_t7(x01):
+                if "fn" not in state:
+                    xc = x01[:1].astype(jnp.float32)
+                    H, W = xc.shape[1], xc.shape[2]
+                    ph, pw = (-H) % 4, (-W) % 4
+                    if ph or pw:
+                        xc = jnp.pad(xc, ((0, 0), (0, ph), (0, pw), (0, 0)),
+                                     mode="reflect")
+                    xin = iop.preprocess(m.io_preset, xc)
+                    scales = t7f.calibrate_t7_scales(t7_fast_params32, xin)
+                    quant = t7f.quantize_t7(t7_fast_params32, scales)
+                    state["fn"] = _jit_batch(make_fn(quant), mesh)
+                    print(f"[stylizer] int8 t7 path calibrated for "
+                          f"{model.name} ({len(quant)} sites)")
+                return state["fn"](x01)
+
+            return call_t7
         else:
             from ..models import transformer_net_s2d2 as tns2d
 
@@ -288,13 +334,18 @@ def jit_stylizer(model: StyleModel, *, dtype=jnp.float32, optimize: bool = True,
                     scales = tns2d.calibrate_act_scales(
                         s2d_params32, xc, sites=tns2d.QUANT_SITES_PALLAS)
                     # Quantize only the sites that ride Pallas fused kernels
-                    # (res chain + deconv1/2/3). XLA-int8 on the remaining
-                    # sites (c2/c3) is a measured LOSS — each pays a
-                    # standalone HBM quantize pass (PERF.md int8 section;
-                    # experiments/mk24: res-only 119.0 vs all-site 115.0
-                    # fps @B16) — so they stay bf16.
+                    # (res chain + deconv1/2): XLA-int8 pays a standalone
+                    # HBM quantize pass per site — a measured LOSS (PERF.md
+                    # int8 section) — so anything without an adopted kernel
+                    # stays bf16 (conv1, c2, c3, d3).
+                    keep = set(_I8_QUANT_KEEP)
+                    if "head_i8" in _I8_FUSED_SITES:
+                        from ..models import s2d2_sites_i8 as _si8
+                        if _si8.head_supported(xc.shape[1] // 2,
+                                               xc.shape[2] // 2):
+                            keep |= {"c2", "c3"}
                     scales = {k: v for k, v in scales.items()
-                              if k.startswith("r") or k in ("d1", "d2", "d3")}
+                              if k.startswith("r") or k in keep}
                     quant = tns2d.quantize_net(s2d_params32, scales)
                     state["fn"] = _jit_batch(make_fn(quant), mesh)
                     print(f"[stylizer] int8 path calibrated for {model.name} "

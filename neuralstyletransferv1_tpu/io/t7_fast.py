@@ -308,13 +308,155 @@ def _defer_norm(y, nrm, phases, c, *, act=True):
     return out.astype(y.dtype)
 
 
-def t7_fast_apply(p: dict, x):
+def _res_stats(y, nrm):
+    """Deferred-IN (a, b) per (B, C) for a res tensor (phases=1)."""
+    import jax
+    import jax.numpy as jnp
+
+    yf = y.astype(jnp.float32)
+    mean = jnp.mean(yf, axis=(1, 2))
+    var = jnp.mean(jnp.square(yf), axis=(1, 2)) - mean * mean
+    inv = jax.lax.rsqrt(var + nrm["eps"])
+    sc = nrm["scale"].astype(jnp.float32)
+    bi = nrm["bias"].astype(jnp.float32)
+    return inv * sc, bi - mean * inv * sc
+
+
+def _t7_res_quant_xla(y, res, quant):
+    """XLA int8 res chain — the parity reference and CPU fallback. Each
+    site pays a standalone quantize pass under XLA (the measured int8
+    structural loss, PERF.md round-3); TPU runs the fused kernels
+    (_t7_res_chain_i8) instead."""
+    import jax.numpy as jnp
+
+    from ..ops.conv import conv2d_i8
+
+    B, _, _, C = y.shape
+    for i, rp in enumerate(res):
+        qa, qb = quant[f"r{i}a"], quant[f"r{i}b"]
+        xq = jnp.clip(jnp.round(y.astype(jnp.float32) * qa["qin"]),
+                      -127.0, 127.0).astype(jnp.int8)
+        ra = (conv2d_i8(xq, qa["w"], padding=1).astype(jnp.float32)
+              * qa["ws"] + rp["b1"].astype(jnp.float32)).astype(y.dtype)
+        if rp["rn1"] is None:
+            a_aff = jnp.full((B, 1, 1, C), qb["qin"], jnp.float32)
+            c_aff = jnp.zeros((B, 1, 1, C), jnp.float32)
+        else:
+            av, cv = _res_stats(ra, rp["rn1"])
+            a_aff = (av * qb["qin"])[:, None, None, :]
+            c_aff = (cv * qb["qin"])[:, None, None, :]
+        rq = jnp.clip(jnp.round(ra.astype(jnp.float32) * a_aff + c_aff),
+                      0.0, 127.0).astype(jnp.int8)   # ReLU folds into lo=0
+        rb = (conv2d_i8(rq, qb["w"], padding=1).astype(jnp.float32)
+              * qb["ws"] + rp["b2"].astype(jnp.float32)).astype(y.dtype)
+        if rp["rn2"] is None:
+            y = y + rb
+        else:
+            a2, c2 = _res_stats(rb, rp["rn2"])
+            y = (rb.astype(jnp.float32) * a2[:, None, None, :]
+                 + c2[:, None, None, :]).astype(y.dtype) + y
+    return y
+
+
+def _t7_res_chain_i8(y, res, quant):
+    """The res chain as Pallas fused int8 sites (zero halos, residual adds
+    folded into the next a-site's prologue — models/s2d2_sites_i8)."""
+    import jax.numpy as jnp
+
+    from ..models import s2d2_sites_i8 as si8
+
+    B, H, W0, C = y.shape
+    dt = y.dtype
+    n = float(H * W0)
+    ones = jnp.ones((B, C), jnp.float32)
+    zeros = jnp.zeros((B, C), jnp.float32)
+    carry = None
+    for i, rp in enumerate(res):
+        qa, qb = quant[f"r{i}a"], quant[f"r{i}b"]
+        aq = ones * qa["qin"]
+        b1 = rp["b1"].astype(jnp.float32)
+        if carry is None:
+            ra, sout = si8.res_site(y, aq, zeros, qa["w"].reshape(9, C, C),
+                                    qa["ws"], b1, -127.0, halo="zero")
+        else:
+            rb_p, a2p, c2p = carry
+            ra, sout, y = si8.res_site_skip(
+                rb_p, y, aq, zeros, a2p, c2p, qa["w"].reshape(9, C, C),
+                qa["ws"], b1, -127.0, halo="zero")
+        if rp["rn1"] is None:
+            a_eff, c_eff = ones * qb["qin"], zeros
+        else:
+            m, inv = si8._stats(sout, n, eps=rp["rn1"]["eps"])
+            sc = rp["rn1"]["scale"].astype(jnp.float32)
+            bi = rp["rn1"]["bias"].astype(jnp.float32)
+            a_eff = (inv * sc) * qb["qin"]
+            c_eff = (bi - m * inv * sc) * qb["qin"]
+        rb, sout2 = si8.res_site(ra, a_eff, c_eff, qb["w"].reshape(9, C, C),
+                                 qb["ws"], rp["b2"].astype(jnp.float32), 0.0,
+                                 halo="zero")
+        if rp["rn2"] is None:
+            carry = (rb, ones, zeros)
+        else:
+            m2, inv2 = si8._stats(sout2, n, eps=rp["rn2"]["eps"])
+            sc2 = rp["rn2"]["scale"].astype(jnp.float32)
+            bi2 = rp["rn2"]["bias"].astype(jnp.float32)
+            carry = (rb, inv2 * sc2, bi2 - m2 * inv2 * sc2)
+    rb, a2, c2 = carry
+    return ((rb.astype(jnp.float32) * a2[:, None, None, :]
+             + c2[:, None, None, :]).astype(y.dtype) + y).astype(dt)
+
+
+def calibrate_t7_scales(p: dict, x_cal) -> dict:
+    """Per-res-site max|activation| from one jitted f32 forward (x_cal:
+    model-space input, e.g. caffe_bgr-preprocessed)."""
+    import jax
+    import jax.numpy as jnp
+
+    def run(x):
+        vals: dict = {}
+
+        def tap(site, t):
+            vals[site] = jnp.max(jnp.abs(t.astype(jnp.float32)))
+
+        t7_fast_apply(p, x, tap=tap)
+        return vals
+
+    out = jax.jit(run)(x_cal)
+    return {k: float(v) for k, v in out.items()}
+
+
+def quantize_t7(p: dict, act_scales: dict) -> dict:
+    """Per-out-channel symmetric int8 res-chain weights + folded activation
+    scales — same contract as transformer_net_s2d2.quantize_net."""
+    import jax.numpy as jnp
+
+    q = {}
+    for i, rp in enumerate(p["res"]):
+        for ab, wk in (("a", "w1"), ("b", "w2")):
+            site = f"r{i}{ab}"
+            if site not in act_scales:
+                continue
+            w = np.asarray(rp[wk], np.float32)
+            ws = np.maximum(np.max(np.abs(w), axis=(0, 1, 2)) / 127.0, 1e-12)
+            wq = np.clip(np.round(w / ws), -127, 127).astype(np.int8)
+            a = max(float(act_scales[site]), 1e-6)
+            q[site] = {"w": jnp.asarray(wq),
+                       "ws": jnp.asarray(ws * (a / 127.0), jnp.float32),
+                       "qin": jnp.float32(127.0 / a)}
+    return q
+
+
+def t7_fast_apply(p: dict, x, *, tap=None, quant=None, fused_sites=()):
     """f=2 block-space forward for a recognized .t7 Johnson net (BN folded;
     IN deferred).
 
     x: NHWC model-space input (caffe_bgr-preprocessed), H, W divisible by 4.
     Exact vs t7_apply up to float reassociation (zero pads ride the convs;
-    no border fixups needed)."""
+    no border fixups needed).
+
+    quant: optional quantize_t7 output — the res chain runs int8 (fused
+    Pallas sites when "res_i8" in fused_sites and the geometry supports
+    it, XLA int8 otherwise). tap: calibration hook (site, tensor)."""
     import jax
     import jax.numpy as jnp
 
@@ -325,6 +467,8 @@ def t7_fast_apply(p: dict, x):
     hb = h // 2
     c0 = p["c0"]
     relu = jax.nn.relu
+    if tap is None:
+        tap = lambda name, t: None  # noqa: E731
 
     def na(y, nrm, phases, c, *, act=True):
         if nrm is None:
@@ -338,11 +482,27 @@ def t7_fast_apply(p: dict, x):
            p["n2"], 1, 2 * c0)
     y = na(conv2d(y, p["c3_w"], p["c3_b"], stride=2, padding=1),
            p["n3"], 1, 4 * c0)
-    for rp in p["res"]:
-        r = na(conv2d(y, rp["w1"], rp["b1"], padding=1), rp["rn1"], 1, 4 * c0)
-        r = na(conv2d(r, rp["w2"], rp["b2"], padding=1), rp["rn2"], 1, 4 * c0,
-               act=False)
-        y = y + r
+
+    nres = len(p["res"])
+    use_q = quant is not None and all(
+        f"r{i}{ab}" in quant for i in range(nres) for ab in "ab")
+    use_res_i8 = False
+    if use_q and "res_i8" in fused_sites:
+        from ..models import s2d2_sites_i8 as si8
+        use_res_i8 = si8.res_supported(y.shape[1], y.shape[2])
+    if use_res_i8:
+        y = _t7_res_chain_i8(y, p["res"], quant)
+    elif use_q:
+        y = _t7_res_quant_xla(y, p["res"], quant)
+    else:
+        for i, rp in enumerate(p["res"]):
+            tap(f"r{i}a", y)
+            r = na(conv2d(y, rp["w1"], rp["b1"], padding=1), rp["rn1"], 1,
+                   4 * c0)
+            tap(f"r{i}b", r)
+            r = na(conv2d(r, rp["w2"], rp["b2"], padding=1), rp["rn2"], 1,
+                   4 * c0, act=False)
+            y = y + r
     pd = p["d1_pad"]
     y = conv2d(y, p["d1_w"], p["d1_b"], padding=(pd, pd))
     y = na(d2s(y, 2, 2 * c0), p["n_d1"], 1, 2 * c0)

@@ -87,11 +87,35 @@ def _quant_halo(v, a, c, lo, W0, WP, halo="reflect"):
     return X
 
 
+def _quant_pad(v, a, c, lo, WP):
+    """affine+quantize a pre-column-haloed (R, W0in, C) strip: no halo
+    injection, just zero-pad the tail to WP."""
+    R, W0in, C = v.shape
+    x = v.astype(jnp.float32) * a + c
+    qs = jnp.clip(jnp.round(x), lo, 127.0).astype(jnp.int8)
+    return jnp.pad(qs, ((0, 0), (0, WP - W0in), (0, 0)))
+
+
+def _quant_zero(v, a, c, lo, WP):
+    """affine+quantize with ZERO column halos (torch zero-pad nets, e.g.
+    the .t7 fast form): X[0]=0, X[1:W0+1]=q, zeros beyond."""
+    R, W0, C = v.shape
+    x = v.astype(jnp.float32) * a + c
+    qs = jnp.clip(jnp.round(x), lo, 127.0).astype(jnp.int8)
+    return jnp.pad(qs, ((0, 0), (1, WP - W0 - 1), (0, 0)))
+
+
 def _site_kernel(stat_ref, w_ref, dq_ref, head_ref, body_ref, tail_ref,
                  y_ref, sout_ref, xs_ref, *, TS, W0, WP, LO, MT=4,
-                 HALO="reflect"):
+                 HALO="reflect", NS=None):
     """One fused site: quantize prologue -> 3x3 s8 conv (i32 acc) ->
-    per-channel dequant + bias -> bf16 raw out + f32 stats sums."""
+    per-channel dequant + bias -> bf16 raw out + f32 stats sums.
+
+    HALO="prehalo": the input strips already carry their 1-column halos
+    (width W0+2, e.g. the pair-packed d2 form) — quantize + zero-pad only.
+    HALO="zero": torch zero-pad semantics — zero columns, and the first/
+    last strips zero their row halos (needs NS).
+    """
     from jax.experimental import pallas as pl
 
     j = pl.program_id(1)
@@ -102,9 +126,21 @@ def _site_kernel(stat_ref, w_ref, dq_ref, head_ref, body_ref, tail_ref,
     ws = dq_ref[0, :]
     bi = dq_ref[1, :]
 
-    xh = _quant_halo(head_ref[0], a, c, LO, W0, WP, HALO)  # (1, WP, C)
-    xb = _quant_halo(body_ref[0], a, c, LO, W0, WP, HALO)  # (TS, WP, C)
-    xt = _quant_halo(tail_ref[0], a, c, LO, W0, WP, HALO)  # (1, WP, C)
+    if HALO == "prehalo":
+        xh = _quant_pad(head_ref[0], a, c, LO, WP)         # (1, WP, C)
+        xb = _quant_pad(body_ref[0], a, c, LO, WP)         # (TS, WP, C)
+        xt = _quant_pad(tail_ref[0], a, c, LO, WP)         # (1, WP, C)
+    elif HALO == "zero":
+        xh = _quant_zero(head_ref[0], a, c, LO, WP)
+        xb = _quant_zero(body_ref[0], a, c, LO, WP)
+        xt = _quant_zero(tail_ref[0], a, c, LO, WP)
+        z = jnp.zeros_like(xh)
+        xh = jnp.where(j == 0, z, xh)
+        xt = jnp.where(j == NS - 1, z, xt)
+    else:
+        xh = _quant_halo(head_ref[0], a, c, LO, W0, WP, HALO)
+        xb = _quant_halo(body_ref[0], a, c, LO, W0, WP, HALO)
+        xt = _quant_halo(tail_ref[0], a, c, LO, W0, WP, HALO)
     xs_ref[0:WP] = xh.reshape(WP, C)
     xs_ref[WP:(TS + 1) * WP] = xb.reshape(TS * WP, C)
     xs_ref[(TS + 1) * WP:(TS + 2) * WP] = xt.reshape(WP, C)
@@ -160,7 +196,8 @@ def res_site(x: jnp.ndarray, a: jnp.ndarray, c: jnp.ndarray,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    B, H, W0, C = x.shape
+    B, H, W0in, C = x.shape
+    W0 = W0in - 2 if halo == "prehalo" else W0in
     CO = w9.shape[2]
     TS = ts if ts is not None else _pick_ts(H)
     WP = ((W0 + 2 + 7) // 8) * 8
@@ -168,7 +205,7 @@ def res_site(x: jnp.ndarray, a: jnp.ndarray, c: jnp.ndarray,
     stat = jnp.stack([a, c], axis=1)                   # (B, 2, C)
     dq = jnp.stack([ws, bias], axis=0)                 # (2, CO)
     kern = functools.partial(_site_kernel, TS=TS, W0=W0, WP=WP, LO=lo, MT=mt,
-                             HALO=halo)
+                             HALO=halo, NS=NS)
     if halo == "reflect":
         hmap = lambda b, j: (b, jnp.abs(TS * j - 1), 0, 0)  # noqa: E731
         tmap = lambda b, j: (b, H - 1 - jnp.abs(H - 1 - TS * (j + 1)),  # noqa: E731
@@ -186,10 +223,10 @@ def res_site(x: jnp.ndarray, a: jnp.ndarray, c: jnp.ndarray,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2, CO), lambda b, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, W0, C), hmap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TS, W0, C), lambda b, j: (b, j, 0, 0),
+            pl.BlockSpec((1, 1, W0in, C), hmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TS, W0in, C), lambda b, j: (b, j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, W0, C), tmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, W0in, C), tmap, memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, TS, W0, CO), lambda b, j: (b, j, 0, 0),
@@ -205,6 +242,158 @@ def res_site(x: jnp.ndarray, a: jnp.ndarray, c: jnp.ndarray,
         interpret=_INTERPRET,
         compiler_params=None if _INTERPRET else _params(),
     )(stat, w9, dq, x, x, x)
+
+
+def _site_kernel_skip(stat_ref, w_ref, dq_ref, rh_ref, rb_ref, rt_ref,
+                      yh_ref, yb_ref, yt_ref, o_ref, sout_ref, yout_ref,
+                      xs_ref, *, TS, W0, WP, LO, MT=4, HALO="reflect",
+                      YOUT=True, NS=None):
+    """Skip-fold site: the previous block's deferred in2 apply + residual
+    add run in this kernel's prologue (v = bf16(bf16(r2·a2+c2) + y), one
+    extra fma + add on data the kernel loads anyway), then v is quantized
+    and convolved as usual. Kills the standalone residual-add HBM pass
+    between Pallas sites (2.3-3.0 ms each in the round-3 trace). v is
+    written back (yout) for the NEXT block's skip; bf16 rounding matches
+    the XLA combine exactly."""
+    from jax.experimental import pallas as pl
+
+    j = pl.program_id(1)
+    C = w_ref.shape[1]
+    CO = w_ref.shape[2]
+    a = stat_ref[0, 0, :]
+    cq = stat_ref[0, 1, :]
+    a2 = stat_ref[0, 2, :]
+    c2 = stat_ref[0, 3, :]
+    ws = dq_ref[0, :]
+    bi = dq_ref[1, :]
+
+    def comb(r, y):
+        t = (r.astype(jnp.float32) * a2 + c2).astype(jnp.bfloat16)
+        return (t.astype(jnp.float32)
+                + y.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    vh = comb(rh_ref[0], yh_ref[0])
+    vb = comb(rb_ref[0], yb_ref[0])
+    vt = comb(rt_ref[0], yt_ref[0])
+    if YOUT:
+        yout_ref[0] = vb
+    else:
+        yout_ref[0] = vb[0:1]
+    if HALO == "zero":
+        xh = _quant_zero(vh, a, cq, LO, WP)
+        xb = _quant_zero(vb, a, cq, LO, WP)
+        xt = _quant_zero(vt, a, cq, LO, WP)
+        z = jnp.zeros_like(xh)
+        xh = jnp.where(j == 0, z, xh)
+        xt = jnp.where(j == NS - 1, z, xt)
+    else:
+        xh = _quant_halo(vh, a, cq, LO, W0, WP, HALO)
+        xb = _quant_halo(vb, a, cq, LO, W0, WP, HALO)
+        xt = _quant_halo(vt, a, cq, LO, W0, WP, HALO)
+    xs_ref[0:WP] = xh.reshape(WP, C)
+    xs_ref[WP:(TS + 1) * WP] = xb.reshape(TS * WP, C)
+    xs_ref[(TS + 1) * WP:(TS + 2) * WP] = xt.reshape(WP, C)
+    xs_ref[(TS + 2) * WP:] = jnp.zeros((32, C), jnp.int8)
+
+    s1 = jnp.zeros((CO,), jnp.float32)
+    s2 = jnp.zeros((CO,), jnp.float32)
+    for r0, rows in _tiles(TS, MT):
+        m0 = r0 * WP
+        MTn = rows * WP
+        acc = None
+        for dy in range(3):
+            for dx in range(3):
+                s = m0 + dy * WP + dx
+                p = jnp.dot(xs_ref[s:s + MTn, :], w_ref[dy * 3 + dx],
+                            preferred_element_type=jnp.int32)
+                acc = p if acc is None else acc + p
+        f = acc.astype(jnp.float32) * ws + bi
+        fv = f.reshape(rows, WP, CO)[:, 0:W0, :].astype(jnp.bfloat16)
+        o_ref[0, r0:r0 + rows] = fv
+        fvf = fv.astype(jnp.float32)
+        s1 = s1 + jnp.sum(fvf, axis=(0, 1))
+        s2 = s2 + jnp.sum(fvf * fvf, axis=(0, 1))
+
+    @pl.when(j == 0)
+    def _():
+        sout_ref[0, 0, :] = s1
+        sout_ref[0, 1, :] = s2
+
+    @pl.when(j > 0)
+    def _():
+        sout_ref[0, 0, :] = sout_ref[0, 0, :] + s1
+        sout_ref[0, 1, :] = sout_ref[0, 1, :] + s2
+
+
+def res_site_skip(r2: jnp.ndarray, yp: jnp.ndarray, a: jnp.ndarray,
+                  c: jnp.ndarray, a2: jnp.ndarray, c2: jnp.ndarray,
+                  w9: jnp.ndarray, ws: jnp.ndarray, bias: jnp.ndarray,
+                  lo: float, *, ts: int | None = None, mt: int = 4,
+                  halo: str = "reflect", yout: bool = True):
+    """Skip-fold variant of ``res_site``: consumes the previous block's
+    raw conv output r2 and the pre-previous combined activation yp,
+    computes v = bf16(bf16(r2·a2 + c2) + yp) in-prologue, and returns
+    ``(conv_raw, sout, v)``. With yout=False the v output is a dummy
+    (B, 1, W0, C) tile (for the last consumer, e.g. the d1 site, where
+    nothing downstream reads v)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, H, W0, C = r2.shape
+    CO = w9.shape[2]
+    TS = ts if ts is not None else _pick_ts(H)
+    WP = ((W0 + 2 + 7) // 8) * 8
+    NS = H // TS
+    stat = jnp.stack([a, c, a2, c2], axis=1)           # (B, 4, C)
+    dq = jnp.stack([ws, bias], axis=0)                 # (2, CO)
+    kern = functools.partial(_site_kernel_skip, TS=TS, W0=W0, WP=WP, LO=lo,
+                             MT=mt, HALO=halo, YOUT=yout, NS=NS)
+    if halo == "reflect":
+        hmap = lambda b, j: (b, jnp.abs(TS * j - 1), 0, 0)  # noqa: E731
+        tmap = lambda b, j: (b, H - 1 - jnp.abs(H - 1 - TS * (j + 1)),  # noqa: E731
+                             0, 0)
+    else:
+        hmap = lambda b, j: (b, jnp.maximum(TS * j - 1, 0), 0, 0)  # noqa: E731
+        tmap = lambda b, j: (b, jnp.minimum(TS * (j + 1), H - 1), 0, 0)  # noqa: E731
+    row = [pl.BlockSpec((1, 1, W0, C), hmap, memory_space=pltpu.VMEM),
+           pl.BlockSpec((1, TS, W0, C), lambda b, j: (b, j, 0, 0),
+                        memory_space=pltpu.VMEM),
+           pl.BlockSpec((1, 1, W0, C), tmap, memory_space=pltpu.VMEM)]
+    if yout:
+        yspec = pl.BlockSpec((1, TS, W0, C), lambda b, j: (b, j, 0, 0),
+                             memory_space=pltpu.VMEM)
+        yshape = jax.ShapeDtypeStruct((B, H, W0, C), jnp.bfloat16)
+    else:
+        yspec = pl.BlockSpec((1, 1, W0, C), lambda b, j: (b, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+        yshape = jax.ShapeDtypeStruct((B, 1, W0, C), jnp.bfloat16)
+    return pl.pallas_call(
+        kern,
+        grid=(B, NS),
+        in_specs=[
+            pl.BlockSpec((1, 4, C), lambda b, j: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, C, CO), lambda b, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, CO), lambda b, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + row + row,
+        out_specs=[
+            pl.BlockSpec((1, TS, W0, CO), lambda b, j: (b, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, CO), lambda b, j: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            yspec,
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, W0, CO), jnp.bfloat16),
+            jax.ShapeDtypeStruct((B, 2, CO), jnp.float32),
+            yshape,
+        ],
+        scratch_shapes=[pltpu.VMEM(((TS + 2) * WP + 32, C), jnp.int8)],
+        interpret=_INTERPRET,
+        compiler_params=None if _INTERPRET else _params(),
+    )(stat, w9, dq, r2, r2, r2, yp, yp, yp)
 
 
 def _d3_kernel(stat_ref, w_ref, dq_ref, body_ref, y_ref, xs_ref,
@@ -288,10 +477,360 @@ def d3_supported(h2: int, w2: int) -> bool:
     return h2 >= 8 and w2 >= 16 and w2 % 8 == 0 and _pick_ts(h2) is not None
 
 
-def _stats(sout, n):
+def _stats(sout, n, eps=1e-5):
     mean = sout[:, 0] / n
     var = sout[:, 1] / n - mean * mean
-    return mean, jax.lax.rsqrt(var + 1e-5)
+    return mean, jax.lax.rsqrt(var + eps)
+
+
+# ---------------------------------------------------------------------------
+# int8 head chain: conv2 + conv3 as column-PAIR-packed sites
+# (reference layers: /root/reference/transformer_net.py:10-14 conv2/conv3,
+# restructured per models/transformer_net_s2d2.py c2/c3)
+# ---------------------------------------------------------------------------
+
+
+def _pair_c2_weights(wq) -> jnp.ndarray:
+    """s8 c2 block weights (2,2,128,64) → (4,256,128) pair-packed
+    [ka*2 + pair-tap]: input lanes [540col 2j | 2j+1] (each 128 = conv1's
+    4 phases × 32), output lanes [c2 out 2j | 2j+1] (each 64)."""
+    import numpy as np
+
+    w = np.asarray(wq)
+    out = np.zeros((4, 256, 128), np.int8)
+    for ka in range(2):
+        out[ka * 2 + 0, 128:, 0:64] = w[ka, 0]    # col 2j-1 → out 2j (kb=0)
+        out[ka * 2 + 1, :128, 0:64] = w[ka, 1]    # col 2j   → out 2j (kb=1)
+        out[ka * 2 + 1, :128, 64:] = w[ka, 0]     # col 2j   → out 2j+1 (kb=0)
+        out[ka * 2 + 1, 128:, 64:] = w[ka, 1]     # col 2j+1 → out 2j+1 (kb=1)
+    return jnp.asarray(out)
+
+
+def _pair_c3_weights(wq) -> jnp.ndarray:
+    """s8 c3 weights (3,3,64,128) → (6,128,128) [dy*2 + pair-tap]: the
+    stride-2 column taps 2J-1/2J/2J+1 land on (pair J-1 high, pair J low,
+    pair J high)."""
+    import numpy as np
+
+    w = np.asarray(wq)
+    out = np.zeros((6, 128, 128), np.int8)
+    for dy in range(3):
+        out[dy * 2 + 0, 64:, :] = w[dy, 0]        # x[2J-1] (pair J-1 high)
+        out[dy * 2 + 1, :64, :] = w[dy, 1]        # x[2J]   (pair J low)
+        out[dy * 2 + 1, 64:, :] = w[dy, 2]        # x[2J+1] (pair J high)
+    return jnp.asarray(out)
+
+
+def _perm_row256() -> jnp.ndarray:
+    """s8 (256,256) permutation: c2's TOP phase halo in pair view — halo
+    row ch (h, u, v, c) ← row-0 ch (h, 1, v, c) (transformer_net_s2d
+    ._pad_stride2_halo, phases [1,1] of block 0); lane-preserving per
+    pair half h."""
+    import numpy as np
+
+    P = np.zeros((256, 256), np.int8)
+    for h in range(2):
+        for u in range(2):
+            for v in range(2):
+                for c in range(32):
+                    P[h * 128 + 64 + v * 32 + c,
+                      h * 128 + u * 64 + v * 32 + c] = 1
+    return jnp.asarray(P)
+
+
+def _perm_col256() -> jnp.ndarray:
+    """s8 (256,256) permutation: c2's LEFT phase halo — halo pair =
+    [junk | halo col] where halo col ch (u, v, c) ← col-0 ch (u, 1, c);
+    col 0 is the LOW half of pair 0."""
+    import numpy as np
+
+    P = np.zeros((256, 256), np.int8)
+    for u in range(2):
+        for v in range(2):
+            for c in range(32):
+                P[u * 64 + 32 + c, 128 + u * 64 + v * 32 + c] = 1
+    return jnp.asarray(P)
+
+
+def _c2p_kernel(stat_ref, w_ref, dq_ref, pr_ref, pc_ref, head_ref, body_ref,
+                o_ref, sout_ref, xs_ref, *, TS, W0, WP, MT=4):
+    """c2 pair site: quantize (in1 affine + ReLU folded) -> phase-permuted
+    top/left halos (s8 permutation dots) -> 2x2 pair conv (4 dots, K=256)
+    -> dequant + bias -> bf16 pair raw + stats."""
+    from jax.experimental import pallas as pl
+
+    j = pl.program_id(1)
+    C = 256
+    CO = w_ref.shape[2]
+    a = stat_ref[0, 0, :]
+    c = stat_ref[0, 1, :]
+    ws = dq_ref[0, :]
+    bi = dq_ref[1, :]
+
+    def quant(v):
+        x = v.astype(jnp.float32) * a + c
+        return jnp.clip(jnp.round(x), 0.0, 127.0).astype(jnp.int8)
+
+    qh = quant(head_ref[0])                            # (1, W0, 256)
+    qb = quant(body_ref[0])                            # (TS, W0, 256)
+    # top halo: at j==0 the head ref IS row 0 → phase-permute it; at j>0
+    # the head ref is the real previous row (plain). Both computed, scalar
+    # select (the extra perm dot is ~W0·256·256 MACs — noise).
+    hperm = jnp.dot(qh[0], pr_ref[...],
+                    preferred_element_type=jnp.int32).astype(jnp.int8)
+    hrow = jnp.where(j == 0, hperm[None], qh)          # (1, W0, 256)
+
+    def inj(q):
+        """(R, W0, 256) → (R, WP, 256): X[0] = left phase halo (perm dot
+        of pair 0), X[1:W0+1] = q, zero junk beyond."""
+        R = q.shape[0]
+        X = jnp.pad(q, ((0, 0), (1, WP - W0 - 1), (0, 0)))
+        ch = jnp.dot(q[:, 0, :], pc_ref[...],
+                     preferred_element_type=jnp.int32).astype(jnp.int8)
+        ci = jax.lax.broadcasted_iota(jnp.int32, (R, WP, C), 1)
+        return jnp.where(ci == 0, ch[:, None, :], X)
+
+    xs_ref[0:WP] = inj(hrow).reshape(WP, C)
+    xs_ref[WP:(TS + 1) * WP] = inj(qb).reshape(TS * WP, C)
+    xs_ref[(TS + 1) * WP:] = jnp.zeros((32, C), jnp.int8)
+
+    s1 = jnp.zeros((CO,), jnp.float32)
+    s2 = jnp.zeros((CO,), jnp.float32)
+    for r0, rows in _tiles(TS, MT):
+        MTn = rows * WP
+        acc = None
+        for ka in range(2):
+            for k in range(2):
+                s = (r0 + ka) * WP + k
+                p = jnp.dot(xs_ref[s:s + MTn, :], w_ref[ka * 2 + k],
+                            preferred_element_type=jnp.int32)
+                acc = p if acc is None else acc + p
+        f = acc.astype(jnp.float32) * ws + bi
+        fv = f.reshape(rows, WP, CO)[:, 0:W0, :].astype(jnp.bfloat16)
+        o_ref[0, r0:r0 + rows] = fv
+        fvf = fv.astype(jnp.float32)
+        s1 = s1 + jnp.sum(fvf, axis=(0, 1))
+        s2 = s2 + jnp.sum(fvf * fvf, axis=(0, 1))
+
+    @pl.when(j == 0)
+    def _():
+        sout_ref[0, 0, :] = s1
+        sout_ref[0, 1, :] = s2
+
+    @pl.when(j > 0)
+    def _():
+        sout_ref[0, 0, :] = sout_ref[0, 0, :] + s1
+        sout_ref[0, 1, :] = sout_ref[0, 1, :] + s2
+
+
+def c2p_site(yp: jnp.ndarray, a: jnp.ndarray, c: jnp.ndarray,
+             w4: jnp.ndarray, ws: jnp.ndarray, bias: jnp.ndarray,
+             *, ts: int | None = None, mt: int = 4):
+    """conv2 as a pair-packed int8 site. yp: (B, H2, W2/2, 256) conv1 raw
+    in pair view. a, c: (B, 256) quant-folded in1 affine (ReLU → clamp 0).
+    Returns (pair raw (B, H2, W2/2, 128), sout (B, 2, 128))."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, H, W0, C = yp.shape
+    CO = w4.shape[2]
+    TS = ts if ts is not None else _pick_ts(H)
+    WP = ((W0 + 2 + 7) // 8) * 8
+    NS = H // TS
+    stat = jnp.stack([a, c], axis=1)
+    dq = jnp.stack([ws, bias], axis=0)
+    kern = functools.partial(_c2p_kernel, TS=TS, W0=W0, WP=WP, MT=mt)
+    return pl.pallas_call(
+        kern,
+        grid=(B, NS),
+        in_specs=[
+            pl.BlockSpec((1, 2, C), lambda b, j: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, C, CO), lambda b, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, CO), lambda b, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, C), lambda b, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, C), lambda b, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, W0, C),
+                         lambda b, j: (b, jnp.maximum(TS * j - 1, 0), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TS, W0, C), lambda b, j: (b, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, TS, W0, CO), lambda b, j: (b, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, CO), lambda b, j: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, W0, CO), jnp.bfloat16),
+            jax.ShapeDtypeStruct((B, 2, CO), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM(((TS + 1) * WP + 32, C), jnp.int8)],
+        interpret=_INTERPRET,
+        compiler_params=None if _INTERPRET else _params(),
+    )(stat, w4, dq, _perm_row256(), _perm_col256(), yp, yp)
+
+
+def _c3p_kernel(stat_ref, w_ref, dq_ref, head_ref, body_ref,
+                o_ref, sout_ref, xe_ref, xo_ref, *, TS, W0, WP, MT=4):
+    """c3 pair site: stride-2 3x3 conv — even/odd input rows deinterleave
+    into two scratch regions so every tap is a contiguous slice; the
+    pixel-reflect column halo (col -1 = col 1) is a plain pair-0 copy
+    (only its high rows are read)."""
+    from jax.experimental import pallas as pl
+
+    j = pl.program_id(1)
+    C = w_ref.shape[1]
+    CO = w_ref.shape[2]
+    a = stat_ref[0, 0, :]
+    c = stat_ref[0, 1, :]
+    ws = dq_ref[0, :]
+    bi = dq_ref[1, :]
+
+    def quant(v):
+        x = v.astype(jnp.float32) * a + c
+        return jnp.clip(jnp.round(x), 0.0, 127.0).astype(jnp.int8)
+
+    def inj0(q):
+        R = q.shape[0]
+        X = jnp.pad(q, ((0, 0), (1, WP - W0 - 1), (0, 0)))
+        ci = jax.lax.broadcasted_iota(jnp.int32, (R, WP, C), 1)
+        return jnp.where(ci == 0, q[:, 0:1, :], X)
+
+    qh = quant(head_ref[0])                            # (1, W0, C)
+    qb = quant(body_ref[0]).reshape(TS, 2, W0, C)
+    xe_ref[0:TS * WP] = inj0(qb[:, 0]).reshape(TS * WP, C)
+    xe_ref[TS * WP:] = jnp.zeros((32, C), jnp.int8)
+    xo_ref[0:WP] = inj0(qh).reshape(WP, C)
+    xo_ref[WP:(TS + 1) * WP] = inj0(qb[:, 1]).reshape(TS * WP, C)
+    xo_ref[(TS + 1) * WP:] = jnp.zeros((32, C), jnp.int8)
+
+    s1 = jnp.zeros((CO,), jnp.float32)
+    s2 = jnp.zeros((CO,), jnp.float32)
+    for r0, rows in _tiles(TS, MT):
+        MTn = rows * WP
+        acc = None
+        taps = [(xo_ref, r0 * WP, 0), (xe_ref, r0 * WP, 1),
+                (xo_ref, (r0 + 1) * WP, 2)]
+        for src, base, dy in taps:
+            for k in range(2):
+                p = jnp.dot(src[base + k:base + k + MTn, :],
+                            w_ref[dy * 2 + k],
+                            preferred_element_type=jnp.int32)
+                acc = p if acc is None else acc + p
+        f = acc.astype(jnp.float32) * ws + bi
+        fv = f.reshape(rows, WP, CO)[:, 0:W0, :].astype(jnp.bfloat16)
+        o_ref[0, r0:r0 + rows] = fv
+        fvf = fv.astype(jnp.float32)
+        s1 = s1 + jnp.sum(fvf, axis=(0, 1))
+        s2 = s2 + jnp.sum(fvf * fvf, axis=(0, 1))
+
+    @pl.when(j == 0)
+    def _():
+        sout_ref[0, 0, :] = s1
+        sout_ref[0, 1, :] = s2
+
+    @pl.when(j > 0)
+    def _():
+        sout_ref[0, 0, :] = sout_ref[0, 0, :] + s1
+        sout_ref[0, 1, :] = sout_ref[0, 1, :] + s2
+
+
+def c3p_site(y2p: jnp.ndarray, a: jnp.ndarray, c: jnp.ndarray,
+             w6: jnp.ndarray, ws: jnp.ndarray, bias: jnp.ndarray,
+             *, ts: int | None = None, mt: int = 4):
+    """conv3 (3x3 stride-2) as a pair-packed int8 site. y2p:
+    (B, H2, W2/2, 128) c2 raw in pair view. a, c: (B, 128) quant-folded
+    in2 affine. Returns (y3 raw (B, H2/2, W2/2, 128), sout (B, 2, 128))
+    — the output grid is the standard 270-grid, no un-pairing needed."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, H2, W0, C = y2p.shape
+    H = H2 // 2
+    CO = w6.shape[2]
+    TS = ts if ts is not None else _pick_ts(H)
+    WP = ((W0 + 2 + 7) // 8) * 8
+    NS = H // TS
+    stat = jnp.stack([a, c], axis=1)
+    dq = jnp.stack([ws, bias], axis=0)
+    kern = functools.partial(_c3p_kernel, TS=TS, W0=W0, WP=WP, MT=mt)
+    return pl.pallas_call(
+        kern,
+        grid=(B, NS),
+        in_specs=[
+            pl.BlockSpec((1, 2, C), lambda b, j: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((6, C, CO), lambda b, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, CO), lambda b, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, W0, C),
+                         lambda b, j: (b, jnp.abs(2 * TS * j - 1), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2 * TS, W0, C), lambda b, j: (b, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, TS, W0, CO), lambda b, j: (b, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, CO), lambda b, j: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, W0, CO), jnp.bfloat16),
+            jax.ShapeDtypeStruct((B, 2, CO), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((TS * WP + 32, C), jnp.int8),
+                        pltpu.VMEM(((TS + 1) * WP + 32, C), jnp.int8)],
+        interpret=_INTERPRET,
+        compiler_params=None if _INTERPRET else _params(),
+    )(stat, w6, dq, y2p, y2p)
+
+
+def head_supported(h2: int, w2: int) -> bool:
+    """c2 at the (h2, w2) 540-grid (pair width w2/2), c3 to (h2/2, w2/2)."""
+    wp = w2 // 2
+    return (h2 % 2 == 0 and w2 % 2 == 0 and wp >= 16 and h2 >= 16
+            and _pick_ts(h2) is not None and _pick_ts(h2 // 2) is not None)
+
+
+def head_chain(y1: jnp.ndarray, m1: jnp.ndarray, inv1: jnp.ndarray,
+               p: dict, quant: dict):
+    """conv2 + conv3 as pair-packed fused int8 sites.
+
+    y1: (B, H2, W2, 128) conv1 raw output (540 grid, 4 phases × 32).
+    m1, inv1: its in1 stats per (B, 32). Returns ``(y3_raw, m3, inv3)``:
+    the raw conv3 output on the 270 grid plus its in3 stats — the caller
+    applies in3 exactly like after the XLA c3 (_apply_in_relu phases=1).
+    """
+    B, H2, W2, _ = y1.shape
+    q2, q3 = quant["c2"], quant["c3"]
+    yp = y1.reshape(B, H2, W2 // 2, 256)              # pair view (lane fold)
+
+    sc = p["in2"]["scale"].astype(jnp.float32)
+    sc1 = p["in1"]["scale"].astype(jnp.float32)
+    bi1 = p["in1"]["bias"].astype(jnp.float32)
+    a1 = jnp.tile((inv1 * sc1) * q2["qin"], (1, 8))
+    c1 = jnp.tile((bi1 - m1 * inv1 * sc1) * q2["qin"], (1, 8))
+    r2, sout = c2p_site(yp, a1, c1, _pair_c2_weights(q2["w"]),
+                        jnp.tile(q2["ws"], 2),
+                        jnp.tile(p["c2_b"].astype(jnp.float32), 2))
+    m2, inv2 = _stats_phased(sout, float(H2 * (W2 // 2)), 2,
+                             r2.shape[-1] // 2)
+
+    bi2 = p["in2"]["bias"].astype(jnp.float32)
+    a2 = jnp.tile((inv2 * sc) * q3["qin"], (1, 2))
+    c2 = jnp.tile((bi2 - m2 * inv2 * sc) * q3["qin"], (1, 2))
+    y3, sout3 = c3p_site(r2, a2, c2, _pair_c3_weights(q3["w"]),
+                         q3["ws"], p["c3_b"].astype(jnp.float32))
+    m3, inv3 = _stats(sout3, float(y3.shape[1] * y3.shape[2]))
+    return y3, m3, inv3
 
 
 def _stats_phased(sout, n, phases, c):
@@ -311,10 +850,38 @@ def dec_supported(h4: int, w4: int) -> bool:
     return (res_supported(h4, w4) and res_supported(2 * h4, 2 * w4))
 
 
-def dec_chain(y: jnp.ndarray, p: dict, quant: dict):
+#: d2 as a column-PAIR-packed site (K=128, CO=256): the plain form's K=64
+#: contraction half-fills the MXU and its 64-lane prologue half-fills the
+#: VPU. Flag for the in-net A/B (experiments/mk24 PAIR_D2 env).
+_PAIR_D2 = True
+
+
+def _pair_d2_weights(wq) -> jnp.ndarray:
+    """(3,3,64,128) s8 d2 weights → (9,128,256) pair-packed: input lanes
+    [col 2j | col 2j+1], output lanes [out 2j | out 2j+1], the 3 dx taps
+    spread over 3 pair taps. Same s8 values (per-out-channel scales tile),
+    so numerics are identical to the plain form."""
+    import numpy as np
+
+    w = np.asarray(wq)
+    out = np.zeros((3, 3, 128, 256), np.int8)
+    for dy in range(3):
+        out[dy, 0, 64:, 0:128] = w[dy, 0]     # x[2j-1] → out 2j   (dx=0)
+        out[dy, 1, 0:64, 0:128] = w[dy, 1]    # x[2j]   → out 2j   (dx=1)
+        out[dy, 1, 64:, 0:128] = w[dy, 2]     # x[2j+1] → out 2j   (dx=2)
+        out[dy, 1, 0:64, 128:] = w[dy, 0]     # x[2j]   → out 2j+1 (dx=0)
+        out[dy, 1, 64:, 128:] = w[dy, 1]      # x[2j+1] → out 2j+1 (dx=1)
+        out[dy, 2, 0:64, 128:] = w[dy, 2]     # x[2j+2] → out 2j+1 (dx=2)
+    return jnp.asarray(out.reshape(9, 128, 256))
+
+
+def dec_chain(y: jnp.ndarray, p: dict, quant: dict, carry=None):
     """deconv1 + deconv2 as fused int8 sites (edge halos in-kernel).
 
-    y: (B, H4, W4, 128) the res-chain output. Returns
+    y: (B, H4, W4, 128) the res-chain output — or, when ``carry`` is the
+    ``(r2, a2, c2)`` tuple from ``res_chain(..., ret_carry=True)``, the
+    PRE-previous activation: block 5's residual add then folds into the
+    d1 kernel's prologue instead of a standalone HBM pass. Returns
     ``(d2_raw, m5, inv5)``: the raw bf16 deconv2 output on the 540 grid
     (B, 2·H4, 2·W4, 128) plus its in5 stats (phases=4 over 32 logical
     channels) for the downstream deferred apply — exactly what the XLA
@@ -334,35 +901,82 @@ def dec_chain(y: jnp.ndarray, p: dict, quant: dict):
     # d1: plain quantize (res output has no pending affine), 128 -> 256.
     aq = jnp.full((B, C), q1["qin"], jnp.float32)
     cq = jnp.zeros((B, C), jnp.float32)
-    r, sout = res_site(y, aq, cq, q1["w"].reshape(9, C, -1), q1["ws"],
-                       p["d1_b"].astype(jnp.float32), -127.0, halo="edge")
+    if carry is not None:
+        r2p, a2p, c2p = carry
+        r, sout, _ = res_site_skip(r2p, y, aq, cq, a2p, c2p,
+                                   q1["w"].reshape(9, C, -1), q1["ws"],
+                                   p["d1_b"].astype(jnp.float32), -127.0,
+                                   halo="edge", yout=False)
+    else:
+        r, sout = res_site(y, aq, cq, q1["w"].reshape(9, C, -1), q1["ws"],
+                           p["d1_b"].astype(jnp.float32), -127.0, halo="edge")
     m, inv = _stats_phased(sout, float(H * W0), 4, r.shape[-1] // 4)
-
-    yd = d2s(r, 2, r.shape[-1] // 4)               # (B, 2H, 2W, 64) raw
 
     # d2: in4 affine folds into the quantize (ReLU -> clamp lo=0), 64 -> 128.
     sc = p["in4"]["scale"].astype(jnp.float32)
     bi = p["in4"]["bias"].astype(jnp.float32)
     a_eff = (inv * sc) * q2["qin"]
     c_eff = (bi - m * inv * sc) * q2["qin"]
-    r2, sout2 = res_site(yd, a_eff, c_eff,
-                         q2["w"].reshape(9, yd.shape[-1], -1), q2["ws"],
-                         p["d2_b"].astype(jnp.float32), 0.0, halo="edge")
-    m5, inv5 = _stats_phased(sout2, float(yd.shape[1] * yd.shape[2]), 4,
-                             r2.shape[-1] // 4)
+    co = r.shape[-1] // 4                          # 64
+    if _PAIR_D2:
+        # column-pair form: expand the u phase into rows only (v stays in
+        # lanes as the column pair) and prepend/append the edge halo pair
+        # columns at the 270 grid so the whole prep is one relayout copy.
+        Bq, H4, W4, _ = r.shape
+        # channels of r: (u*2+v)*co + c. halo-left needs, per expanded row
+        # u: [zeros(co) | x(col0, v=0, u)] = ch (u,0,c); halo-right:
+        # [x(col W-1, v=1, u) | zeros(co)] = ch (u,1,c).
+        rl = r[:, :, :1].reshape(Bq, H4, 1, 2, 2, co)
+        hl = jnp.concatenate(
+            [jnp.zeros((Bq, H4, 1, 2, 1, co), r.dtype), rl[:, :, :, :, 0:1]],
+            axis=4).reshape(Bq, H4, 1, 4 * co)
+        rr = r[:, :, -1:].reshape(Bq, H4, 1, 2, 2, co)
+        hr = jnp.concatenate(
+            [rr[:, :, :, :, 1:2], jnp.zeros((Bq, H4, 1, 2, 1, co), r.dtype)],
+            axis=4).reshape(Bq, H4, 1, 4 * co)
+        rh = jnp.concatenate([hl, r, hr], axis=2)  # (B, H4, W4+2, 256)
+        yp = (rh.reshape(Bq, H4, W4 + 2, 2, 2 * co)
+              .transpose(0, 1, 3, 2, 4)
+              .reshape(Bq, 2 * H4, W4 + 2, 2 * co))  # (B, 540, 482, 128)
+        a2p = jnp.tile(a_eff, (1, 2))
+        c2p = jnp.tile(c_eff, (1, 2))
+        r2p, sout2 = res_site(yp, a2p, c2p, _pair_d2_weights(q2["w"]),
+                              jnp.tile(q2["ws"], 2),
+                              jnp.tile(p["d2_b"].astype(jnp.float32), 2),
+                              0.0, halo="prehalo")
+        r2 = r2p.reshape(Bq, 2 * H4, W4, 2, 2 * co).reshape(
+            Bq, 2 * H4, 2 * W4, 2 * co)
+        m5, inv5 = _stats_phased(sout2, float(2 * H4 * W4), 8,
+                                 r2.shape[-1] // 4)
+    else:
+        yd = d2s(r, 2, co)                         # (B, 2H, 2W, 64) raw
+        r2, sout2 = res_site(yd, a_eff, c_eff,
+                             q2["w"].reshape(9, yd.shape[-1], -1), q2["ws"],
+                             p["d2_b"].astype(jnp.float32), 0.0, halo="edge")
+        m5, inv5 = _stats_phased(sout2, float(yd.shape[1] * yd.shape[2]), 4,
+                                 r2.shape[-1] // 4)
     return r2, m5, inv5
 
 
-def res_chain(y: jnp.ndarray, p: dict, quant: dict) -> jnp.ndarray:
+def res_chain(y: jnp.ndarray, p: dict, quant: dict, *,
+              ret_carry: bool = False):
     """The five residual blocks with all ten convs as fused int8 sites.
 
     y: (B, H4, W4, 128) the ACTIVATED res-chain input (post in3 apply).
     p: s2d2 param dict; quant: transformer_net_s2d2.quantize_net output
     (must contain all r{i}{a,b} sites). Matches the XLA int8 path
     (transformer_net_s2d2.apply with quant=) to bf16 rounding.
+
+    Each block's deferred-in2 apply + residual add folds into the NEXT
+    a-site's prologue (res_site_skip) — the standalone combine passes
+    between kernels were 2.3-3.0 ms each at B16 (round-3 trace). With
+    ret_carry=True the LAST combine is also left pending and
+    ``(y4, (r2_5, a2, c2))`` is returned for the d1 site to fold
+    (dec_chain); otherwise the final combine runs as one XLA pass.
     """
     B, H, W0, C = y.shape
     n = float(H * W0)
+    carry = None
     for i in range(1, 6):
         rp = p[f"res{i}"]
         qa = quant[f"r{i}a"]
@@ -371,8 +985,13 @@ def res_chain(y: jnp.ndarray, p: dict, quant: dict) -> jnp.ndarray:
         w9b = qb["w"].reshape(9, C, C)
         aq = jnp.full((B, C), qa["qin"], jnp.float32)
         cq = jnp.zeros((B, C), jnp.float32)
-        r, sout = res_site(y, aq, cq, w9a, qa["ws"],
-                           rp["conv1"]["b"].astype(jnp.float32), -127.0)
+        ba = rp["conv1"]["b"].astype(jnp.float32)
+        if carry is None:
+            r, sout = res_site(y, aq, cq, w9a, qa["ws"], ba, -127.0)
+        else:
+            r2p, a2p, c2p = carry
+            r, sout, y = res_site_skip(r2p, y, aq, cq, a2p, c2p, w9a,
+                                       qa["ws"], ba, -127.0)
         m, inv = _stats(sout, n)
         sc = rp["in1"]["scale"].astype(jnp.float32)
         bi = rp["in1"]["bias"].astype(jnp.float32)
@@ -383,7 +1002,9 @@ def res_chain(y: jnp.ndarray, p: dict, quant: dict) -> jnp.ndarray:
         m2, inv2 = _stats(sout2, n)
         sc2 = rp["in2"]["scale"].astype(jnp.float32)
         bi2 = rp["in2"]["bias"].astype(jnp.float32)
-        a2 = (inv2 * sc2)[:, None, None, :]
-        c2 = (bi2 - m2 * inv2 * sc2)[:, None, None, :]
-        y = (r2.astype(jnp.float32) * a2 + c2).astype(y.dtype) + y
-    return y
+        carry = (r2, inv2 * sc2, bi2 - m2 * inv2 * sc2)
+    if ret_carry:
+        return y, carry
+    r2, a2, c2 = carry
+    return (r2.astype(jnp.float32) * a2[:, None, None, :]
+            + c2[:, None, None, :]).astype(y.dtype) + y

@@ -337,11 +337,25 @@ def apply(params: dict, x: jnp.ndarray, *, tap=None,
             y = conv2d(_pad_reflect_f2_4px(ys, 3), p["c1_w"], p["c1_b"])
     m, inv = _in_stats(y, 4, 32)                  # [B, H/2, W/2, 128]
 
+    use_head_i8 = False
+    if "head_i8" in fused_sites and quant is not None:
+        from . import s2d2_sites_i8
+        use_head_i8 = ("c2" in quant and "c3" in quant
+                       and s2d2_sites_i8.head_supported(h // 2, w // 2))
     use_head = False
     if "head" in fused_sites and "c3_wb" in p:
         from . import s2d2_sites
         use_head = s2d2_sites.head_supported(h // 2, w // 2)
-    if use_head:
+    if use_head_i8:
+        # conv2 + conv3 as pair-packed Pallas int8 sites: the in1/in2
+        # applies fold into the kernels' quantize prologues, the phase
+        # halos become s8 permutation dots, and c3's stride-2 runs as
+        # even/odd-row pair dots at full MXU depth (K=128/256) — the XLA
+        # strided conv ran at ~46 TF/s (round-2c trace).
+        tap("c2", y)
+        y, m, inv = s2d2_sites_i8.head_chain(y, m, inv, p, quant)
+        y = _apply_in_relu(y, m, inv, p["in3"]["scale"], p["in3"]["bias"], 1)
+    elif use_head:
         # fused c2+c3: Pallas sites + strip fixup kill the in1/in2 apply
         # passes and XLA's strided conv3.
         y, m, inv = s2d2_sites.head(y, m, inv, p["in1"], p["c2_w"],
@@ -349,10 +363,14 @@ def apply(params: dict, x: jnp.ndarray, *, tap=None,
                                     p["c3_b"], tap=tap)
         y = _apply_in_relu(y, m, inv, p["in3"]["scale"], p["in3"]["bias"], 1)
     else:
+        # "c2"/"c3" in quant ride the Pallas head only — when head_i8 was
+        # requested but the geometry is unsupported, fall back to bf16
+        # (XLA-i8 on them is a measured loss, PERF.md round-3).
+        hsfx = "" if "head_i8" not in fused_sites else "_bf16"
         y = _pad_stride2_halo(y, 32)              # left/top phase halo
         af = (m, inv, p["in1"]["scale"], p["in1"]["bias"], 4)
         tap("c2", _apply_in_relu(y, *af))         # DCE'd when tap is a no-op
-        y = _qc("c2", y, p["c2_w"], p["c2_b"], affine=af)  # [B,H/2,W/2,64]
+        y = _qc("c2" + hsfx, y, p["c2_w"], p["c2_b"], affine=af)
         m, inv = _in_stats(y, 1, 64)
         if _C3_BLOCK and "c3_wb" in p:
             # 2×2 block conv at K=256 on the s2d'd tensor instead of XLA's
@@ -368,22 +386,35 @@ def apply(params: dict, x: jnp.ndarray, *, tap=None,
             y = reflect_pad_2d(y, 1)              # plain pixel reflect @540p
             af = (m, inv, p["in2"]["scale"], p["in2"]["bias"], 1)
             tap("c3", _apply_in_relu(y, *af))
-            y = _qc("c3", y, p["c3_w"], p["c3_b"], stride=2, affine=af)
+            y = _qc("c3" + hsfx, y, p["c3_w"], p["c3_b"], stride=2, affine=af)
         m, inv = _in_stats(y, 1, 128)
         y = _apply_in_relu(y, m, inv, p["in3"]["scale"], p["in3"]["bias"], 1)
 
-    use_res_i8 = False
-    if "res_i8" in fused_sites and quant is not None:
+    use_res_i8 = use_dec_i8 = False
+    res_carry = None
+    if quant is not None and ("res_i8" in fused_sites
+                              or "dec_i8" in fused_sites):
         from . import s2d2_sites_i8
-        use_res_i8 = (all(f"r{i}{ab}" in quant
-                          for i in range(1, 6) for ab in "ab")
-                      and s2d2_sites_i8.res_supported(y.shape[1], y.shape[2]))
+        if "res_i8" in fused_sites:
+            use_res_i8 = (all(f"r{i}{ab}" in quant
+                              for i in range(1, 6) for ab in "ab")
+                          and s2d2_sites_i8.res_supported(y.shape[1],
+                                                          y.shape[2]))
+        if "dec_i8" in fused_sites:
+            use_dec_i8 = ("d1" in quant and "d2" in quant
+                          and s2d2_sites_i8.dec_supported(y.shape[1],
+                                                          y.shape[2]))
     if use_res_i8:
         # all ten res-site convs as Pallas int8 fused kernels: the quantize
         # runs in each kernel's prologue from VMEM (the standalone XLA
         # quantize passes were 56.8 ms/B16 — PERF.md int8 section) and the
-        # IN stats ride the epilogue.
-        y = s2d2_sites_i8.res_chain(y, p, quant)
+        # IN stats ride the epilogue. When the d1 site follows, block 5's
+        # residual add folds into it (carry) instead of an HBM pass.
+        if use_dec_i8:
+            y, res_carry = s2d2_sites_i8.res_chain(y, p, quant,
+                                                   ret_carry=True)
+        else:
+            y = s2d2_sites_i8.res_chain(y, p, quant)
     else:
         for i in range(1, 6):
             rp = p[f"res{i}"]
@@ -396,16 +427,12 @@ def apply(params: dict, x: jnp.ndarray, *, tap=None,
             r = _qc(f"r{i}b", r, rp["conv2"]["w"], rp["conv2"]["b"], affine=af)
             y = instance_norm(r, rp["in2"]["scale"], rp["in2"]["bias"]) + y
 
-    use_dec_i8 = False
-    if "dec_i8" in fused_sites and quant is not None:
-        from . import s2d2_sites_i8
-        use_dec_i8 = ("d1" in quant and "d2" in quant
-                      and s2d2_sites_i8.dec_supported(y.shape[1], y.shape[2]))
     if use_dec_i8:
         # deconv1+deconv2 as Pallas int8 fused sites (edge halos + the in4
         # affine in the d2 kernel's quantize prologue; d2s stays XLA).
+        from . import s2d2_sites_i8
         tap("d1", y)
-        y, m, inv = s2d2_sites_i8.dec_chain(y, p, quant)
+        y, m, inv = s2d2_sites_i8.dec_chain(y, p, quant, carry=res_carry)
     else:
         # deconv1: up×2 + conv → f2-of-540p on the 270 grid, then ONE d2s.
         tap("d1", y)

@@ -92,6 +92,7 @@ def test_engine_quantize_flag(tmp_path):
         assert np.abs(x - y).mean() < 2.0  # u8 scale: ~0.8% of range
 
 
+@pytest.mark.slow
 def test_res_i8_pallas_parity(baked):
     """fused_sites=("res_i8",) — the Pallas int8 res-chain kernels
     (models/s2d2_sites_i8.py, interpret mode on CPU) match the XLA int8
@@ -117,6 +118,57 @@ def test_res_i8_pallas_parity(baked):
     assert d.mean() < 1e-3, (d.mean(), d.max())
 
 
+def test_head_i8_pallas_parity(baked):
+    """fused_sites=("head_i8",) — the pair-packed Pallas int8 c2+c3 sites
+    (phase-permutation-dot halos, even/odd stride-2 pair dots) match the
+    XLA int8 path."""
+    from neuralstyletransferv1_tpu.models import s2d2_sites_i8
+
+    bp = jax.tree.map(lambda a: a.astype(jnp.bfloat16), baked)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.random((2, 32, 256, 3)), jnp.bfloat16)
+    scales = s2d2.calibrate_act_scales(baked, x.astype(jnp.float32))
+    quant = s2d2.quantize_net(baked, {k: scales[k] for k in ("c2", "c3")})
+    assert s2d2_sites_i8.head_supported(16, 128)
+
+    s2d2_sites_i8._INTERPRET = True
+    try:
+        y_xla = s2d2.apply(bp, x, quant=quant)
+        y_pal = s2d2.apply(bp, x, quant=quant, fused_sites=("head_i8",))
+    finally:
+        s2d2_sites_i8._INTERPRET = False
+    assert y_pal.shape == y_xla.shape
+    d = np.abs(np.asarray(y_xla, np.float32) - np.asarray(y_pal, np.float32))
+    assert d.mean() < 1e-3, (d.mean(), d.max())
+
+
+def test_res_dec_i8_carry_parity(baked):
+    """The full engine config — res chain + dec sites with every residual
+    add folded into the next kernel's prologue (res_site_skip, incl. the
+    block-5 carry into d1) — matches the XLA int8 path."""
+    from neuralstyletransferv1_tpu.models import s2d2_sites_i8
+
+    bp = jax.tree.map(lambda a: a.astype(jnp.bfloat16), baked)
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.random((2, 32, 256, 3)), jnp.bfloat16)
+    scales = s2d2.calibrate_act_scales(baked, x.astype(jnp.float32))
+    scales = {k: v for k, v in scales.items()
+              if k.startswith("r") or k in ("d1", "d2")}
+    quant = s2d2.quantize_net(baked, scales)
+
+    s2d2_sites_i8._INTERPRET = True
+    try:
+        y_xla = s2d2.apply(bp, x, quant=quant)
+        y_pal = s2d2.apply(bp, x, quant=quant,
+                           fused_sites=("res_i8", "dec_i8"))
+    finally:
+        s2d2_sites_i8._INTERPRET = False
+    assert y_pal.shape == y_xla.shape
+    d = np.abs(np.asarray(y_xla, np.float32) - np.asarray(y_pal, np.float32))
+    assert d.mean() < 1e-3, (d.mean(), d.max())
+
+
+@pytest.mark.slow
 def test_d3_i8_pallas_parity(baked):
     """fused_sites=("d3_i8",) — the Pallas int8 deconv3 rows site (zero
     column pads + border strip fixups, like the zero-SAME XLA branch)
@@ -143,6 +195,7 @@ def test_d3_i8_pallas_parity(baked):
     assert d.mean() < 1e-3, (d.mean(), d.max())
 
 
+@pytest.mark.slow
 def test_dec_i8_pallas_parity(baked):
     """fused_sites=("dec_i8",) — the Pallas int8 deconv1+deconv2 sites
     (edge halos in-kernel, in4 affine in the d2 prologue) match the XLA
@@ -165,3 +218,83 @@ def test_dec_i8_pallas_parity(baked):
     assert y_pal.shape == y_xla.shape
     d = np.abs(np.asarray(y_xla, np.float32) - np.asarray(y_pal, np.float32))
     assert d.mean() < 1e-3, (d.mean(), d.max())
+
+
+@pytest.mark.parametrize("norm", ["bn", "in"])
+def test_t7_int8_res_chain_parity(norm):
+    """The .t7 fast-path int8 res chain: the Pallas fused sites (zero
+    halos, residual folds) match the XLA int8 reference branch, and both
+    stay within the quality gate of the unquantized fast form — for the
+    BN-folded (rn=None) AND instance-norm variants."""
+    from tests.test_t7_fast import _johnson_layers, _in
+    from neuralstyletransferv1_tpu.io import t7_fast
+    from neuralstyletransferv1_tpu.models import s2d2_sites_i8
+
+    layers = _johnson_layers()
+    if norm == "in":
+        layers = [(_in(l["weight"].shape[0]) if l["op"] == "batchnorm" else l)
+                  for l in layers]
+        for l in layers:
+            if l["op"] == "concat_table":
+                l["branches"][0][:] = [
+                    (_in(b["weight"].shape[0]) if b["op"] == "batchnorm"
+                     else b) for b in l["branches"][0]]
+    fp = t7_fast.try_fast_johnson(layers)
+    assert fp is not None
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(0, 50, (2, 32, 64, 3)).astype(np.float32))
+    scales = t7_fast.calibrate_t7_scales(fp, x)
+    assert sorted(scales) == sorted(f"r{i}{ab}" for i in range(3)
+                                    for ab in "ab")
+    quant = t7_fast.quantize_t7(fp, scales)
+    assert s2d2_sites_i8.res_supported(8, 16)
+
+    # Both int8 paths at bf16, like the engine runs them: the Pallas chain
+    # carries bf16 between kernels, so an f32 XLA reference diverges at
+    # int8 code boundaries and this random net amplifies ~1.4x per conv.
+    fpb = jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16)
+        if hasattr(a, "astype") and a.dtype == jnp.float32 else a, fp)
+    xb = x.astype(jnp.bfloat16)
+    y_ref = t7_fast.t7_fast_apply(fp, x)
+    y_xla = t7_fast.t7_fast_apply(fpb, xb, quant=quant)
+    s2d2_sites_i8._INTERPRET = True
+    try:
+        y_pal = t7_fast.t7_fast_apply(fpb, xb, quant=quant,
+                                      fused_sites=("res_i8",))
+    finally:
+        s2d2_sites_i8._INTERPRET = False
+
+    # Pallas vs XLA int8: same math to bf16 rounding (measured 2.3e-3 MAE
+    # on the ~tanh*150 output scale = 1.5e-5 relative).
+    d = np.abs(np.asarray(y_xla, np.float32) - np.asarray(y_pal, np.float32))
+    assert d.mean() < 0.05, (d.mean(), d.max())
+    # int8 vs the exact f32 fast form: this synthetic net (no norm taming
+    # the res activations after BN folding) is the harsh case — gate at 5%
+    # of the mean output magnitude (measured 2.5%).
+    q = np.abs(np.asarray(y_ref, np.float32) - np.asarray(y_xla, np.float32))
+    ref_mag = np.abs(np.asarray(y_ref, np.float32)).mean()
+    assert q.mean() < 0.05 * ref_mag, (q.mean(), ref_mag)
+
+
+def test_engine_t7_quantize_flag():
+    """--quantize int8 on a .t7 slot: the stylizer's lazy-calibration t7
+    branch (engine/stylizer.py) produces output close to the exact bf16
+    fast path (CPU = the XLA int8 reference branch)."""
+    from tests.test_t7_fast import _johnson_layers
+    from neuralstyletransferv1_tpu.engine import stylizer as st
+
+    model = st.StyleModel("t7", {"layers": _johnson_layers()}, "caffe_bgr",
+                          "synthetic_t7", "torch7")
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.random((2, 32, 64, 3)), jnp.float32)
+
+    f_ref = st.jit_stylizer(model, dtype=jnp.bfloat16)
+    f_i8 = st.jit_stylizer(model, dtype=jnp.bfloat16, quantize="int8")
+    y_ref = np.asarray(f_ref(x), np.float32)
+    y_i8 = np.asarray(f_i8(x), np.float32)
+    assert y_i8.shape == y_ref.shape
+    # [0,1] output space; synthetic random net is the harsh case.
+    d = np.abs(y_ref - y_i8)
+    assert d.mean() < 3e-2, (d.mean(), d.max())
