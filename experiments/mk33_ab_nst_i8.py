@@ -1,0 +1,95 @@
+"""mk33: in-net int8 A/B for the NST fast path at 1080p — bf16 vs XLA-int8
+vs the Pallas fused res chain. The pad-40 grid puts the res chain at
+290x500: width pads to 504 in-chain and the kernels mask the padding
+columns (sw) — this harness is the production-geometry check for that.
+
+BATCHES=16,48 to override.
+"""
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+from neuralstyletransferv1_tpu import config
+from neuralstyletransferv1_tpu.models import transformer_net_nst
+from neuralstyletransferv1_tpu.models import transformer_net_nst_fast as nstf
+
+H, W = 1080, 1920
+
+
+def timed_step(step, batch, chain=8, repeats=2):
+    g = jax.jit(lambda x: jnp.sum(
+        jax.lax.fori_loop(0, chain, lambda i, y: step(y).astype(y.dtype), x)
+        .astype(jnp.float32)))
+    x = jax.random.uniform(jax.random.key(0), (batch, H, W, 3), jnp.bfloat16)
+    float(g(x))
+    best = float("inf")
+    for r in range(repeats):
+        x2 = jax.random.uniform(jax.random.key(100 + r), (batch, H, W, 3),
+                                jnp.bfloat16)
+        float(jnp.sum(x2.astype(jnp.float32)))
+        t0 = time.perf_counter()
+        float(g(x2))
+        best = min(best, time.perf_counter() - t0)
+    d1 = best
+    g1 = jax.jit(lambda x: jnp.sum(step(x).astype(jnp.float32)))
+    float(g1(x))
+    x2 = jax.random.uniform(jax.random.key(999), (batch, H, W, 3),
+                            jnp.bfloat16)
+    float(jnp.sum(x2.astype(jnp.float32)))
+    t0 = time.perf_counter()
+    float(g1(x2))
+    done = time.perf_counter() - t0
+    return (d1 - done) / (chain - 1)
+
+
+def main():
+    import os
+
+    config.set_conv_precision("default")
+    print("device:", jax.devices()[0], flush=True)
+    p32 = nstf.from_nst_params(transformer_net_nst.init(jax.random.key(0)))
+    pb = jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16)
+        if hasattr(a, "astype") and a.dtype == jnp.float32 else a, p32)
+
+    xc = jax.random.uniform(jax.random.key(7), (1, H, W, 3), jnp.float32)
+    scales = nstf.calibrate_act_scales(p32, xc)
+    quant = nstf.quantize_net(p32, scales)
+    print(f"sites: {sorted(quant)}", flush=True)
+
+    def step_bf16(x):
+        return jnp.clip(nstf.apply(pb, x), 0.0, 1.0)
+
+    def step_xla_i8(x):
+        return jnp.clip(nstf.apply(pb, x, quant=quant), 0.0, 1.0)
+
+    def step_pal_i8(x):
+        return jnp.clip(nstf.apply(pb, x, quant=quant,
+                                   fused_sites=("res_i8",)), 0.0, 1.0)
+
+    y0 = np.asarray(jax.jit(step_bf16)(xc.astype(jnp.bfloat16)), np.float32)
+    for name, fn in (("xla-i8", step_xla_i8), ("pal-i8", step_pal_i8)):
+        y = np.asarray(jax.jit(fn)(xc.astype(jnp.bfloat16)), np.float32)
+        d = np.abs(y0 - y)
+        print(f"quality {name}: MAE {d.mean():.5f} max {d.max():.4f}",
+              flush=True)
+
+    if os.environ.get("BATCHES"):
+        batches = tuple(int(b) for b in os.environ["BATCHES"].split(","))
+    else:
+        batches = (16, 48)
+    for B in batches:
+        for name, fn in (("bf16  ", step_bf16), ("xla-i8", step_xla_i8),
+                         ("pal-i8", step_pal_i8)):
+            t = timed_step(fn, B)
+            print(f"[{name} B{B}] {t*1e3:.1f} ms/batch  {B/t:.1f} fps",
+                  flush=True)
+
+
+if __name__ == "__main__":
+    main()

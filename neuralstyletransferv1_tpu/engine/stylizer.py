@@ -161,10 +161,12 @@ def jit_stylizer(model: StyleModel, *, dtype=jnp.float32, optimize: bool = True,
     m = model.cast(dtype) if dtype != jnp.float32 else model
 
     reco_fast_params = None
+    reco_fast_params32 = None
     if optimize and model.arch == "reconet":
         from ..models import reconet_fast
 
         reco_fast_params = reconet_fast.from_reconet_params(model.params)
+        reco_fast_params32 = reco_fast_params
         if dtype != jnp.float32:
             reco_fast_params = jax.tree.map(
                 lambda a: a.astype(dtype)
@@ -172,10 +174,12 @@ def jit_stylizer(model: StyleModel, *, dtype=jnp.float32, optimize: bool = True,
                 reco_fast_params)
 
     nst_fast_params = None
+    nst_fast_params32 = None
     if optimize and model.arch == "nst":
         from ..models import transformer_net_nst_fast as nstf
 
         nst_fast_params = nstf.from_nst_params(model.params)
+        nst_fast_params32 = nst_fast_params
         if dtype != jnp.float32:
             nst_fast_params = jax.tree.map(
                 lambda a: a.astype(dtype) if hasattr(a, "astype") else a,
@@ -249,14 +253,24 @@ def jit_stylizer(model: StyleModel, *, dtype=jnp.float32, optimize: bool = True,
         if nst_fast_params is not None:
             from ..models import transformer_net_nst_fast as nstf
 
+            fused = ()
+            if quant is not None and jax.default_backend() == "tpu":
+                fused = ("res_i8",)
             xin = iop.preprocess(m.io_preset, x)
-            return iop.postprocess(m.io_preset, nstf.apply(nst_fast_params,
-                                                           xin))
+            return iop.postprocess(
+                m.io_preset,
+                nstf.apply(nst_fast_params, xin, quant=quant,
+                           fused_sites=fused))
         from ..models import reconet_fast
 
+        fused = ()
+        if quant is not None and jax.default_backend() == "tpu":
+            fused = ("res_i8",)
         xin = iop.preprocess(m.io_preset, x)
-        return iop.postprocess(m.io_preset,
-                               reconet_fast.apply(reco_fast_params, xin))
+        return iop.postprocess(
+            m.io_preset,
+            reconet_fast.apply(reco_fast_params, xin, quant=quant,
+                               fused_sites=fused))
 
     def make_fn(quant=None):
         def fn(x01):
@@ -282,13 +296,29 @@ def jit_stylizer(model: StyleModel, *, dtype=jnp.float32, optimize: bool = True,
         return fn
 
     if quantize == "int8":
-        if s2d_params is None and t7_fast_params is None:
-            print(f"[stylizer][WARN] --quantize int8 supports the Johnson "
-                  f"s2d2 and .t7 fast paths only; {model.name} "
-                  f"({model.arch}) stays "
-                  f"{'bf16' if dtype != jnp.float32 else 'f32'}.")
-        elif t7_fast_params is not None:
+        fastq = None
+        if t7_fast_params is not None:
             from ..io import t7_fast as t7f
+
+            fastq = (t7_fast_params32, t7f.calibrate_t7_scales,
+                     t7f.quantize_t7)
+        elif nst_fast_params is not None:
+            from ..models import transformer_net_nst_fast as nstf
+
+            fastq = (nst_fast_params32, nstf.calibrate_act_scales,
+                     nstf.quantize_net)
+        elif reco_fast_params is not None:
+            from ..models import reconet_fast as recf
+
+            fastq = (reco_fast_params32, recf.calibrate_act_scales,
+                     recf.quantize_net)
+        if s2d_params is None and fastq is None:
+            print(f"[stylizer][WARN] --quantize int8 needs a supported "
+                  f"fast path (Johnson s2d2 / .t7 / NST / ReCoNet); "
+                  f"{model.name} ({model.arch}) stays "
+                  f"{'bf16' if dtype != jnp.float32 else 'f32'}.")
+        elif fastq is not None:
+            p32, calibrate_fn, quantize_fn = fastq
 
             # Same lazy-first-batch PTQ structure as the s2d2 branch below:
             # one jitted f32 forward taps the per-res-site maxima, then the
@@ -296,7 +326,7 @@ def jit_stylizer(model: StyleModel, *, dtype=jnp.float32, optimize: bool = True,
             # compiles with static scales.
             state: dict = {}
 
-            def call_t7(x01):
+            def call_fast(x01):
                 if "fn" not in state:
                     xc = x01[:1].astype(jnp.float32)
                     H, W = xc.shape[1], xc.shape[2]
@@ -305,14 +335,14 @@ def jit_stylizer(model: StyleModel, *, dtype=jnp.float32, optimize: bool = True,
                         xc = jnp.pad(xc, ((0, 0), (0, ph), (0, pw), (0, 0)),
                                      mode="reflect")
                     xin = iop.preprocess(m.io_preset, xc)
-                    scales = t7f.calibrate_t7_scales(t7_fast_params32, xin)
-                    quant = t7f.quantize_t7(t7_fast_params32, scales)
+                    scales = calibrate_fn(p32, xin)
+                    quant = quantize_fn(p32, scales)
                     state["fn"] = _jit_batch(make_fn(quant), mesh)
-                    print(f"[stylizer] int8 t7 path calibrated for "
-                          f"{model.name} ({len(quant)} sites)")
+                    print(f"[stylizer] int8 {model.arch} path calibrated "
+                          f"for {model.name} ({len(quant)} sites)")
                 return state["fn"](x01)
 
-            return call_t7
+            return call_fast
         else:
             from ..models import transformer_net_s2d2 as tns2d
 

@@ -92,12 +92,155 @@ def _apply(x, m, inv, nrm, phases, frn, *, act=True):
     return y.astype(x.dtype)
 
 
-def apply(params: dict, x: jnp.ndarray) -> jnp.ndarray:
-    """NHWC float in [-1,1] → stylized NHWC in [-1,1]. H, W divisible by 4."""
+def _res_i8_stats(sout, n, frn):
+    """Deferred norm (m, inv) from a fused site's [sum, sum_sq] output."""
+    s1 = sout[:, 0, :] / n
+    s2 = sout[:, 1, :] / n
+    if frn:
+        return jnp.zeros_like(s2), jax.lax.rsqrt(s2 + _EPS)
+    var = s2 - s1 * s1
+    return s1, jax.lax.rsqrt(var + _EPS)
+
+
+def _res_quant_xla(y, p, quant, frn):
+    """XLA int8 res chain — parity reference / CPU fallback (each site
+    pays a standalone HBM quantize pass; TPU runs _res_chain_i8). The
+    reflect pads commute with the pointwise quantize, so the s8 tensor is
+    reflect-padded directly."""
+    from ..ops.conv import conv2d_i8
+
+    C = y.shape[-1]
+    for i, rp in enumerate(p["res"]):
+        qa, qb = quant[f"r{i}a"], quant[f"r{i}b"]
+        xq = jnp.clip(jnp.round(y.astype(jnp.float32) * qa["qin"]),
+                      -127.0, 127.0).astype(jnp.int8)
+        ra = (conv2d_i8(reflect_pad_2d(xq, 1), qa["w"]).astype(jnp.float32)
+              * qa["ws"]
+              + rp["conv1"]["b"].astype(jnp.float32)).astype(y.dtype)
+        m, inv = _stats(ra, 1, C, frn)
+        sc = rp["norm1"]["scale"].astype(jnp.float32)
+        bi = rp["norm1"]["bias"].astype(jnp.float32)
+        a1 = (inv * sc)[:, None, None, :] * qb["qin"]
+        c1 = (bi[None] - m * inv * sc)[:, None, None, :] * qb["qin"]
+        v = ra.astype(jnp.float32) * a1 + c1
+        if frn:
+            v = jnp.maximum(v, rp["norm1"]["tau"].astype(jnp.float32)
+                            * qb["qin"])
+        rq = jnp.clip(jnp.round(v), 0.0 if not frn else -127.0,
+                      127.0).astype(jnp.int8)
+        rb = (conv2d_i8(reflect_pad_2d(rq, 1), qb["w"]).astype(jnp.float32)
+              * qb["ws"]
+              + rp["conv2"]["b"].astype(jnp.float32)).astype(y.dtype)
+        m2, inv2 = _stats(rb, 1, C, frn)
+        y = _apply(rb, m2, inv2, rp["norm2"], 1, frn, act=False) + y
+        if frn:
+            y = jnp.maximum(y.astype(jnp.float32),
+                            rp["act"]["tau"].astype(jnp.float32)) \
+                .astype(y.dtype)
+        else:
+            y = jax.nn.relu(y)
+    return y
+
+
+def _res_chain_i8(y, p, quant, frn):
+    """The four res blocks' convs as Pallas fused int8 sites (reflect
+    halos; deferred IN or FRN stats ride the kernel epilogue, the TLU
+    folds into the b-site's quantize as a per-channel floor). The
+    combine + post-skip activation stays XLA — ReCoNet activates AFTER
+    the residual add (reference: model.py:57-60), so the skip-fold
+    kernel (no activation in its prologue add) does not apply."""
+    from . import s2d2_sites_i8 as si8
+
+    B, H, W0, C = y.shape
+    dt = y.dtype
+    n = float(H * W0)
+    ones = jnp.ones((B, C), jnp.float32)
+    zeros = jnp.zeros((B, C), jnp.float32)
+    for i, rp in enumerate(p["res"]):
+        qa, qb = quant[f"r{i}a"], quant[f"r{i}b"]
+        w9a = qa["w"].reshape(9, C, C)
+        w9b = qb["w"].reshape(9, C, C)
+        r, sout = si8.res_site(y, ones * qa["qin"], zeros, w9a, qa["ws"],
+                               rp["conv1"]["b"].astype(jnp.float32), -127.0)
+        m, inv = _res_i8_stats(sout, n, frn)
+        sc = rp["norm1"]["scale"].astype(jnp.float32)
+        bi = rp["norm1"]["bias"].astype(jnp.float32)
+        a_eff = (inv * sc) * qb["qin"]
+        c_eff = (bi - m * inv * sc) * qb["qin"]
+        tau = None
+        lo = 0.0
+        if frn:
+            lo = -127.0
+            tau = jnp.broadcast_to(
+                rp["norm1"]["tau"].astype(jnp.float32) * qb["qin"], (B, C))
+        rb, sout2 = si8.res_site(r, a_eff, c_eff, w9b, qb["ws"],
+                                 rp["conv2"]["b"].astype(jnp.float32), lo,
+                                 tau=tau)
+        m2, inv2 = _res_i8_stats(sout2, n, frn)
+        sc2 = rp["norm2"]["scale"].astype(jnp.float32)
+        bi2 = rp["norm2"]["bias"].astype(jnp.float32)
+        y = (rb.astype(jnp.float32) * (inv2 * sc2)[:, None, None, :]
+             + (bi2[None] - m2 * inv2 * sc2)[:, None, None, :]) \
+            .astype(y.dtype) + y
+        if frn:
+            y = jnp.maximum(y.astype(jnp.float32),
+                            rp["act"]["tau"].astype(jnp.float32)) \
+                .astype(dt)
+        else:
+            y = jax.nn.relu(y).astype(dt)
+    return y
+
+
+def calibrate_act_scales(p: dict, x_cal) -> dict:
+    """Per-res-site max|activation| from one jitted f32 forward (x_cal:
+    [-1,1] NHWC). Same contract as transformer_net_s2d2."""
+
+    def run(x):
+        vals: dict = {}
+
+        def tap(site, t):
+            vals[site] = jnp.max(jnp.abs(t.astype(jnp.float32)))
+
+        apply(p, x, tap=tap)
+        return vals
+
+    out = jax.jit(run)(x_cal)
+    return {k: float(v) for k, v in out.items()}
+
+
+def quantize_net(p: dict, act_scales: dict) -> dict:
+    """Per-out-channel symmetric int8 res weights + folded activation
+    scales (the transformer_net_s2d2.quantize_net contract), keyed
+    r{i}{a,b} over the four res blocks."""
+    q = {}
+    for i, rp in enumerate(p["res"]):
+        for ab, ck in (("a", "conv1"), ("b", "conv2")):
+            site = f"r{i}{ab}"
+            if site not in act_scales:
+                continue
+            w = np.asarray(rp[ck]["w"], np.float32)
+            ws = np.maximum(np.max(np.abs(w), axis=(0, 1, 2)) / 127.0, 1e-12)
+            wq = np.clip(np.round(w / ws), -127, 127).astype(np.int8)
+            a = max(float(act_scales[site]), 1e-6)
+            q[site] = {"w": jnp.asarray(wq),
+                       "ws": jnp.asarray(ws * (a / 127.0), jnp.float32),
+                       "qin": jnp.float32(127.0 / a)}
+    return q
+
+
+def apply(params: dict, x: jnp.ndarray, *, tap=None, quant=None,
+          fused_sites=()) -> jnp.ndarray:
+    """NHWC float in [-1,1] → stylized NHWC in [-1,1]. H, W divisible by 4.
+
+    quant: optional quantize_net output — the res chain runs int8 (Pallas
+    fused sites when "res_i8" in fused_sites and the geometry supports it,
+    XLA int8 otherwise). tap: calibration hook (site, tensor)."""
     p = params
     frn = bool(p["frn"])
     b, h, w, _ = x.shape
     hb = h // 2
+    if tap is None:
+        tap = lambda name, t: None  # noqa: E731
     ys = s2d(x, 2)
     if h >= 16 and w >= 16:
         y = _conv1_same_fixed(ys, p["c1_w"], p["c1_b"])
@@ -116,21 +259,37 @@ def apply(params: dict, x: jnp.ndarray) -> jnp.ndarray:
     m, inv = _stats(y, 1, 192, frn)
     y = _apply(y, m, inv, p["n3"], 1, frn)
 
-    for rp in p["res"]:
-        r = conv2d(reflect_pad_2d(y, 1), rp["conv1"]["w"], rp["conv1"]["b"])
-        m, inv = _stats(r, 1, 192, frn)
-        r = _apply(r, m, inv, rp["norm1"], 1, frn)
-        r = conv2d(reflect_pad_2d(r, 1), rp["conv2"]["w"], rp["conv2"]["b"])
-        m, inv = _stats(r, 1, 192, frn)
-        r = _apply(r, m, inv, rp["norm2"], 1, frn, act=False)
-        y = y + r
-        # post-skip activation (reference: model.py:57-60)
-        if frn:
-            y = jnp.maximum(y.astype(jnp.float32),
-                            rp["act"]["tau"].astype(jnp.float32)) \
-                .astype(y.dtype)
-        else:
-            y = jax.nn.relu(y)
+    nres = len(p["res"])
+    use_q = quant is not None and all(
+        f"r{i}{ab}" in quant for i in range(nres) for ab in "ab")
+    use_res_i8 = False
+    if use_q and "res_i8" in fused_sites:
+        from . import s2d2_sites_i8 as si8
+        use_res_i8 = si8.res_supported(y.shape[1], y.shape[2])
+    if use_res_i8:
+        y = _res_chain_i8(y, p, quant, frn)
+    elif use_q:
+        y = _res_quant_xla(y, p, quant, frn)
+    else:
+        for i, rp in enumerate(p["res"]):
+            tap(f"r{i}a", y)
+            r = conv2d(reflect_pad_2d(y, 1), rp["conv1"]["w"],
+                       rp["conv1"]["b"])
+            m, inv = _stats(r, 1, 192, frn)
+            r = _apply(r, m, inv, rp["norm1"], 1, frn)
+            tap(f"r{i}b", r)
+            r = conv2d(reflect_pad_2d(r, 1), rp["conv2"]["w"],
+                       rp["conv2"]["b"])
+            m, inv = _stats(r, 1, 192, frn)
+            r = _apply(r, m, inv, rp["norm2"], 1, frn, act=False)
+            y = y + r
+            # post-skip activation (reference: model.py:57-60)
+            if frn:
+                y = jnp.maximum(y.astype(jnp.float32),
+                                rp["act"]["tau"].astype(jnp.float32)) \
+                    .astype(y.dtype)
+            else:
+                y = jax.nn.relu(y)
 
     y = _pad_edge_blocks(y)
     y = conv2d(y, p["d1_w"], p["d1_b"])               # [B, H/4, W/4, 384]

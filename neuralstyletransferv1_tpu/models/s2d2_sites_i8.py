@@ -71,13 +71,20 @@ def res_supported(h4: int, w4: int) -> bool:
     return h4 >= 8 and w4 >= 16 and w4 % 8 == 0 and _pick_ts(h4) is not None
 
 
-def _quant_halo(v, a, c, lo, W0, WP, halo="reflect"):
+def _quant_halo(v, a, c, lo, W0, WP, halo="reflect", t=None):
     """affine+quantize a (R, W0, C) bf16 strip and build the 1px column
     halo: returns (R, WP, C) s8 with X[1:W0+1]=q, junk beyond W0+2, and
     X[0]/X[W0+1] the halo columns — pixel reflect (q[:,1] / q[:,W0-2]) or
-    edge copy (q[:,0] / q[:,W0-1])."""
+    edge copy (q[:,0] / q[:,W0-1]).
+
+    t: optional per-channel (C,) floor applied BEFORE rounding — folds a
+    TLU (max(y, tau); ReCoNet FRN nets) into the quantize: the affine is
+    monotone (a > 0), so max(y, tau)*a + c == max(y*a + c, tau*a + c) and
+    the caller passes t = tau*a + c."""
     R, _, C = v.shape
     x = v.astype(jnp.float32) * a + c
+    if t is not None:
+        x = jnp.maximum(x, t)
     qs = jnp.clip(jnp.round(x), lo, 127.0).astype(jnp.int8)
     X = jnp.pad(qs, ((0, 0), (1, WP - W0 - 1), (0, 0)))
     ci = jax.lax.broadcasted_iota(jnp.int32, (R, WP, C), 1)
@@ -96,25 +103,35 @@ def _quant_pad(v, a, c, lo, WP):
     return jnp.pad(qs, ((0, 0), (0, WP - W0in), (0, 0)))
 
 
-def _quant_zero(v, a, c, lo, WP):
+def _quant_zero(v, a, c, lo, WP, sw=None):
     """affine+quantize with ZERO column halos (torch zero-pad nets, e.g.
-    the .t7 fast form): X[0]=0, X[1:W0+1]=q, zeros beyond."""
+    the .t7 fast form): X[0]=0, X[1:W0+1]=q, zeros beyond.
+
+    sw: optional CONTENT width < W0 — columns >= sw are alignment padding
+    (a non-%8 net width padded up by the caller) and are zeroed, so the
+    conv at column sw-1 sees exact zero-pad semantics and junk never
+    propagates between sites."""
     R, W0, C = v.shape
     x = v.astype(jnp.float32) * a + c
     qs = jnp.clip(jnp.round(x), lo, 127.0).astype(jnp.int8)
+    if sw is not None and sw < W0:
+        ci = jax.lax.broadcasted_iota(jnp.int32, (R, W0, C), 1)
+        qs = jnp.where(ci < sw, qs, jnp.zeros_like(qs))
     return jnp.pad(qs, ((0, 0), (1, WP - W0 - 1), (0, 0)))
 
 
 def _site_kernel(stat_ref, w_ref, dq_ref, head_ref, body_ref, tail_ref,
                  y_ref, sout_ref, xs_ref, *, TS, W0, WP, LO, MT=4,
-                 HALO="reflect", NS=None):
+                 HALO="reflect", NS=None, SW=None, TAU=False):
     """One fused site: quantize prologue -> 3x3 s8 conv (i32 acc) ->
     per-channel dequant + bias -> bf16 raw out + f32 stats sums.
 
     HALO="prehalo": the input strips already carry their 1-column halos
     (width W0+2, e.g. the pair-packed d2 form) — quantize + zero-pad only.
     HALO="zero": torch zero-pad semantics — zero columns, and the first/
-    last strips zero their row halos (needs NS).
+    last strips zero their row halos (needs NS). SW (zero halo only):
+    content width < W0 when the caller padded a non-%8 net width up —
+    padding columns are zeroed at quantize and excluded from the stats.
     """
     from jax.experimental import pallas as pl
 
@@ -123,6 +140,7 @@ def _site_kernel(stat_ref, w_ref, dq_ref, head_ref, body_ref, tail_ref,
     CO = w_ref.shape[2]
     a = stat_ref[0, 0, :]
     c = stat_ref[0, 1, :]
+    t = stat_ref[0, 2, :] if TAU else None
     ws = dq_ref[0, :]
     bi = dq_ref[1, :]
 
@@ -131,16 +149,16 @@ def _site_kernel(stat_ref, w_ref, dq_ref, head_ref, body_ref, tail_ref,
         xb = _quant_pad(body_ref[0], a, c, LO, WP)         # (TS, WP, C)
         xt = _quant_pad(tail_ref[0], a, c, LO, WP)         # (1, WP, C)
     elif HALO == "zero":
-        xh = _quant_zero(head_ref[0], a, c, LO, WP)
-        xb = _quant_zero(body_ref[0], a, c, LO, WP)
-        xt = _quant_zero(tail_ref[0], a, c, LO, WP)
+        xh = _quant_zero(head_ref[0], a, c, LO, WP, SW)
+        xb = _quant_zero(body_ref[0], a, c, LO, WP, SW)
+        xt = _quant_zero(tail_ref[0], a, c, LO, WP, SW)
         z = jnp.zeros_like(xh)
         xh = jnp.where(j == 0, z, xh)
         xt = jnp.where(j == NS - 1, z, xt)
     else:
-        xh = _quant_halo(head_ref[0], a, c, LO, W0, WP, HALO)
-        xb = _quant_halo(body_ref[0], a, c, LO, W0, WP, HALO)
-        xt = _quant_halo(tail_ref[0], a, c, LO, W0, WP, HALO)
+        xh = _quant_halo(head_ref[0], a, c, LO, W0, WP, HALO, t)
+        xb = _quant_halo(body_ref[0], a, c, LO, W0, WP, HALO, t)
+        xt = _quant_halo(tail_ref[0], a, c, LO, W0, WP, HALO, t)
     xs_ref[0:WP] = xh.reshape(WP, C)
     xs_ref[WP:(TS + 1) * WP] = xb.reshape(TS * WP, C)
     xs_ref[(TS + 1) * WP:(TS + 2) * WP] = xt.reshape(WP, C)
@@ -165,6 +183,9 @@ def _site_kernel(stat_ref, w_ref, dq_ref, head_ref, body_ref, tail_ref,
         # sees on the written tensor, so the downstream affine (and the next
         # site's quantize) agrees with the XLA int8 path to summation order.
         fvf = fv.astype(jnp.float32)
+        if SW is not None and SW < W0:
+            ci = jax.lax.broadcasted_iota(jnp.int32, fvf.shape, 1)
+            fvf = jnp.where(ci < SW, fvf, jnp.zeros_like(fvf))
         s1 = s1 + jnp.sum(fvf, axis=(0, 1))
         s2 = s2 + jnp.sum(fvf * fvf, axis=(0, 1))
 
@@ -182,7 +203,8 @@ def _site_kernel(stat_ref, w_ref, dq_ref, head_ref, body_ref, tail_ref,
 def res_site(x: jnp.ndarray, a: jnp.ndarray, c: jnp.ndarray,
              w9: jnp.ndarray, ws: jnp.ndarray, bias: jnp.ndarray,
              lo: float, *, ts: int | None = None, mt: int = 4,
-             halo: str = "reflect"):
+             halo: str = "reflect", sw: int | None = None,
+             tau: jnp.ndarray | None = None):
     """One quantized 3x3 site conv over the full image.
 
     x: (B, H4, W4, C) bf16 raw input (pre-affine). a, c: (B, C) f32
@@ -190,6 +212,8 @@ def res_site(x: jnp.ndarray, a: jnp.ndarray, c: jnp.ndarray,
     (9, C, CO) s8. ws, bias: (CO,) f32 dequant row / conv bias.
     halo: "reflect" (pixel reflect, the res sites) or "edge" (edge-copied
     blocks, the deconv sites — transformer_net_s2d._pad_edge_blocks).
+    tau: optional (B, C) f32 PRE-FOLDED floor (tau_ch*a + c) applied before
+    rounding — folds a TLU activation (ReCoNet FRN nets) into the quantize.
     Returns (y_raw bf16 (B, H4, W4, CO), sout f32 (B, 2, CO)) where sout
     holds [sum, sum_sq] of the f32 dequantized conv output.
     """
@@ -202,10 +226,12 @@ def res_site(x: jnp.ndarray, a: jnp.ndarray, c: jnp.ndarray,
     TS = ts if ts is not None else _pick_ts(H)
     WP = ((W0 + 2 + 7) // 8) * 8
     NS = H // TS
-    stat = jnp.stack([a, c], axis=1)                   # (B, 2, C)
+    rows = [a, c] if tau is None else [a, c, tau]
+    stat = jnp.stack(rows, axis=1)                     # (B, 2|3, C)
+    nrow = len(rows)
     dq = jnp.stack([ws, bias], axis=0)                 # (2, CO)
     kern = functools.partial(_site_kernel, TS=TS, W0=W0, WP=WP, LO=lo, MT=mt,
-                             HALO=halo, NS=NS)
+                             HALO=halo, NS=NS, SW=sw, TAU=tau is not None)
     if halo == "reflect":
         hmap = lambda b, j: (b, jnp.abs(TS * j - 1), 0, 0)  # noqa: E731
         tmap = lambda b, j: (b, H - 1 - jnp.abs(H - 1 - TS * (j + 1)),  # noqa: E731
@@ -217,7 +243,7 @@ def res_site(x: jnp.ndarray, a: jnp.ndarray, c: jnp.ndarray,
         kern,
         grid=(B, NS),
         in_specs=[
-            pl.BlockSpec((1, 2, C), lambda b, j: (b, 0, 0),
+            pl.BlockSpec((1, nrow, C), lambda b, j: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((9, C, CO), lambda b, j: (0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -247,7 +273,7 @@ def res_site(x: jnp.ndarray, a: jnp.ndarray, c: jnp.ndarray,
 def _site_kernel_skip(stat_ref, w_ref, dq_ref, rh_ref, rb_ref, rt_ref,
                       yh_ref, yb_ref, yt_ref, o_ref, sout_ref, yout_ref,
                       xs_ref, *, TS, W0, WP, LO, MT=4, HALO="reflect",
-                      YOUT=True, NS=None):
+                      YOUT=True, NS=None, SW=None):
     """Skip-fold site: the previous block's deferred in2 apply + residual
     add run in this kernel's prologue (v = bf16(bf16(r2·a2+c2) + y), one
     extra fma + add on data the kernel loads anyway), then v is quantized
@@ -280,9 +306,9 @@ def _site_kernel_skip(stat_ref, w_ref, dq_ref, rh_ref, rb_ref, rt_ref,
     else:
         yout_ref[0] = vb[0:1]
     if HALO == "zero":
-        xh = _quant_zero(vh, a, cq, LO, WP)
-        xb = _quant_zero(vb, a, cq, LO, WP)
-        xt = _quant_zero(vt, a, cq, LO, WP)
+        xh = _quant_zero(vh, a, cq, LO, WP, SW)
+        xb = _quant_zero(vb, a, cq, LO, WP, SW)
+        xt = _quant_zero(vt, a, cq, LO, WP, SW)
         z = jnp.zeros_like(xh)
         xh = jnp.where(j == 0, z, xh)
         xt = jnp.where(j == NS - 1, z, xt)
@@ -311,6 +337,9 @@ def _site_kernel_skip(stat_ref, w_ref, dq_ref, rh_ref, rb_ref, rt_ref,
         fv = f.reshape(rows, WP, CO)[:, 0:W0, :].astype(jnp.bfloat16)
         o_ref[0, r0:r0 + rows] = fv
         fvf = fv.astype(jnp.float32)
+        if SW is not None and SW < W0:
+            ci = jax.lax.broadcasted_iota(jnp.int32, fvf.shape, 1)
+            fvf = jnp.where(ci < SW, fvf, jnp.zeros_like(fvf))
         s1 = s1 + jnp.sum(fvf, axis=(0, 1))
         s2 = s2 + jnp.sum(fvf * fvf, axis=(0, 1))
 
@@ -329,7 +358,8 @@ def res_site_skip(r2: jnp.ndarray, yp: jnp.ndarray, a: jnp.ndarray,
                   c: jnp.ndarray, a2: jnp.ndarray, c2: jnp.ndarray,
                   w9: jnp.ndarray, ws: jnp.ndarray, bias: jnp.ndarray,
                   lo: float, *, ts: int | None = None, mt: int = 4,
-                  halo: str = "reflect", yout: bool = True):
+                  halo: str = "reflect", yout: bool = True,
+                  sw: int | None = None):
     """Skip-fold variant of ``res_site``: consumes the previous block's
     raw conv output r2 and the pre-previous combined activation yp,
     computes v = bf16(bf16(r2·a2 + c2) + yp) in-prologue, and returns
@@ -347,7 +377,7 @@ def res_site_skip(r2: jnp.ndarray, yp: jnp.ndarray, a: jnp.ndarray,
     stat = jnp.stack([a, c, a2, c2], axis=1)           # (B, 4, C)
     dq = jnp.stack([ws, bias], axis=0)                 # (2, CO)
     kern = functools.partial(_site_kernel_skip, TS=TS, W0=W0, WP=WP, LO=lo,
-                             MT=mt, HALO=halo, YOUT=yout, NS=NS)
+                             MT=mt, HALO=halo, YOUT=yout, NS=NS, SW=sw)
     if halo == "reflect":
         hmap = lambda b, j: (b, jnp.abs(TS * j - 1), 0, 0)  # noqa: E731
         tmap = lambda b, j: (b, H - 1 - jnp.abs(H - 1 - TS * (j + 1)),  # noqa: E731

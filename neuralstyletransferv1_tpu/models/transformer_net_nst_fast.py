@@ -69,11 +69,147 @@ def from_nst_params(p: dict) -> dict:
     return res
 
 
-def apply(params: dict, x: jnp.ndarray) -> jnp.ndarray:
+def _res_quant_xla(y, p, quant):
+    """XLA int8 res chain — the parity reference and CPU fallback (every
+    site pays a standalone HBM quantize pass under XLA, the measured int8
+    structural loss; TPU runs _res_chain_i8 instead). Matches the exact
+    path's structure: deferred-IN stats over the bf16-rounded conv
+    outputs, ReLU folded into the b-site's quantize clamp floor."""
+    from ..ops.conv import conv2d_i8
+
+    def stats_affine(r, nrm, q):
+        m, inv = _in_stats(r, 1, 128)
+        sc = nrm["scale"].astype(jnp.float32)
+        bi = nrm["bias"].astype(jnp.float32)
+        a = (inv * sc)[:, None, None, :]
+        c = (bi[None] - m * inv * sc)[:, None, None, :]
+        if q is not None:
+            a, c = a * q["qin"], c * q["qin"]
+        return a, c
+
+    for i in range(1, 6):
+        rp = p[f"res{i}"]
+        qa, qb = quant[f"r{i}a"], quant[f"r{i}b"]
+        xq = jnp.clip(jnp.round(y.astype(jnp.float32) * qa["qin"]),
+                      -127.0, 127.0).astype(jnp.int8)
+        ra = (conv2d_i8(xq, qa["w"], padding=1).astype(jnp.float32)
+              * qa["ws"]
+              + rp["conv1"]["b"].astype(jnp.float32)).astype(y.dtype)
+        a1, c1 = stats_affine(ra, rp["norm1"], qb)
+        rq = jnp.clip(jnp.round(ra.astype(jnp.float32) * a1 + c1),
+                      0.0, 127.0).astype(jnp.int8)   # ReLU folds into lo=0
+        rb = (conv2d_i8(rq, qb["w"], padding=1).astype(jnp.float32)
+              * qb["ws"]
+              + rp["conv2"]["b"].astype(jnp.float32)).astype(y.dtype)
+        a2, c2 = stats_affine(rb, rp["norm2"], None)
+        y = (rb.astype(jnp.float32) * a2 + c2).astype(y.dtype) + y
+    return y
+
+
+def _res_chain_i8(y, p, quant):
+    """The five res blocks as Pallas fused int8 sites (zero halos; each
+    residual add folds into the next a-site's prologue). Non-%8 widths
+    (e.g. 500 at 1080p on the pad-40 grid) are zero-padded up once — the
+    kernels mask the padding columns at quantize and exclude them from
+    the deferred-IN stats (sw)."""
+    from . import s2d2_sites_i8 as si8
+
+    B, H, W0c, C = y.shape
+    dt = y.dtype
+    sw = None
+    if W0c % 8:
+        wp = ((W0c + 7) // 8) * 8
+        y = jnp.pad(y, ((0, 0), (0, 0), (0, wp - W0c), (0, 0)))
+        sw = W0c
+    n = float(H * W0c)
+    ones = jnp.ones((B, C), jnp.float32)
+    zeros = jnp.zeros((B, C), jnp.float32)
+    carry = None
+    for i in range(1, 6):
+        rp = p[f"res{i}"]
+        qa, qb = quant[f"r{i}a"], quant[f"r{i}b"]
+        aq = ones * qa["qin"]
+        b1 = rp["conv1"]["b"].astype(jnp.float32)
+        w9a = qa["w"].reshape(9, C, C)
+        w9b = qb["w"].reshape(9, C, C)
+        if carry is None:
+            r, sout = si8.res_site(y, aq, zeros, w9a, qa["ws"], b1,
+                                   -127.0, halo="zero", sw=sw)
+        else:
+            r2p, a2p, c2p = carry
+            r, sout, y = si8.res_site_skip(r2p, y, aq, zeros, a2p, c2p,
+                                           w9a, qa["ws"], b1, -127.0,
+                                           halo="zero", sw=sw)
+        m, inv = si8._stats(sout, n)
+        sc = rp["norm1"]["scale"].astype(jnp.float32)
+        bi = rp["norm1"]["bias"].astype(jnp.float32)
+        a_eff = (inv * sc) * qb["qin"]
+        c_eff = (bi - m * inv * sc) * qb["qin"]
+        r2, sout2 = si8.res_site(r, a_eff, c_eff, w9b, qb["ws"],
+                                 rp["conv2"]["b"].astype(jnp.float32), 0.0,
+                                 halo="zero", sw=sw)
+        m2, inv2 = si8._stats(sout2, n)
+        sc2 = rp["norm2"]["scale"].astype(jnp.float32)
+        bi2 = rp["norm2"]["bias"].astype(jnp.float32)
+        carry = (r2, inv2 * sc2, bi2 - m2 * inv2 * sc2)
+    r2, a2, c2 = carry
+    y = ((r2.astype(jnp.float32) * a2[:, None, None, :]
+          + c2[:, None, None, :]).astype(y.dtype) + y).astype(dt)
+    if sw is not None:
+        y = y[:, :, :sw]
+    return y
+
+
+def calibrate_act_scales(p: dict, x_cal) -> dict:
+    """Per-res-site max|activation| from one jitted f32 forward (x_cal:
+    raw_01 NHWC, H, W divisible by 4). Same contract as
+    transformer_net_s2d2.calibrate_act_scales."""
+
+    def run(x):
+        vals: dict = {}
+
+        def tap(site, t):
+            vals[site] = jnp.max(jnp.abs(t.astype(jnp.float32)))
+
+        apply(p, x, tap=tap)
+        return vals
+
+    out = jax.jit(run)(x_cal)
+    return {k: float(v) for k, v in out.items()}
+
+
+def quantize_net(p: dict, act_scales: dict) -> dict:
+    """Per-out-channel symmetric int8 res-chain weights + folded
+    activation scales — the transformer_net_s2d2.quantize_net contract."""
+    q = {}
+    for i in range(1, 6):
+        rp = p[f"res{i}"]
+        for ab, ck in (("a", "conv1"), ("b", "conv2")):
+            site = f"r{i}{ab}"
+            if site not in act_scales:
+                continue
+            w = np.asarray(rp[ck]["w"], np.float32)
+            ws = np.maximum(np.max(np.abs(w), axis=(0, 1, 2)) / 127.0, 1e-12)
+            wq = np.clip(np.round(w / ws), -127, 127).astype(np.int8)
+            a = max(float(act_scales[site]), 1e-6)
+            q[site] = {"w": jnp.asarray(wq),
+                       "ws": jnp.asarray(ws * (a / 127.0), jnp.float32),
+                       "qin": jnp.float32(127.0 / a)}
+    return q
+
+
+def apply(params: dict, x: jnp.ndarray, *, tap=None, quant=None,
+          fused_sites=()) -> jnp.ndarray:
     """Forward pass, same contract as transformer_net_nst.apply (raw_01 in,
-    cropped to input size). H, W divisible by 4."""
+    cropped to input size). H, W divisible by 4.
+
+    quant: optional quantize_net output — the res chain runs int8 (Pallas
+    fused sites when "res_i8" in fused_sites and the geometry supports it,
+    XLA int8 otherwise). tap: calibration hook (site, tensor)."""
     p = params
     n, h, w, _ = x.shape
+    if tap is None:
+        tap = lambda name, t: None  # noqa: E731
     xp = jnp.pad(x, ((0, 0), (_PAD, _PAD), (_PAD, _PAD), (0, 0)),
                  mode="reflect")
     hp = h + 2 * _PAD
@@ -90,17 +226,32 @@ def apply(params: dict, x: jnp.ndarray) -> jnp.ndarray:
     m, inv = _in_stats(y, 1, 128)
     y = _apply_in_relu(y, m, inv, p["in3"]["scale"], p["in3"]["bias"], 1)
 
-    for i in range(1, 6):
-        rp = p[f"res{i}"]
-        r = conv2d(y, rp["conv1"]["w"], rp["conv1"]["b"], padding=1)
-        m, inv = _in_stats(r, 1, 128)
-        r = _apply_in_relu(r, m, inv, rp["norm1"]["scale"],
-                           rp["norm1"]["bias"], 1)
-        r = conv2d(r, rp["conv2"]["w"], rp["conv2"]["b"], padding=1)
-        m, inv = _in_stats(r, 1, 128)
-        r = _apply_in_relu(r, m, inv, rp["norm2"]["scale"],
-                           rp["norm2"]["bias"], 1, relu=False)
-        y = r + y
+    use_q = quant is not None and all(
+        f"r{i}{ab}" in quant for i in range(1, 6) for ab in "ab")
+    use_res_i8 = False
+    if use_q and "res_i8" in fused_sites:
+        from . import s2d2_sites_i8 as si8
+        # width pads up to %8 in-chain (sw), so only H gates here
+        use_res_i8 = (si8._pick_ts(y.shape[1]) is not None
+                      and y.shape[1] >= 8 and y.shape[2] >= 16)
+    if use_res_i8:
+        y = _res_chain_i8(y, p, quant)
+    elif use_q:
+        y = _res_quant_xla(y, p, quant)
+    else:
+        for i in range(1, 6):
+            rp = p[f"res{i}"]
+            tap(f"r{i}a", y)
+            r = conv2d(y, rp["conv1"]["w"], rp["conv1"]["b"], padding=1)
+            m, inv = _in_stats(r, 1, 128)
+            r = _apply_in_relu(r, m, inv, rp["norm1"]["scale"],
+                               rp["norm1"]["bias"], 1)
+            tap(f"r{i}b", r)
+            r = conv2d(r, rp["conv2"]["w"], rp["conv2"]["b"], padding=1)
+            m, inv = _in_stats(r, 1, 128)
+            r = _apply_in_relu(r, m, inv, rp["norm2"]["scale"],
+                               rp["norm2"]["bias"], 1, relu=False)
+            y = r + y
 
     pd = p["d1_pad"]
     y = conv2d(y, p["d1_w"], p["d1_b"], padding=(pd, pd))

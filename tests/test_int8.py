@@ -298,3 +298,167 @@ def test_engine_t7_quantize_flag():
     # [0,1] output space; synthetic random net is the harsh case.
     d = np.abs(y_ref - y_i8)
     assert d.mean() < 3e-2, (d.mean(), d.max())
+
+
+def test_res_site_sw_padding_exact():
+    """The sw (content-width) mechanism: a zero-halo site on a width-padded
+    tensor with sw=<real width> matches the XLA int8 conv on the unpadded
+    tensor EXACTLY — padding columns are zeroed at quantize (so the conv at
+    column sw-1 sees true zero-pad semantics) and excluded from the stats."""
+    from neuralstyletransferv1_tpu.models import s2d2_sites_i8 as si8
+    from neuralstyletransferv1_tpu.ops.conv import conv2d_i8
+
+    rng = np.random.default_rng(21)
+    B, H, SW, C = 2, 16, 29, 128   # 29 -> padded 32, like 500 -> 504 @1080p
+    y = jnp.asarray(rng.normal(0, 1, (B, H, SW, C)), jnp.bfloat16)
+    w = rng.normal(0, 0.1, (3, 3, C, C)).astype(np.float32)
+    ws = np.maximum(np.max(np.abs(w), axis=(0, 1, 2)) / 127.0, 1e-12)
+    wq = jnp.asarray(np.clip(np.round(w / ws), -127, 127).astype(np.int8))
+    bias = jnp.asarray(rng.normal(0, 0.1, C), jnp.float32)
+    qin = jnp.float32(127.0 / 4.0)
+    wsf = jnp.asarray(ws * (4.0 / 127.0), jnp.float32)
+
+    xq = jnp.clip(jnp.round(y.astype(jnp.float32) * qin),
+                  -127.0, 127.0).astype(jnp.int8)
+    ra_ref = (conv2d_i8(xq, wq, padding=1).astype(jnp.float32) * wsf
+              + bias).astype(jnp.bfloat16)
+
+    yp = jnp.pad(y, ((0, 0), (0, 0), (0, 32 - SW), (0, 0)))
+    a = jnp.full((B, C), float(qin), jnp.float32)
+    c = jnp.zeros((B, C), jnp.float32)
+    si8._INTERPRET = True
+    try:
+        ra, sout = si8.res_site(yp, a, c, wq.reshape(9, C, C), wsf, bias,
+                                -127.0, halo="zero", sw=SW)
+    finally:
+        si8._INTERPRET = False
+    d = np.abs(np.asarray(ra[:, :, :SW], np.float32)
+               - np.asarray(ra_ref, np.float32))
+    assert d.max() == 0.0, (d.mean(), d.max())
+    # stats cover ONLY the content columns
+    rf = np.asarray(ra_ref, np.float32)
+    np.testing.assert_allclose(np.asarray(sout[:, 0]), rf.sum(axis=(1, 2)),
+                               rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(sout[:, 1]),
+                               (rf * rf).sum(axis=(1, 2)), rtol=1e-4)
+
+
+@pytest.mark.parametrize("wshape", [48, 36])  # res width 32 (%8) / 29 (sw)
+def test_nst_int8_res_chain_parity(wshape):
+    """The NST fast-path int8 res chain: Pallas fused sites (zero halos,
+    deferred-IN stats in the epilogue, residual folds) track the XLA int8
+    reference. wshape=36 exercises the non-%8 res width (29 on the pad-40
+    grid, like 500 at 1080p): the chain pads to %8 and the kernels mask
+    the padding columns out of quantize + stats (sw).
+
+    Tolerances are relative: single sites are bit-exact (see
+    test_res_site_sw_padding_exact), but the two paths' IN stats differ in
+    summation order (~2e-5 on inv), which flips int8 codes at quantize
+    boundaries and this random unnormalized-gain net amplifies ~10x per
+    block (measured block-wise: 2e-5 -> 3e-2 over 5 blocks)."""
+    from neuralstyletransferv1_tpu.models import s2d2_sites_i8
+    from neuralstyletransferv1_tpu.models import transformer_net_nst
+    from neuralstyletransferv1_tpu.models import transformer_net_nst_fast as nstf
+
+    p = nstf.from_nst_params(transformer_net_nst.init(jax.random.key(2)))
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(rng.random((2, 24, wshape, 3)), jnp.float32)
+    scales = nstf.calibrate_act_scales(p, x)
+    assert sorted(scales) == sorted(f"r{i}{ab}" for i in range(1, 6)
+                                    for ab in "ab")
+    quant = nstf.quantize_net(p, scales)
+
+    pb = jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16)
+        if hasattr(a, "astype") and a.dtype == jnp.float32 else a, p)
+    xb = x.astype(jnp.bfloat16)
+    y_ref = nstf.apply(p, x)
+    y_xla = nstf.apply(pb, xb, quant=quant)
+    s2d2_sites_i8._INTERPRET = True
+    try:
+        y_pal = nstf.apply(pb, xb, quant=quant, fused_sites=("res_i8",))
+    finally:
+        s2d2_sites_i8._INTERPRET = False
+
+    assert y_pal.shape == y_xla.shape == y_ref.shape
+    ref_mag = np.abs(np.asarray(y_ref, np.float32)).mean()
+    d = np.abs(np.asarray(y_xla, np.float32) - np.asarray(y_pal, np.float32))
+    assert d.mean() < 0.05 * ref_mag, (d.mean(), ref_mag)
+    # both int8 paths within quality range of the exact output
+    for y_i8 in (y_xla, y_pal):
+        q = np.abs(np.asarray(y_ref, np.float32)
+                   - np.asarray(y_i8, np.float32))
+        assert q.mean() < 0.10 * ref_mag, (q.mean(), ref_mag)
+
+
+def test_engine_nst_quantize_flag():
+    """--quantize int8 on an NST slot through the stylizer's generic
+    lazy-calibration branch."""
+    from neuralstyletransferv1_tpu.engine import stylizer as st
+
+    model = st.make_random_model("nst", seed=1)
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.random((2, 32, 48, 3)), jnp.float32)
+    f_ref = st.jit_stylizer(model, dtype=jnp.bfloat16)
+    f_i8 = st.jit_stylizer(model, dtype=jnp.bfloat16, quantize="int8")
+    y_ref = np.asarray(f_ref(x), np.float32)
+    y_i8 = np.asarray(f_i8(x), np.float32)
+    d = np.abs(y_ref - y_i8)
+    assert d.mean() < 3e-2, (d.mean(), d.max())
+
+
+@pytest.mark.parametrize("frn", [False, True])
+def test_reconet_int8_res_chain_parity(frn):
+    """The ReCoNet fast-path int8 res chain: Pallas fused sites (reflect
+    halos, deferred IN/FRN stats, TLU folded into the b-site quantize as a
+    per-channel floor) track the XLA int8 reference; combine + post-skip
+    activation stay XLA (ReCoNet activates after the add)."""
+    from neuralstyletransferv1_tpu.models import reconet
+    from neuralstyletransferv1_tpu.models import reconet_fast as recf
+    from neuralstyletransferv1_tpu.models import s2d2_sites_i8
+
+    p = recf.from_reconet_params(reconet.init(jax.random.key(3), frn=frn))
+    rng = np.random.default_rng(17)
+    x = jnp.asarray(rng.random((2, 32, 64, 3)) * 2 - 1, jnp.float32)
+    scales = recf.calibrate_act_scales(p, x)
+    assert sorted(scales) == sorted(f"r{i}{ab}" for i in range(4)
+                                    for ab in "ab")
+    quant = recf.quantize_net(p, scales)
+
+    pb = jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16)
+        if hasattr(a, "astype") and a.dtype == jnp.float32 else a, p)
+    xb = x.astype(jnp.bfloat16)
+    y_ref = recf.apply(p, x)
+    y_xla = recf.apply(pb, xb, quant=quant)
+    s2d2_sites_i8._INTERPRET = True
+    try:
+        y_pal = recf.apply(pb, xb, quant=quant, fused_sites=("res_i8",))
+    finally:
+        s2d2_sites_i8._INTERPRET = False
+
+    assert y_pal.shape == y_xla.shape == y_ref.shape
+    # tanh output in [-1,1]; stats summation-order code flips bound the
+    # pal-vs-xla gap (see test_nst_int8_res_chain_parity's rationale)
+    d = np.abs(np.asarray(y_xla, np.float32) - np.asarray(y_pal, np.float32))
+    assert d.mean() < 0.02, (d.mean(), d.max())
+    for y_i8 in (y_xla, y_pal):
+        q = np.abs(np.asarray(y_ref, np.float32)
+                   - np.asarray(y_i8, np.float32))
+        assert q.mean() < 0.05, (q.mean(), q.max())
+
+
+def test_engine_reconet_quantize_flag():
+    """--quantize int8 on a ReCoNet slot through the stylizer's generic
+    lazy-calibration branch."""
+    from neuralstyletransferv1_tpu.engine import stylizer as st
+
+    model = st.make_random_model("reconet", seed=2)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.random((2, 32, 48, 3)), jnp.float32)
+    f_ref = st.jit_stylizer(model, dtype=jnp.bfloat16)
+    f_i8 = st.jit_stylizer(model, dtype=jnp.bfloat16, quantize="int8")
+    y_ref = np.asarray(f_ref(x), np.float32)
+    y_i8 = np.asarray(f_i8(x), np.float32)
+    d = np.abs(y_ref - y_i8)
+    assert d.mean() < 3e-2, (d.mean(), d.max())
