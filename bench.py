@@ -110,20 +110,27 @@ def _headline(bparams):
 
 
 def _int8(extras, bparams, bparams32):
-    """Opt-in --quantize int8 engine config: Pallas fused res+dec sites
-    (quantize in the kernel prologue; PERF.md round-3), c2/c3/conv1/d3
-    bf16. Quality vs the bf16 path is MAE ~3e-5 on clipped output."""
+    """Opt-in --quantize int8 engine config (site set mirrors
+    engine/stylizer._I8_FUSED_SITES — Pallas fused res+dec today; PERF.md
+    round-3). Quality vs the bf16 path is MAE ~3e-5 on clipped output."""
+    from neuralstyletransferv1_tpu.engine.stylizer import (
+        _I8_FUSED_SITES,
+        _I8_QUANT_KEEP,
+    )
     from neuralstyletransferv1_tpu.models import transformer_net_s2d2 as s2d
 
     xc = jax.random.uniform(jax.random.key(7), (1, H, W, 3), jnp.float32)
     scales = s2d.calibrate_act_scales(bparams32, xc)
+    keep = set(_I8_QUANT_KEEP)
+    if "head_i8" in _I8_FUSED_SITES:
+        keep |= {"c2", "c3"}
     scales = {k: v for k, v in scales.items()
-              if k.startswith("r") or k in ("d1", "d2")}
+              if k.startswith("r") or k in keep}
     quant = s2d.quantize_net(bparams32, scales)
 
     def step(x):
         return jnp.clip(s2d.apply(bparams, x, quant=quant,
-                                  fused_sites=("res_i8", "dec_i8")), 0.0, 1.0)
+                                  fused_sites=_I8_FUSED_SITES), 0.0, 1.0)
 
     extras["int8_fps_1080"] = _fps(
         step, lambda s: _rand_img(s, BATCH, H, W), BATCH, chain=CHAIN,

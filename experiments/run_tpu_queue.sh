@@ -1,0 +1,40 @@
+#!/bin/bash
+# Round-3 pending TPU A/B queue (run when the relay is back).
+# Usage: bash experiments/run_tpu_queue.sh [outdir]
+# Each step is independently timeout-bounded; results land in $OUT/*.txt.
+set -u
+OUT=${1:-/tmp/tpu_queue}
+mkdir -p "$OUT"
+cd /root/repo
+
+run() { # name timeout cmd...
+  local name=$1 to=$2; shift 2
+  echo "=== $name ==="
+  timeout "$to" env "$@" > "$OUT/$name.txt" 2>&1
+  echo "rc=$? -> $OUT/$name.txt"
+  tail -n 12 "$OUT/$name.txt"
+}
+
+# 1. head_i8 adoption A/B (fused head variant vs engine set) @B16
+run mk24_head 1500 ONLY_SITES="res,c2,c3,d1,d2" BATCHES=16 \
+    python -u experiments/mk24_ab_int8.py
+
+# 2. pair-d2 off (K=64 d2s form) — compare i8-pal+dec rows vs mk24_head's
+run mk24_paird2_off 1200 PAIR_D2=0 ONLY_SITES="res,d1,d2" BATCHES=16 \
+    python -u experiments/mk24_ab_int8.py
+
+# 3. t7 int8 (BN-folded — the eccv16 shape; fastest backend, 163 bf16)
+run mk32_t7_bn 1500 NORM=bn BATCHES=16,48 python -u experiments/mk32_ab_t7_i8.py
+
+# 4. t7 instance-norm variant
+run mk32_t7_in 1200 NORM=in BATCHES=16 python -u experiments/mk32_ab_t7_i8.py
+
+# 5. NST int8 (504-pad sw geometry)
+run mk33_nst 1500 BATCHES=16 python -u experiments/mk33_ab_nst_i8.py
+
+# 6. ReCoNet int8 (IN + FRN)
+run mk34_reco_in 1200 NORM=in BATCHES=16 python -u experiments/mk34_ab_reconet_i8.py
+run mk34_reco_frn 1200 NORM=frn BATCHES=16 python -u experiments/mk34_ab_reconet_i8.py
+
+echo "=== queue done; summary ==="
+grep -H "fps\|quality" "$OUT"/*.txt | tail -60

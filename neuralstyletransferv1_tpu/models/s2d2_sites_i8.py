@@ -883,7 +883,12 @@ def dec_supported(h4: int, w4: int) -> bool:
 #: d2 as a column-PAIR-packed site (K=128, CO=256): the plain form's K=64
 #: contraction half-fills the MXU and its 64-lane prologue half-fills the
 #: VPU. Flag for the in-net A/B (experiments/mk24 PAIR_D2 env).
-_PAIR_D2 = True
+import os as _os
+
+# Column-pair (K=128) d2 form vs the d2s+edge-halo (K=64) form; both exact
+# (tests/test_int8.py dec parity covers the default). PAIR_D2=0 flips for
+# the in-net TPU A/B (experiments/mk24_ab_int8.py).
+_PAIR_D2 = _os.environ.get("PAIR_D2", "1") != "0"
 
 
 def _pair_d2_weights(wq) -> jnp.ndarray:

@@ -462,3 +462,21 @@ def test_engine_reconet_quantize_flag():
     y_i8 = np.asarray(f_i8(x), np.float32)
     d = np.abs(y_ref - y_i8)
     assert d.mean() < 3e-2, (d.mean(), d.max())
+
+
+def test_engine_quantize_mesh_equivalence():
+    """--quantize int8 + --mesh_devices: the lazy-calibration wrapper
+    composes with the data-parallel sharded jit — sharded output equals
+    single-device output."""
+    from neuralstyletransferv1_tpu.engine import stylizer as st
+    from neuralstyletransferv1_tpu.parallel.mesh import make_mesh
+
+    model = st.make_random_model("johnson", seed=3)
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.random((4, 32, 48, 3)), jnp.float32)
+    f_one = st.jit_stylizer(model, dtype=jnp.bfloat16, quantize="int8")
+    f_mesh = st.jit_stylizer(model, dtype=jnp.bfloat16, quantize="int8",
+                             mesh=make_mesh(2))
+    y_one = np.asarray(f_one(x), np.float32)
+    y_mesh = np.asarray(f_mesh(x), np.float32)
+    np.testing.assert_allclose(y_mesh, y_one, atol=2e-3)
