@@ -32,9 +32,10 @@ run mk32_t7_in 1200 NORM=in BATCHES=16 python -u experiments/mk32_ab_t7_i8.py
 # 5. NST int8 (504-pad sw geometry)
 run mk33_nst 1500 BATCHES=16 python -u experiments/mk33_ab_nst_i8.py
 
-# 6. ReCoNet int8 (IN + FRN)
+# 6. ReCoNet int8 (IN + FRN), then the skip-fold variant (RECO_SKIP=1)
 run mk34_reco_in 1200 NORM=in BATCHES=16 python -u experiments/mk34_ab_reconet_i8.py
 run mk34_reco_frn 1200 NORM=frn BATCHES=16 python -u experiments/mk34_ab_reconet_i8.py
+run mk34_reco_skip 1200 NORM=in RECO_SKIP=1 BATCHES=16 python -u experiments/mk34_ab_reconet_i8.py
 
 echo "=== queue done; summary ==="
 grep -H "fps\|quality" "$OUT"/*.txt | tail -60

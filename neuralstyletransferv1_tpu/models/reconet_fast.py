@@ -145,11 +145,18 @@ def _res_quant_xla(y, p, quant, frn):
 def _res_chain_i8(y, p, quant, frn):
     """The four res blocks' convs as Pallas fused int8 sites (reflect
     halos; deferred IN or FRN stats ride the kernel epilogue, the TLU
-    folds into the b-site's quantize as a per-channel floor). The
-    combine + post-skip activation stays XLA — ReCoNet activates AFTER
-    the residual add (reference: model.py:57-60), so the skip-fold
-    kernel (no activation in its prologue add) does not apply."""
+    folds into the b-site's quantize as a per-channel floor). ReCoNet
+    activates AFTER the residual add (reference: model.py:57-60):
+    by default the combine + post-skip activation stay XLA; RECO_SKIP=1
+    folds them into the next a-site's prologue instead (res_site_skip
+    with act="relu"/"tau" — exact, pending its in-net TPU A/B,
+    experiments/mk34)."""
+    import os
+
     from . import s2d2_sites_i8 as si8
+
+    if os.environ.get("RECO_SKIP", "0") == "1":
+        return _res_chain_i8_skip(y, p, quant, frn, si8)
 
     B, H, W0, C = y.shape
     dt = y.dtype
@@ -189,6 +196,64 @@ def _res_chain_i8(y, p, quant, frn):
         else:
             y = jax.nn.relu(y).astype(dt)
     return y
+
+
+def _res_chain_i8_skip(y, p, quant, frn, si8):
+    """RECO_SKIP=1 variant: each block's deferred-norm apply + residual
+    add + POST-SKIP activation fold into the next a-site's prologue
+    (s2d2_sites_i8.res_site_skip act=); only the last block combines in
+    XLA."""
+    B, H, W0, C = y.shape
+    dt = y.dtype
+    n = float(H * W0)
+    ones = jnp.ones((B, C), jnp.float32)
+    zeros = jnp.zeros((B, C), jnp.float32)
+    act = "tau" if frn else "relu"
+    carry = None
+    for i, rp in enumerate(p["res"]):
+        qa, qb = quant[f"r{i}a"], quant[f"r{i}b"]
+        w9a = qa["w"].reshape(9, C, C)
+        w9b = qb["w"].reshape(9, C, C)
+        aq = ones * qa["qin"]
+        b1 = rp["conv1"]["b"].astype(jnp.float32)
+        if carry is None:
+            r, sout = si8.res_site(y, aq, zeros, w9a, qa["ws"], b1, -127.0)
+        else:
+            r2p, a2p, c2p, tprev = carry
+            r, sout, y = si8.res_site_skip(r2p, y, aq, zeros, a2p, c2p,
+                                           w9a, qa["ws"], b1, -127.0,
+                                           act=act, tau_act=tprev)
+        m, inv = _res_i8_stats(sout, n, frn)
+        sc = rp["norm1"]["scale"].astype(jnp.float32)
+        bi = rp["norm1"]["bias"].astype(jnp.float32)
+        a_eff = (inv * sc) * qb["qin"]
+        c_eff = (bi - m * inv * sc) * qb["qin"]
+        tau = None
+        lo = 0.0
+        if frn:
+            lo = -127.0
+            tau = jnp.broadcast_to(
+                rp["norm1"]["tau"].astype(jnp.float32) * qb["qin"], (B, C))
+        rb, sout2 = si8.res_site(r, a_eff, c_eff, w9b, qb["ws"],
+                                 rp["conv2"]["b"].astype(jnp.float32), lo,
+                                 tau=tau)
+        m2, inv2 = _res_i8_stats(sout2, n, frn)
+        sc2 = rp["norm2"]["scale"].astype(jnp.float32)
+        bi2 = rp["norm2"]["bias"].astype(jnp.float32)
+        tact = None
+        if frn:
+            tact = jnp.broadcast_to(rp["act"]["tau"].astype(jnp.float32),
+                                    (B, C))
+        carry = (rb, inv2 * sc2, bi2 - m2 * inv2 * sc2, tact)
+    rb, a2, c2, tact = carry
+    y = (rb.astype(jnp.float32) * a2[:, None, None, :]
+         + c2[:, None, None, :]).astype(y.dtype) + y
+    if frn:
+        y = jnp.maximum(y.astype(jnp.float32),
+                        p["res"][-1]["act"]["tau"].astype(jnp.float32))
+    else:
+        y = jax.nn.relu(y.astype(jnp.float32))
+    return y.astype(dt)
 
 
 def calibrate_act_scales(p: dict, x_cal) -> dict:

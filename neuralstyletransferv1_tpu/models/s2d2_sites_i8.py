@@ -273,14 +273,19 @@ def res_site(x: jnp.ndarray, a: jnp.ndarray, c: jnp.ndarray,
 def _site_kernel_skip(stat_ref, w_ref, dq_ref, rh_ref, rb_ref, rt_ref,
                       yh_ref, yb_ref, yt_ref, o_ref, sout_ref, yout_ref,
                       xs_ref, *, TS, W0, WP, LO, MT=4, HALO="reflect",
-                      YOUT=True, NS=None, SW=None):
+                      YOUT=True, NS=None, SW=None, ACT=None):
     """Skip-fold site: the previous block's deferred in2 apply + residual
     add run in this kernel's prologue (v = bf16(bf16(r2·a2+c2) + y), one
     extra fma + add on data the kernel loads anyway), then v is quantized
     and convolved as usual. Kills the standalone residual-add HBM pass
     between Pallas sites (2.3-3.0 ms each in the round-3 trace). v is
     written back (yout) for the NEXT block's skip; bf16 rounding matches
-    the XLA combine exactly."""
+    the XLA combine exactly.
+
+    ACT: optional POST-ADD activation on v — "relu" or "tau" (per-channel
+    floor from stat row 4) — for nets that activate after the residual
+    add (ReCoNet, reference model.py:57-60). max() is exact in bf16, so
+    parity with the XLA combine+act holds bitwise."""
     from jax.experimental import pallas as pl
 
     j = pl.program_id(1)
@@ -295,8 +300,13 @@ def _site_kernel_skip(stat_ref, w_ref, dq_ref, rh_ref, rb_ref, rt_ref,
 
     def comb(r, y):
         t = (r.astype(jnp.float32) * a2 + c2).astype(jnp.bfloat16)
-        return (t.astype(jnp.float32)
-                + y.astype(jnp.float32)).astype(jnp.bfloat16)
+        v = (t.astype(jnp.float32)
+             + y.astype(jnp.float32)).astype(jnp.bfloat16)
+        if ACT == "relu":
+            v = jnp.maximum(v, jnp.zeros_like(v))
+        elif ACT == "tau":
+            v = jnp.maximum(v, stat_ref[0, 4, :].astype(jnp.bfloat16))
+        return v
 
     vh = comb(rh_ref[0], yh_ref[0])
     vb = comb(rb_ref[0], yb_ref[0])
@@ -359,13 +369,17 @@ def res_site_skip(r2: jnp.ndarray, yp: jnp.ndarray, a: jnp.ndarray,
                   w9: jnp.ndarray, ws: jnp.ndarray, bias: jnp.ndarray,
                   lo: float, *, ts: int | None = None, mt: int = 4,
                   halo: str = "reflect", yout: bool = True,
-                  sw: int | None = None):
+                  sw: int | None = None, act: str | None = None,
+                  tau_act: jnp.ndarray | None = None):
     """Skip-fold variant of ``res_site``: consumes the previous block's
     raw conv output r2 and the pre-previous combined activation yp,
     computes v = bf16(bf16(r2·a2 + c2) + yp) in-prologue, and returns
     ``(conv_raw, sout, v)``. With yout=False the v output is a dummy
     (B, 1, W0, C) tile (for the last consumer, e.g. the d1 site, where
-    nothing downstream reads v)."""
+    nothing downstream reads v).
+
+    act: optional POST-ADD activation on v — "relu", or "tau" with
+    tau_act (B, C) as the per-channel floor (ReCoNet TLU)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -374,10 +388,15 @@ def res_site_skip(r2: jnp.ndarray, yp: jnp.ndarray, a: jnp.ndarray,
     TS = ts if ts is not None else _pick_ts(H)
     WP = ((W0 + 2 + 7) // 8) * 8
     NS = H // TS
-    stat = jnp.stack([a, c, a2, c2], axis=1)           # (B, 4, C)
+    rows = [a, c, a2, c2]
+    if act == "tau":
+        rows.append(tau_act)
+    stat = jnp.stack(rows, axis=1)                     # (B, 4|5, C)
+    nrow = len(rows)
     dq = jnp.stack([ws, bias], axis=0)                 # (2, CO)
     kern = functools.partial(_site_kernel_skip, TS=TS, W0=W0, WP=WP, LO=lo,
-                             MT=mt, HALO=halo, YOUT=yout, NS=NS, SW=sw)
+                             MT=mt, HALO=halo, YOUT=yout, NS=NS, SW=sw,
+                             ACT=act)
     if halo == "reflect":
         hmap = lambda b, j: (b, jnp.abs(TS * j - 1), 0, 0)  # noqa: E731
         tmap = lambda b, j: (b, H - 1 - jnp.abs(H - 1 - TS * (j + 1)),  # noqa: E731
@@ -401,7 +420,7 @@ def res_site_skip(r2: jnp.ndarray, yp: jnp.ndarray, a: jnp.ndarray,
         kern,
         grid=(B, NS),
         in_specs=[
-            pl.BlockSpec((1, 4, C), lambda b, j: (b, 0, 0),
+            pl.BlockSpec((1, nrow, C), lambda b, j: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((9, C, CO), lambda b, j: (0, 0, 0),
                          memory_space=pltpu.VMEM),

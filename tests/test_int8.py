@@ -480,3 +480,35 @@ def test_engine_quantize_mesh_equivalence():
     y_one = np.asarray(f_one(x), np.float32)
     y_mesh = np.asarray(f_mesh(x), np.float32)
     np.testing.assert_allclose(y_mesh, y_one, atol=2e-3)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("frn", [False, True])
+def test_reconet_skip_fold_parity(frn, monkeypatch):
+    """RECO_SKIP=1 — combine + post-skip activation folded into the next
+    a-site's prologue (res_site_skip act=) matches the default XLA-combine
+    Pallas chain bitwise (max() is exact in bf16)."""
+    from neuralstyletransferv1_tpu.models import reconet
+    from neuralstyletransferv1_tpu.models import reconet_fast as recf
+    from neuralstyletransferv1_tpu.models import s2d2_sites_i8
+
+    p = recf.from_reconet_params(reconet.init(jax.random.key(4), frn=frn))
+    rng = np.random.default_rng(19)
+    x = jnp.asarray(rng.random((2, 32, 64, 3)) * 2 - 1, jnp.float32)
+    scales = recf.calibrate_act_scales(p, x)
+    quant = recf.quantize_net(p, scales)
+    pb = jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16)
+        if hasattr(a, "astype") and a.dtype == jnp.float32 else a, p)
+    xb = x.astype(jnp.bfloat16)
+
+    s2d2_sites_i8._INTERPRET = True
+    try:
+        monkeypatch.delenv("RECO_SKIP", raising=False)
+        y_def = recf.apply(pb, xb, quant=quant, fused_sites=("res_i8",))
+        monkeypatch.setenv("RECO_SKIP", "1")
+        y_skip = recf.apply(pb, xb, quant=quant, fused_sites=("res_i8",))
+    finally:
+        s2d2_sites_i8._INTERPRET = False
+    d = np.abs(np.asarray(y_def, np.float32) - np.asarray(y_skip, np.float32))
+    assert d.mean() < 2e-3, (d.mean(), d.max())
