@@ -343,6 +343,7 @@ def test_res_site_sw_padding_exact():
                                (rf * rf).sum(axis=(1, 2)), rtol=1e-4)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("wshape", [48, 36])  # res width 32 (%8) / 29 (sw)
 def test_nst_int8_res_chain_parity(wshape):
     """The NST fast-path int8 res chain: Pallas fused sites (zero halos,
@@ -407,6 +408,7 @@ def test_engine_nst_quantize_flag():
     assert d.mean() < 3e-2, (d.mean(), d.max())
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("frn", [False, True])
 def test_reconet_int8_res_chain_parity(frn):
     """The ReCoNet fast-path int8 res chain: Pallas fused sites (reflect
@@ -512,3 +514,21 @@ def test_reconet_skip_fold_parity(frn, monkeypatch):
         s2d2_sites_i8._INTERPRET = False
     d = np.abs(np.asarray(y_def, np.float32) - np.asarray(y_skip, np.float32))
     assert d.mean() < 2e-3, (d.mean(), d.max())
+
+
+def test_engine_quantize_odd_shape():
+    """--quantize int8 + a non-%4 resolution: calibration pads the probe
+    frame and make_fn pads per-batch (reflect pad-and-crop), so odd shapes
+    ride the quantized fast form instead of falling back."""
+    from neuralstyletransferv1_tpu.engine import stylizer as st
+
+    model = st.make_random_model("johnson", seed=5)
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.random((2, 34, 50, 3)), jnp.float32)
+    f_ref = st.jit_stylizer(model, dtype=jnp.bfloat16)
+    f_i8 = st.jit_stylizer(model, dtype=jnp.bfloat16, quantize="int8")
+    y_ref = np.asarray(f_ref(x), np.float32)
+    y_i8 = np.asarray(f_i8(x), np.float32)
+    assert y_i8.shape == y_ref.shape == (2, 34, 50, 3)
+    d = np.abs(y_ref - y_i8)
+    assert d.mean() < 3e-2, (d.mean(), d.max())
