@@ -137,8 +137,14 @@ def main():
         return post(t7_fast.t7_fast_apply(fpb, pre(x), quant=quant,
                                           fused_sites=("res_i8",)))
 
+    def step_pal_dec(x):
+        return post(t7_fast.t7_fast_apply(fpb, pre(x), quant=quant,
+                                          fused_sites=("res_i8", "dec_i8")))
+
+    variants = [("xla-i8", step_xla_i8), ("pal-i8", step_pal_i8),
+                ("pal+dec", step_pal_dec)]
     y0 = np.asarray(jax.jit(step_bf16)(xc.astype(jnp.bfloat16)), np.float32)
-    for name, fn in (("xla-i8", step_xla_i8), ("pal-i8", step_pal_i8)):
+    for name, fn in variants:
         y = np.asarray(jax.jit(fn)(xc.astype(jnp.bfloat16)), np.float32)
         d = np.abs(y0 - y)
         print(f"quality {name}: MAE {d.mean():.5f} max {d.max():.4f}",
@@ -149,8 +155,7 @@ def main():
     else:
         batches = (16, 48)
     for B in batches:
-        for name, fn in (("bf16  ", step_bf16), ("xla-i8", step_xla_i8),
-                         ("pal-i8", step_pal_i8)):
+        for name, fn in [("bf16  ", step_bf16)] + variants:
             t = timed_step(fn, B)
             print(f"[{name} B{B}] {t*1e3:.1f} ms/batch  {B/t:.1f} fps",
                   flush=True)

@@ -406,6 +406,97 @@ def _t7_res_chain_i8(y, res, quant):
              + c2[:, None, None, :]).astype(y.dtype) + y).astype(dt)
 
 
+def _dec_kform(pad):
+    """(kh, pt) for a scattered transposed-conv block kernel: k3 convT
+    scatters to 2x2 with pads (0, 1) (_scatter_convT_f2), k4 to 3x3 with
+    (1, 1); None if unrecognized."""
+    if tuple(pad) == (0, 1):
+        return 2, 0
+    if tuple(pad) == (1, 1):
+        return 3, 1
+    return None
+
+
+def _t7_dec_quant_xla(y, p, quant, c0):
+    """XLA int8 deconv1+deconv2 — the parity reference for _t7_dec_i8
+    (standalone quantize passes; TPU runs the fused sites instead)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.transformer_net_s2d import d2s
+    from ..ops.conv import conv2d_i8
+
+    q1, q2 = quant["d1"], quant["d2"]
+    pd = tuple(p["d1_pad"])
+    xq = jnp.clip(jnp.round(y.astype(jnp.float32) * q1["qin"]),
+                  -127.0, 127.0).astype(jnp.int8)
+    r = (conv2d_i8(xq, q1["w"], padding=(pd, pd)).astype(jnp.float32)
+         * q1["ws"] + p["d1_b"].astype(jnp.float32)).astype(y.dtype)
+    yd = d2s(r, 2, 2 * c0)
+    if p["n_d1"] is None:
+        a1 = jnp.full((1, 1, 1, 2 * c0), float(q2["qin"]), jnp.float32)
+        c1 = jnp.zeros((1, 1, 1, 2 * c0), jnp.float32)
+    else:
+        av, cv = _res_stats(yd, p["n_d1"])
+        a1 = (av * q2["qin"])[:, None, None, :]
+        c1 = (cv * q2["qin"])[:, None, None, :]
+    rq = jnp.clip(jnp.round(yd.astype(jnp.float32) * a1 + c1),
+                  0.0, 127.0).astype(jnp.int8)   # ReLU folds into lo=0
+    pd2 = tuple(p["d2_pad"])
+    r2 = (conv2d_i8(rq, q2["w"], padding=(pd2, pd2)).astype(jnp.float32)
+          * q2["ws"] + p["d2_b"].astype(jnp.float32)).astype(y.dtype)
+    if p["n_d2"] is None:
+        return jax.nn.relu(r2)
+    return _defer_norm(r2, p["n_d2"], 4, c0)
+
+
+def _t7_dec_i8(y, p, quant, c0):
+    """deconv1+deconv2 as fused int8 sites: the scattered block kernels
+    run as KHxKW zero-halo sites (2x2/pt=0 for k3 convT, 3x3/pt=1 for
+    k4), the d2s between them stays XLA (pure shuffle), and the deferred
+    norms ride the kernel stat epilogues (_stats_phased)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..models import s2d2_sites_i8 as si8
+    from ..models.transformer_net_s2d import d2s
+
+    B, H, W0, C = y.shape
+    dt = y.dtype
+    q1, q2 = quant["d1"], quant["d2"]
+    kh1, pt1 = _dec_kform(p["d1_pad"])
+    kh2, pt2 = _dec_kform(p["d2_pad"])
+    ones = jnp.ones((B, C), jnp.float32)
+    zeros = jnp.zeros((B, C), jnp.float32)
+
+    w1 = q1["w"].reshape(kh1 * kh1, C, -1)
+    r, sout = si8.res_site(y, ones * q1["qin"], zeros, w1, q1["ws"],
+                           p["d1_b"].astype(jnp.float32), -127.0,
+                           halo="zero", kh=kh1, kw=kh1, pt=pt1, pl_=pt1)
+    yd = d2s(r, 2, 2 * c0)                        # (B, 2H, 2W, 2c0)
+    if p["n_d1"] is None:
+        a_eff = jnp.full((B, 2 * c0), float(q2["qin"]), jnp.float32)
+        c_eff = jnp.zeros((B, 2 * c0), jnp.float32)
+    else:
+        m, inv = si8._stats_phased(sout, float(H * W0), 4, 2 * c0)
+        sc = p["n_d1"]["scale"].astype(jnp.float32)
+        bi = p["n_d1"]["bias"].astype(jnp.float32)
+        a_eff = (inv * sc) * q2["qin"]
+        c_eff = (bi - m * inv * sc) * q2["qin"]
+    w2 = q2["w"].reshape(kh2 * kh2, 2 * c0, -1)
+    r2, sout2 = si8.res_site(yd, a_eff, c_eff, w2, q2["ws"],
+                             p["d2_b"].astype(jnp.float32), 0.0,
+                             halo="zero", kh=kh2, kw=kh2, pt=pt2, pl_=pt2)
+    if p["n_d2"] is None:
+        return jax.nn.relu(r2.astype(jnp.float32)).astype(dt)
+    m2, inv2 = si8._stats_phased(sout2, float(4 * H * W0), 4, c0)
+    sc2 = p["n_d2"]["scale"].astype(jnp.float32)
+    bi2 = p["n_d2"]["bias"].astype(jnp.float32)
+    a2 = jnp.tile(inv2 * sc2, (1, 4))[:, None, None, :]
+    b2 = jnp.tile(bi2[None] - m2 * inv2 * sc2, (1, 4))[:, None, None, :]
+    return jax.nn.relu(r2.astype(jnp.float32) * a2 + b2).astype(dt)
+
+
 def calibrate_t7_scales(p: dict, x_cal) -> dict:
     """Per-res-site max|activation| from one jitted f32 forward (x_cal:
     model-space input, e.g. caffe_bgr-preprocessed)."""
@@ -430,19 +521,24 @@ def quantize_t7(p: dict, act_scales: dict) -> dict:
     scales — same contract as transformer_net_s2d2.quantize_net."""
     import jax.numpy as jnp
 
+    def qsite(w, act_scale):
+        ws = np.maximum(np.max(np.abs(w), axis=(0, 1, 2)) / 127.0, 1e-12)
+        wq = np.clip(np.round(w / ws), -127, 127).astype(np.int8)
+        a = max(float(act_scale), 1e-6)
+        return {"w": jnp.asarray(wq),
+                "ws": jnp.asarray(ws * (a / 127.0), jnp.float32),
+                "qin": jnp.float32(127.0 / a)}
+
     q = {}
     for i, rp in enumerate(p["res"]):
         for ab, wk in (("a", "w1"), ("b", "w2")):
             site = f"r{i}{ab}"
-            if site not in act_scales:
-                continue
-            w = np.asarray(rp[wk], np.float32)
-            ws = np.maximum(np.max(np.abs(w), axis=(0, 1, 2)) / 127.0, 1e-12)
-            wq = np.clip(np.round(w / ws), -127, 127).astype(np.int8)
-            a = max(float(act_scales[site]), 1e-6)
-            q[site] = {"w": jnp.asarray(wq),
-                       "ws": jnp.asarray(ws * (a / 127.0), jnp.float32),
-                       "qin": jnp.float32(127.0 / a)}
+            if site in act_scales:
+                q[site] = qsite(np.asarray(rp[wk], np.float32),
+                                act_scales[site])
+    for site, wk in (("d1", "d1_w"), ("d2", "d2_w")):
+        if site in act_scales:
+            q[site] = qsite(np.asarray(p[wk], np.float32), act_scales[site])
     return q
 
 
@@ -503,12 +599,29 @@ def t7_fast_apply(p: dict, x, *, tap=None, quant=None, fused_sites=()):
             r = na(conv2d(r, rp["w2"], rp["b2"], padding=1), rp["rn2"], 1,
                    4 * c0, act=False)
             y = y + r
-    pd = p["d1_pad"]
-    y = conv2d(y, p["d1_w"], p["d1_b"], padding=(pd, pd))
-    y = na(d2s(y, 2, 2 * c0), p["n_d1"], 1, 2 * c0)
-    pd = p["d2_pad"]
-    y = na(conv2d(y, p["d2_w"], p["d2_b"], padding=(pd, pd)),
-           p["n_d2"], 4, c0)
+    use_dec_i8 = False
+    if (quant is not None and "dec_i8" in fused_sites
+            and "d1" in quant and "d2" in quant):
+        from ..models import s2d2_sites_i8 as si8
+        use_dec_i8 = (si8.res_supported(y.shape[1], y.shape[2])
+                      and si8.res_supported(2 * y.shape[1], 2 * y.shape[2])
+                      and _dec_kform(p["d1_pad"]) is not None
+                      and _dec_kform(p["d2_pad"]) is not None)
+    if use_dec_i8:
+        y = _t7_dec_i8(y, p, quant, c0)
+    elif (quant is not None and "d1" in quant and "d2" in quant
+          and "dec_xla_i8" in fused_sites):
+        # parity/CPU reference branch for the fused dec sites
+        y = _t7_dec_quant_xla(y, p, quant, c0)
+    else:
+        tap("d1", y)
+        pd = p["d1_pad"]
+        y = conv2d(y, p["d1_w"], p["d1_b"], padding=(pd, pd))
+        y = na(d2s(y, 2, 2 * c0), p["n_d1"], 1, 2 * c0)
+        tap("d2", y)
+        pd = p["d2_pad"]
+        y = na(conv2d(y, p["d2_w"], p["d2_b"], padding=(pd, pd)),
+               p["n_d2"], 4, c0)
     rows = conv2d(y, p["d3_w"], padding=(2, 2))         # (B, H/2+4, W/2, 60)
     y = sum(rows[:, dy : dy + hb, :, dy * 12 : (dy + 1) * 12]
             for dy in range(5))

@@ -122,8 +122,9 @@ def _quant_zero(v, a, c, lo, WP, sw=None):
 
 def _site_kernel(stat_ref, w_ref, dq_ref, head_ref, body_ref, tail_ref,
                  y_ref, sout_ref, xs_ref, *, TS, W0, WP, LO, MT=4,
-                 HALO="reflect", NS=None, SW=None, TAU=False):
-    """One fused site: quantize prologue -> 3x3 s8 conv (i32 acc) ->
+                 HALO="reflect", NS=None, SW=None, TAU=False,
+                 KH=3, KW=3, PT=1, PL=1):
+    """One fused site: quantize prologue -> KHxKW s8 conv (i32 acc) ->
     per-channel dequant + bias -> bf16 raw out + f32 stats sums.
 
     HALO="prehalo": the input strips already carry their 1-column halos
@@ -132,6 +133,13 @@ def _site_kernel(stat_ref, w_ref, dq_ref, head_ref, body_ref, tail_ref,
     last strips zero their row halos (needs NS). SW (zero halo only):
     content width < W0 when the caller padded a non-%8 net width up —
     padding columns are zeroed at quantize and excluded from the stats.
+
+    KH/KW/PT/PL: kernel extent and top/left pad — out[r, j] taps content
+    rows r-PT..r-PT+KH-1 / cols j-PL..j-PL+KW-1. The default 3x3/1/1 is
+    the res form; 2x2/0/0 is the f2-scattered k3 transposed conv (pads
+    (0,1) — io/t7_fast._scatter_convT_f2), whose right/bottom zero taps
+    land on the zero halo column / zeroed tail strip for free (zero halo
+    only).
     """
     from jax.experimental import pallas as pl
 
@@ -170,10 +178,10 @@ def _site_kernel(stat_ref, w_ref, dq_ref, head_ref, body_ref, tail_ref,
         m0 = r0 * WP
         MTn = rows * WP
         acc = None
-        for dy in range(3):
-            for dx in range(3):
-                s = m0 + dy * WP + dx
-                p = jnp.dot(xs_ref[s:s + MTn, :], w_ref[dy * 3 + dx],
+        for dy in range(KH):
+            for dx in range(KW):
+                s = m0 + (dy + 1 - PT) * WP + (dx + 1 - PL)
+                p = jnp.dot(xs_ref[s:s + MTn, :], w_ref[dy * KW + dx],
                             preferred_element_type=jnp.int32)
                 acc = p if acc is None else acc + p
         f = acc.astype(jnp.float32) * ws + bi
@@ -204,8 +212,9 @@ def res_site(x: jnp.ndarray, a: jnp.ndarray, c: jnp.ndarray,
              w9: jnp.ndarray, ws: jnp.ndarray, bias: jnp.ndarray,
              lo: float, *, ts: int | None = None, mt: int = 4,
              halo: str = "reflect", sw: int | None = None,
-             tau: jnp.ndarray | None = None):
-    """One quantized 3x3 site conv over the full image.
+             tau: jnp.ndarray | None = None, kh: int = 3, kw: int = 3,
+             pt: int = 1, pl_: int = 1):
+    """One quantized KHxKW (default 3x3) site conv over the full image.
 
     x: (B, H4, W4, C) bf16 raw input (pre-affine). a, c: (B, C) f32
     quant-folded affine (q = clip(round(x*a + c), lo, 127)). w9:
@@ -231,7 +240,8 @@ def res_site(x: jnp.ndarray, a: jnp.ndarray, c: jnp.ndarray,
     nrow = len(rows)
     dq = jnp.stack([ws, bias], axis=0)                 # (2, CO)
     kern = functools.partial(_site_kernel, TS=TS, W0=W0, WP=WP, LO=lo, MT=mt,
-                             HALO=halo, NS=NS, SW=sw, TAU=tau is not None)
+                             HALO=halo, NS=NS, SW=sw, TAU=tau is not None,
+                             KH=kh, KW=kw, PT=pt, PL=pl_)
     if halo == "reflect":
         hmap = lambda b, j: (b, jnp.abs(TS * j - 1), 0, 0)  # noqa: E731
         tmap = lambda b, j: (b, H - 1 - jnp.abs(H - 1 - TS * (j + 1)),  # noqa: E731
@@ -245,7 +255,7 @@ def res_site(x: jnp.ndarray, a: jnp.ndarray, c: jnp.ndarray,
         in_specs=[
             pl.BlockSpec((1, nrow, C), lambda b, j: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, C, CO), lambda b, j: (0, 0, 0),
+            pl.BlockSpec((kh * kw, C, CO), lambda b, j: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2, CO), lambda b, j: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -273,7 +283,8 @@ def res_site(x: jnp.ndarray, a: jnp.ndarray, c: jnp.ndarray,
 def _site_kernel_skip(stat_ref, w_ref, dq_ref, rh_ref, rb_ref, rt_ref,
                       yh_ref, yb_ref, yt_ref, o_ref, sout_ref, yout_ref,
                       xs_ref, *, TS, W0, WP, LO, MT=4, HALO="reflect",
-                      YOUT=True, NS=None, SW=None, ACT=None):
+                      YOUT=True, NS=None, SW=None, ACT=None,
+                      KH=3, KW=3, PT=1, PL=1):
     """Skip-fold site: the previous block's deferred in2 apply + residual
     add run in this kernel's prologue (v = bf16(bf16(r2·a2+c2) + y), one
     extra fma + add on data the kernel loads anyway), then v is quantized
@@ -337,10 +348,10 @@ def _site_kernel_skip(stat_ref, w_ref, dq_ref, rh_ref, rb_ref, rt_ref,
         m0 = r0 * WP
         MTn = rows * WP
         acc = None
-        for dy in range(3):
-            for dx in range(3):
-                s = m0 + dy * WP + dx
-                p = jnp.dot(xs_ref[s:s + MTn, :], w_ref[dy * 3 + dx],
+        for dy in range(KH):
+            for dx in range(KW):
+                s = m0 + (dy + 1 - PT) * WP + (dx + 1 - PL)
+                p = jnp.dot(xs_ref[s:s + MTn, :], w_ref[dy * KW + dx],
                             preferred_element_type=jnp.int32)
                 acc = p if acc is None else acc + p
         f = acc.astype(jnp.float32) * ws + bi
@@ -370,7 +381,8 @@ def res_site_skip(r2: jnp.ndarray, yp: jnp.ndarray, a: jnp.ndarray,
                   lo: float, *, ts: int | None = None, mt: int = 4,
                   halo: str = "reflect", yout: bool = True,
                   sw: int | None = None, act: str | None = None,
-                  tau_act: jnp.ndarray | None = None):
+                  tau_act: jnp.ndarray | None = None, kh: int = 3,
+                  kw: int = 3, pt: int = 1, pl_: int = 1):
     """Skip-fold variant of ``res_site``: consumes the previous block's
     raw conv output r2 and the pre-previous combined activation yp,
     computes v = bf16(bf16(r2·a2 + c2) + yp) in-prologue, and returns
@@ -396,7 +408,7 @@ def res_site_skip(r2: jnp.ndarray, yp: jnp.ndarray, a: jnp.ndarray,
     dq = jnp.stack([ws, bias], axis=0)                 # (2, CO)
     kern = functools.partial(_site_kernel_skip, TS=TS, W0=W0, WP=WP, LO=lo,
                              MT=mt, HALO=halo, YOUT=yout, NS=NS, SW=sw,
-                             ACT=act)
+                             ACT=act, KH=kh, KW=kw, PT=pt, PL=pl_)
     if halo == "reflect":
         hmap = lambda b, j: (b, jnp.abs(TS * j - 1), 0, 0)  # noqa: E731
         tmap = lambda b, j: (b, H - 1 - jnp.abs(H - 1 - TS * (j + 1)),  # noqa: E731
@@ -422,7 +434,7 @@ def res_site_skip(r2: jnp.ndarray, yp: jnp.ndarray, a: jnp.ndarray,
         in_specs=[
             pl.BlockSpec((1, nrow, C), lambda b, j: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, C, CO), lambda b, j: (0, 0, 0),
+            pl.BlockSpec((kh * kw, C, CO), lambda b, j: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2, CO), lambda b, j: (0, 0),
                          memory_space=pltpu.VMEM),

@@ -245,8 +245,8 @@ def test_t7_int8_res_chain_parity(norm):
     rng = np.random.default_rng(11)
     x = jnp.asarray(rng.normal(0, 50, (2, 32, 64, 3)).astype(np.float32))
     scales = t7_fast.calibrate_t7_scales(fp, x)
-    assert sorted(scales) == sorted(f"r{i}{ab}" for i in range(3)
-                                    for ab in "ab")
+    assert sorted(scales) == sorted([f"r{i}{ab}" for i in range(3)
+                                     for ab in "ab"] + ["d1", "d2"])
     quant = t7_fast.quantize_t7(fp, scales)
     assert s2d2_sites_i8.res_supported(8, 16)
 
@@ -532,3 +532,53 @@ def test_engine_quantize_odd_shape():
     assert y_i8.shape == y_ref.shape == (2, 34, 50, 3)
     d = np.abs(y_ref - y_i8)
     assert d.mean() < 3e-2, (d.mean(), d.max())
+
+
+@pytest.mark.parametrize("deconv_k,norm", [(3, "bn"), (4, "bn"), (3, "in")])
+def test_t7_dec_i8_parity(deconv_k, norm):
+    """The .t7 fused int8 deconv1/2 sites: the f2-scattered transposed
+    convs run as KHxKW zero-halo sites (2x2/pt=0 for k3 — the scatter's
+    (0,1) pads land on the zero halo col / zeroed tail strip — 3x3/pt=1
+    for k4), deferred norms from the kernel stat epilogues. Matches the
+    XLA int8 reference branch (fused_sites=("dec_xla_i8",))."""
+    from tests.test_t7_fast import _johnson_layers, _in
+    from neuralstyletransferv1_tpu.io import t7_fast
+    from neuralstyletransferv1_tpu.models import s2d2_sites_i8
+
+    layers = _johnson_layers(deconv_k=deconv_k)
+    if norm == "in":
+        layers = [(_in(l["weight"].shape[0]) if l["op"] == "batchnorm" else l)
+                  for l in layers]
+        for l in layers:
+            if l["op"] == "concat_table":
+                l["branches"][0][:] = [
+                    (_in(b["weight"].shape[0]) if b["op"] == "batchnorm"
+                     else b) for b in l["branches"][0]]
+    fp = t7_fast.try_fast_johnson(layers)
+    assert fp is not None
+    assert t7_fast._dec_kform(fp["d1_pad"]) is not None
+
+    rng = np.random.default_rng(23)
+    x = jnp.asarray(rng.normal(0, 50, (2, 32, 64, 3)).astype(np.float32))
+    scales = t7_fast.calibrate_t7_scales(fp, x)
+    quant = t7_fast.quantize_t7(fp, scales)
+    assert "d1" in quant and "d2" in quant
+
+    fpb = jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16)
+        if hasattr(a, "astype") and a.dtype == jnp.float32 else a, fp)
+    xb = x.astype(jnp.bfloat16)
+    y_xla = t7_fast.t7_fast_apply(fpb, xb, quant=quant,
+                                  fused_sites=("dec_xla_i8",))
+    s2d2_sites_i8._INTERPRET = True
+    try:
+        y_pal = t7_fast.t7_fast_apply(fpb, xb, quant=quant,
+                                      fused_sites=("dec_i8",))
+    finally:
+        s2d2_sites_i8._INTERPRET = False
+    assert y_pal.shape == y_xla.shape
+    # same int8 codes either side of the shared XLA-i8 res chain; drift is
+    # bf16/summation-order through two sites only
+    d = np.abs(np.asarray(y_xla, np.float32) - np.asarray(y_pal, np.float32))
+    ref_mag = np.abs(np.asarray(y_xla, np.float32)).mean()
+    assert d.mean() < 5e-3 * max(ref_mag, 1.0), (d.mean(), ref_mag)
