@@ -160,6 +160,81 @@ def _res_chain_i8(y, p, quant):
     return y
 
 
+def _dec_quant_xla(y, p, quant):
+    """XLA int8 deconv1+deconv2 — the parity reference for _dec_i8."""
+    from ..ops.conv import conv2d_i8
+
+    q1, q2 = quant["d1"], quant["d2"]
+    pd = tuple(p["d1_pad"])
+    xq = jnp.clip(jnp.round(y.astype(jnp.float32) * q1["qin"]),
+                  -127.0, 127.0).astype(jnp.int8)
+    r = (conv2d_i8(xq, q1["w"], padding=(pd, pd)).astype(jnp.float32)
+         * q1["ws"] + p["d1_b"].astype(jnp.float32)).astype(y.dtype)
+    m, inv = _in_stats(r, 4, 64)
+    yd = d2s(r, 2, 64)
+    sc = p["in_d1"]["scale"].astype(jnp.float32)
+    bi = p["in_d1"]["bias"].astype(jnp.float32)
+    a1 = ((inv * sc) * q2["qin"])[:, None, None, :]
+    c1 = ((bi[None] - m * inv * sc) * q2["qin"])[:, None, None, :]
+    rq = jnp.clip(jnp.round(yd.astype(jnp.float32) * a1 + c1),
+                  0.0, 127.0).astype(jnp.int8)
+    pd2 = tuple(p["d2_pad"])
+    r2 = (conv2d_i8(rq, q2["w"], padding=(pd2, pd2)).astype(jnp.float32)
+          * q2["ws"] + p["d2_b"].astype(jnp.float32)).astype(y.dtype)
+    m2, inv2 = _in_stats(r2, 4, 32)
+    return _apply_in_relu(r2, m2, inv2, p["in_d2"]["scale"],
+                          p["in_d2"]["bias"], 4)
+
+
+def _dec_i8(y, p, quant):
+    """deconv1+deconv2 as fused int8 sites (the t7 structure with
+    always-present deferred INs): KHxKW zero-halo block kernels, stats
+    from the kernel epilogues, d2s in XLA. Non-%8 widths pad up with sw
+    masking — d2s keeps the padding columns contiguous at the right edge
+    (it doubles column positions), so the d2 site runs sw*2."""
+    from ..io.t7_fast import _dec_kform
+    from . import s2d2_sites_i8 as si8
+
+    B, H, W0c, C = y.shape
+    dt = y.dtype
+    q1, q2 = quant["d1"], quant["d2"]
+    kh1, pt1 = _dec_kform(p["d1_pad"])
+    kh2, pt2 = _dec_kform(p["d2_pad"])
+    sw = None
+    if W0c % 8:
+        wp = ((W0c + 7) // 8) * 8
+        y = jnp.pad(y, ((0, 0), (0, 0), (0, wp - W0c), (0, 0)))
+        sw = W0c
+    n = float(H * W0c)
+    ones = jnp.ones((B, C), jnp.float32)
+    zeros = jnp.zeros((B, C), jnp.float32)
+
+    w1 = q1["w"].reshape(kh1 * kh1, C, -1)
+    r, sout = si8.res_site(y, ones * q1["qin"], zeros, w1, q1["ws"],
+                           p["d1_b"].astype(jnp.float32), -127.0,
+                           halo="zero", kh=kh1, kw=kh1, pt=pt1, pl_=pt1,
+                           sw=sw)
+    m, inv = si8._stats_phased(sout, n, 4, 64)
+    yd = d2s(r, 2, 64)
+    sc = p["in_d1"]["scale"].astype(jnp.float32)
+    bi = p["in_d1"]["bias"].astype(jnp.float32)
+    a_eff = (inv * sc) * q2["qin"]
+    c_eff = (bi - m * inv * sc) * q2["qin"]
+    w2 = q2["w"].reshape(kh2 * kh2, 64, -1)
+    r2, sout2 = si8.res_site(yd, a_eff, c_eff, w2, q2["ws"],
+                             p["d2_b"].astype(jnp.float32), 0.0,
+                             halo="zero", kh=kh2, kw=kh2, pt=pt2, pl_=pt2,
+                             sw=None if sw is None else 2 * sw)
+    m2, inv2 = si8._stats_phased(sout2, 4.0 * n, 4, 32)
+    if sw is not None:
+        r2 = r2[:, :, :2 * sw]
+    sc2 = p["in_d2"]["scale"].astype(jnp.float32)
+    bi2 = p["in_d2"]["bias"].astype(jnp.float32)
+    a2 = jnp.tile(inv2 * sc2, (1, 4))[:, None, None, :]
+    b2 = jnp.tile(bi2[None] - m2 * inv2 * sc2, (1, 4))[:, None, None, :]
+    return jax.nn.relu(r2.astype(jnp.float32) * a2 + b2).astype(dt)
+
+
 def calibrate_act_scales(p: dict, x_cal) -> dict:
     """Per-res-site max|activation| from one jitted f32 forward (x_cal:
     raw_01 NHWC, H, W divisible by 4). Same contract as
@@ -181,20 +256,25 @@ def calibrate_act_scales(p: dict, x_cal) -> dict:
 def quantize_net(p: dict, act_scales: dict) -> dict:
     """Per-out-channel symmetric int8 res-chain weights + folded
     activation scales — the transformer_net_s2d2.quantize_net contract."""
+    def qsite(w, act_scale):
+        ws = np.maximum(np.max(np.abs(w), axis=(0, 1, 2)) / 127.0, 1e-12)
+        wq = np.clip(np.round(w / ws), -127, 127).astype(np.int8)
+        a = max(float(act_scale), 1e-6)
+        return {"w": jnp.asarray(wq),
+                "ws": jnp.asarray(ws * (a / 127.0), jnp.float32),
+                "qin": jnp.float32(127.0 / a)}
+
     q = {}
     for i in range(1, 6):
         rp = p[f"res{i}"]
         for ab, ck in (("a", "conv1"), ("b", "conv2")):
             site = f"r{i}{ab}"
-            if site not in act_scales:
-                continue
-            w = np.asarray(rp[ck]["w"], np.float32)
-            ws = np.maximum(np.max(np.abs(w), axis=(0, 1, 2)) / 127.0, 1e-12)
-            wq = np.clip(np.round(w / ws), -127, 127).astype(np.int8)
-            a = max(float(act_scales[site]), 1e-6)
-            q[site] = {"w": jnp.asarray(wq),
-                       "ws": jnp.asarray(ws * (a / 127.0), jnp.float32),
-                       "qin": jnp.float32(127.0 / a)}
+            if site in act_scales:
+                q[site] = qsite(np.asarray(rp[ck]["w"], np.float32),
+                                act_scales[site])
+    for site, wk in (("d1", "d1_w"), ("d2", "d2_w")):
+        if site in act_scales:
+            q[site] = qsite(np.asarray(p[wk], np.float32), act_scales[site])
     return q
 
 
@@ -253,16 +333,35 @@ def apply(params: dict, x: jnp.ndarray, *, tap=None, quant=None,
                                rp["norm2"]["bias"], 1, relu=False)
             y = r + y
 
-    pd = p["d1_pad"]
-    y = conv2d(y, p["d1_w"], p["d1_b"], padding=(pd, pd))
-    m, inv = _in_stats(y, 4, 64)
-    y = d2s(y, 2, 64)                             # [B, hp/2, wp/2, 64]
-    y = _apply_in_relu(y, m, inv, p["in_d1"]["scale"], p["in_d1"]["bias"], 1)
-
-    pd = p["d2_pad"]
-    y = conv2d(y, p["d2_w"], p["d2_b"], padding=(pd, pd))
-    m, inv = _in_stats(y, 4, 32)
-    y = _apply_in_relu(y, m, inv, p["in_d2"]["scale"], p["in_d2"]["bias"], 4)
+    use_dec_i8 = use_dec_xla = False
+    if quant is not None and "d1" in quant and "d2" in quant:
+        if "dec_i8" in fused_sites:
+            from ..io.t7_fast import _dec_kform
+            from . import s2d2_sites_i8 as si8
+            use_dec_i8 = (si8._pick_ts(y.shape[1]) is not None
+                          and si8._pick_ts(2 * y.shape[1]) is not None
+                          and y.shape[1] >= 8 and y.shape[2] >= 16
+                          and _dec_kform(p["d1_pad"]) is not None
+                          and _dec_kform(p["d2_pad"]) is not None)
+        use_dec_xla = not use_dec_i8 and "dec_xla_i8" in fused_sites
+    if use_dec_i8:
+        y = _dec_i8(y, p, quant)
+    elif use_dec_xla:
+        y = _dec_quant_xla(y, p, quant)
+    else:
+        tap("d1", y)
+        pd = p["d1_pad"]
+        y = conv2d(y, p["d1_w"], p["d1_b"], padding=(pd, pd))
+        m, inv = _in_stats(y, 4, 64)
+        y = d2s(y, 2, 64)                         # [B, hp/2, wp/2, 64]
+        y = _apply_in_relu(y, m, inv, p["in_d1"]["scale"],
+                           p["in_d1"]["bias"], 1)
+        tap("d2", y)
+        pd = p["d2_pad"]
+        y = conv2d(y, p["d2_w"], p["d2_b"], padding=(pd, pd))
+        m, inv = _in_stats(y, 4, 32)
+        y = _apply_in_relu(y, m, inv, p["in_d2"]["scale"],
+                           p["in_d2"]["bias"], 4)
 
     hb = hp // 2
     rows = conv2d(y, p["d3_w"], padding=(2, 2))   # [B, hp/2+4, wp/2, 60]

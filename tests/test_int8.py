@@ -365,8 +365,8 @@ def test_nst_int8_res_chain_parity(wshape):
     rng = np.random.default_rng(13)
     x = jnp.asarray(rng.random((2, 24, wshape, 3)), jnp.float32)
     scales = nstf.calibrate_act_scales(p, x)
-    assert sorted(scales) == sorted(f"r{i}{ab}" for i in range(1, 6)
-                                    for ab in "ab")
+    assert sorted(scales) == sorted([f"r{i}{ab}" for i in range(1, 6)
+                                     for ab in "ab"] + ["d1", "d2"])
     quant = nstf.quantize_net(p, scales)
 
     pb = jax.tree.map(
@@ -582,3 +582,37 @@ def test_t7_dec_i8_parity(deconv_k, norm):
     d = np.abs(np.asarray(y_xla, np.float32) - np.asarray(y_pal, np.float32))
     ref_mag = np.abs(np.asarray(y_xla, np.float32)).mean()
     assert d.mean() < 5e-3 * max(ref_mag, 1.0), (d.mean(), ref_mag)
+
+
+@pytest.mark.parametrize("wshape", [48, 36])  # dec width 32 / 29 (sw)
+def test_nst_dec_i8_parity(wshape):
+    """The NST fused int8 deconv1/2 sites (2x2 zero-halo block kernels,
+    deferred INs from the kernel stat epilogues, sw through the d2s width
+    doubling) match the XLA int8 dec reference."""
+    from neuralstyletransferv1_tpu.models import s2d2_sites_i8
+    from neuralstyletransferv1_tpu.models import transformer_net_nst
+    from neuralstyletransferv1_tpu.models import transformer_net_nst_fast as nstf
+
+    p = nstf.from_nst_params(transformer_net_nst.init(jax.random.key(6)))
+    rng = np.random.default_rng(29)
+    x = jnp.asarray(rng.random((2, 24, wshape, 3)), jnp.float32)
+    scales = nstf.calibrate_act_scales(p, x)
+    quant = nstf.quantize_net(p, scales)
+    assert "d1" in quant and "d2" in quant
+
+    pb = jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16)
+        if hasattr(a, "astype") and a.dtype == jnp.float32 else a, p)
+    xb = x.astype(jnp.bfloat16)
+    y_xla = nstf.apply(pb, xb, quant=quant, fused_sites=("dec_xla_i8",))
+    s2d2_sites_i8._INTERPRET = True
+    try:
+        y_pal = nstf.apply(pb, xb, quant=quant, fused_sites=("dec_i8",))
+    finally:
+        s2d2_sites_i8._INTERPRET = False
+    assert y_pal.shape == y_xla.shape
+    # both share the XLA-i8 res chain; drift is two sites of
+    # bf16/summation-order
+    ref_mag = np.abs(np.asarray(y_xla, np.float32)).mean()
+    d = np.abs(np.asarray(y_xla, np.float32) - np.asarray(y_pal, np.float32))
+    assert d.mean() < 0.01 * max(ref_mag, 0.1), (d.mean(), ref_mag)
