@@ -256,6 +256,91 @@ def _res_chain_i8_skip(y, p, quant, frn, si8):
     return y.astype(dt)
 
 
+def _dec_quant_xla(y, p, quant, frn):
+    """XLA int8 deconv1+deconv2 — the parity reference for _dec_i8."""
+    from ..ops.conv import conv2d_i8
+
+    q1, q2 = quant["d1"], quant["d2"]
+    xq = jnp.clip(jnp.round(y.astype(jnp.float32) * q1["qin"]),
+                  -127.0, 127.0).astype(jnp.int8)
+    xq = jnp.concatenate([xq[:, :1], xq, xq[:, -1:]], axis=1)
+    xq = jnp.concatenate([xq[:, :, :1], xq, xq[:, :, -1:]], axis=2)
+    r = (conv2d_i8(xq, q1["w"]).astype(jnp.float32) * q1["ws"]
+         + p["d1_b"].astype(jnp.float32)).astype(y.dtype)
+    m, inv = _stats(r, 4, 96, frn)
+    yd = d2s(r, 2, 96)
+    sc = p["nd1"]["scale"].astype(jnp.float32)
+    bi = p["nd1"]["bias"].astype(jnp.float32)
+    a1 = ((inv * sc) * q2["qin"])[:, None, None, :]
+    c1 = ((bi[None] - m * inv * sc) * q2["qin"])[:, None, None, :]
+    v = yd.astype(jnp.float32) * a1 + c1
+    if frn:
+        v = jnp.maximum(v, p["nd1"]["tau"].astype(jnp.float32) * q2["qin"])
+    rq = jnp.clip(jnp.round(v), 0.0 if not frn else -127.0,
+                  127.0).astype(jnp.int8)
+    rq = jnp.concatenate([rq[:, :1], rq, rq[:, -1:]], axis=1)
+    rq = jnp.concatenate([rq[:, :, :1], rq, rq[:, :, -1:]], axis=2)
+    r2 = (conv2d_i8(rq, q2["w"]).astype(jnp.float32) * q2["ws"]
+          + p["d2_b"].astype(jnp.float32)).astype(y.dtype)
+    m2, inv2 = _stats(r2, 4, 48, frn)
+    return _apply(r2, m2, inv2, p["nd2"], 4, frn)
+
+
+def _dec_i8(y, p, quant, frn):
+    """deconv1+deconv2 (nearest-up + conv, edge-block halos) as fused int8
+    sites: res_site halo="edge" reproduces _pad_edge_blocks exactly
+    (edge-copied halo column + clamped head/tail row maps), deferred
+    IN/FRN stats ride the kernel epilogues, TLU folds into the d2
+    quantize floor. The d2s between stays XLA."""
+    from . import s2d2_sites_i8 as si8
+
+    B, H, W0, C = y.shape
+    dt = y.dtype
+    q1, q2 = quant["d1"], quant["d2"]
+    ones = jnp.ones((B, C), jnp.float32)
+    zeros = jnp.zeros((B, C), jnp.float32)
+
+    w1 = q1["w"].reshape(9, C, -1)
+    r, sout = si8.res_site(y, ones * q1["qin"], zeros, w1, q1["ws"],
+                           p["d1_b"].astype(jnp.float32), -127.0,
+                           halo="edge")
+    m, inv = si8._stats_phased(sout, float(H * W0), 4, 96)
+    if frn:
+        m = jnp.zeros_like(m)
+        s2m = sout[:, 1].reshape(B, 4, 96).sum(1) / (4.0 * H * W0)
+        inv = jax.lax.rsqrt(s2m + _EPS)
+    yd = d2s(r, 2, 96)
+    sc = p["nd1"]["scale"].astype(jnp.float32)
+    bi = p["nd1"]["bias"].astype(jnp.float32)
+    a_eff = (inv * sc) * q2["qin"]
+    c_eff = (bi - m * inv * sc) * q2["qin"]
+    tau = None
+    lo = 0.0
+    if frn:
+        lo = -127.0
+        tau = jnp.broadcast_to(
+            p["nd1"]["tau"].astype(jnp.float32) * q2["qin"], (B, 96))
+    w2 = q2["w"].reshape(9, 96, -1)
+    r2, sout2 = si8.res_site(yd, a_eff, c_eff, w2, q2["ws"],
+                             p["d2_b"].astype(jnp.float32), lo,
+                             halo="edge", tau=tau)
+    m2, inv2 = si8._stats_phased(sout2, float(4 * H * W0), 4, 48)
+    if frn:
+        m2 = jnp.zeros_like(m2)
+        s2m2 = sout2[:, 1].reshape(B, 4, 48).sum(1) / (16.0 * H * W0)
+        inv2 = jax.lax.rsqrt(s2m2 + _EPS)
+    sc2 = p["nd2"]["scale"].astype(jnp.float32)
+    bi2 = p["nd2"]["bias"].astype(jnp.float32)
+    v = (r2.astype(jnp.float32)
+         * jnp.tile(inv2 * sc2, (1, 4))[:, None, None, :]
+         + jnp.tile(bi2[None] - m2 * inv2 * sc2, (1, 4))[:, None, None, :])
+    if frn:
+        v = jnp.maximum(v, jnp.tile(p["nd2"]["tau"].astype(jnp.float32), 4))
+    else:
+        v = jax.nn.relu(v)
+    return v.astype(dt)
+
+
 def calibrate_act_scales(p: dict, x_cal) -> dict:
     """Per-res-site max|activation| from one jitted f32 forward (x_cal:
     [-1,1] NHWC). Same contract as transformer_net_s2d2."""
@@ -277,19 +362,24 @@ def quantize_net(p: dict, act_scales: dict) -> dict:
     """Per-out-channel symmetric int8 res weights + folded activation
     scales (the transformer_net_s2d2.quantize_net contract), keyed
     r{i}{a,b} over the four res blocks."""
+    def qsite(w, act_scale):
+        ws = np.maximum(np.max(np.abs(w), axis=(0, 1, 2)) / 127.0, 1e-12)
+        wq = np.clip(np.round(w / ws), -127, 127).astype(np.int8)
+        a = max(float(act_scale), 1e-6)
+        return {"w": jnp.asarray(wq),
+                "ws": jnp.asarray(ws * (a / 127.0), jnp.float32),
+                "qin": jnp.float32(127.0 / a)}
+
     q = {}
     for i, rp in enumerate(p["res"]):
         for ab, ck in (("a", "conv1"), ("b", "conv2")):
             site = f"r{i}{ab}"
-            if site not in act_scales:
-                continue
-            w = np.asarray(rp[ck]["w"], np.float32)
-            ws = np.maximum(np.max(np.abs(w), axis=(0, 1, 2)) / 127.0, 1e-12)
-            wq = np.clip(np.round(w / ws), -127, 127).astype(np.int8)
-            a = max(float(act_scales[site]), 1e-6)
-            q[site] = {"w": jnp.asarray(wq),
-                       "ws": jnp.asarray(ws * (a / 127.0), jnp.float32),
-                       "qin": jnp.float32(127.0 / a)}
+            if site in act_scales:
+                q[site] = qsite(np.asarray(rp[ck]["w"], np.float32),
+                                act_scales[site])
+    for site, wk in (("d1", "d1_w"), ("d2", "d2_w")):
+        if site in act_scales:
+            q[site] = qsite(np.asarray(p[wk], np.float32), act_scales[site])
     return q
 
 
@@ -356,16 +446,31 @@ def apply(params: dict, x: jnp.ndarray, *, tap=None, quant=None,
             else:
                 y = jax.nn.relu(y)
 
-    y = _pad_edge_blocks(y)
-    y = conv2d(y, p["d1_w"], p["d1_b"])               # [B, H/4, W/4, 384]
-    m, inv = _stats(y, 4, 96, frn)
-    y = d2s(y, 2, 96)                                 # [B, H/2, W/2, 96]
-    y = _apply(y, m, inv, p["nd1"], 1, frn)
+    use_dec_i8 = use_dec_xla = False
+    if quant is not None and "d1" in quant and "d2" in quant:
+        if "dec_i8" in fused_sites:
+            from . import s2d2_sites_i8 as si8
+            use_dec_i8 = (si8.res_supported(y.shape[1], y.shape[2])
+                          and si8.res_supported(2 * y.shape[1],
+                                                2 * y.shape[2]))
+        use_dec_xla = not use_dec_i8 and "dec_xla_i8" in fused_sites
+    if use_dec_i8:
+        y = _dec_i8(y, p, quant, frn)
+    elif use_dec_xla:
+        y = _dec_quant_xla(y, p, quant, frn)
+    else:
+        tap("d1", y)
+        y = _pad_edge_blocks(y)
+        y = conv2d(y, p["d1_w"], p["d1_b"])           # [B, H/4, W/4, 384]
+        m, inv = _stats(y, 4, 96, frn)
+        y = d2s(y, 2, 96)                             # [B, H/2, W/2, 96]
+        y = _apply(y, m, inv, p["nd1"], 1, frn)
 
-    y = _pad_edge_blocks(y)
-    y = conv2d(y, p["d2_w"], p["d2_b"])               # [B, H/2, W/2, 192]
-    m, inv = _stats(y, 4, 48, frn)
-    y = _apply(y, m, inv, p["nd2"], 4, frn)
+        tap("d2", y)
+        y = _pad_edge_blocks(y)
+        y = conv2d(y, p["d2_w"], p["d2_b"])           # [B, H/2, W/2, 192]
+        m, inv = _stats(y, 4, 48, frn)
+        y = _apply(y, m, inv, p["nd2"], 4, frn)
 
     if hb >= 8 and (w // 2) >= 8:
         def _d3_strip(sl):

@@ -423,8 +423,8 @@ def test_reconet_int8_res_chain_parity(frn):
     rng = np.random.default_rng(17)
     x = jnp.asarray(rng.random((2, 32, 64, 3)) * 2 - 1, jnp.float32)
     scales = recf.calibrate_act_scales(p, x)
-    assert sorted(scales) == sorted(f"r{i}{ab}" for i in range(4)
-                                    for ab in "ab")
+    assert sorted(scales) == sorted([f"r{i}{ab}" for i in range(4)
+                                     for ab in "ab"] + ["d1", "d2"])
     quant = recf.quantize_net(p, scales)
 
     pb = jax.tree.map(
@@ -616,3 +616,34 @@ def test_nst_dec_i8_parity(wshape):
     ref_mag = np.abs(np.asarray(y_xla, np.float32)).mean()
     d = np.abs(np.asarray(y_xla, np.float32) - np.asarray(y_pal, np.float32))
     assert d.mean() < 0.01 * max(ref_mag, 0.1), (d.mean(), ref_mag)
+
+
+@pytest.mark.parametrize("frn", [False, True])
+def test_reconet_dec_i8_parity(frn):
+    """The ReCoNet fused int8 deconv1/2 sites (edge-block halos ==
+    res_site halo="edge", deferred IN/FRN stats from the epilogues, TLU in
+    the d2 quantize floor) match the XLA int8 dec reference."""
+    from neuralstyletransferv1_tpu.models import reconet
+    from neuralstyletransferv1_tpu.models import reconet_fast as recf
+    from neuralstyletransferv1_tpu.models import s2d2_sites_i8
+
+    p = recf.from_reconet_params(reconet.init(jax.random.key(8), frn=frn))
+    rng = np.random.default_rng(31)
+    x = jnp.asarray(rng.random((2, 32, 64, 3)) * 2 - 1, jnp.float32)
+    scales = recf.calibrate_act_scales(p, x)
+    quant = recf.quantize_net(p, scales)
+    assert "d1" in quant and "d2" in quant
+
+    pb = jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16)
+        if hasattr(a, "astype") and a.dtype == jnp.float32 else a, p)
+    xb = x.astype(jnp.bfloat16)
+    y_xla = recf.apply(pb, xb, quant=quant, fused_sites=("dec_xla_i8",))
+    s2d2_sites_i8._INTERPRET = True
+    try:
+        y_pal = recf.apply(pb, xb, quant=quant, fused_sites=("dec_i8",))
+    finally:
+        s2d2_sites_i8._INTERPRET = False
+    assert y_pal.shape == y_xla.shape
+    d = np.abs(np.asarray(y_xla, np.float32) - np.asarray(y_pal, np.float32))
+    assert d.mean() < 5e-3, (d.mean(), d.max())
