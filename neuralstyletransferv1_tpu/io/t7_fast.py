@@ -536,7 +536,7 @@ def quantize_t7(p: dict, act_scales: dict) -> dict:
             if site in act_scales:
                 q[site] = qsite(np.asarray(rp[wk], np.float32),
                                 act_scales[site])
-    for site, wk in (("d1", "d1_w"), ("d2", "d2_w")):
+    for site, wk in (("c2", "c2_w"), ("d1", "d1_w"), ("d2", "d2_w")):
         if site in act_scales:
             q[site] = qsite(np.asarray(p[wk], np.float32), act_scales[site])
     return q
@@ -573,9 +573,37 @@ def t7_fast_apply(p: dict, x, *, tap=None, quant=None, fused_sites=()):
 
     y = s2d(x, 2)
     y = na(conv2d(y, p["c1_w"], p["c1_b"], padding=2), p["n1"], 4, c0)
-    y = na(conv2d(y, p["c2_w"], p["c2_b"],
-                  padding=((1, 0), (1, 0))),            # left/top zero halo
-           p["n2"], 1, 2 * c0)
+    use_c2_i8 = False
+    if quant is not None and "c2" in quant and "c2_i8" in fused_sites:
+        from ..models import s2d2_sites_i8 as si8
+        use_c2_i8 = si8.res_supported(y.shape[1], y.shape[2])
+    if use_c2_i8:
+        # the stride-2 scatter form is a 2x2 block conv with (1, 0) zero
+        # pads — KH=KW=2, PT=PL=1 on the zero-halo site (the left halo
+        # column / zeroed head strip ARE the pads; tail/right unused)
+        from ..models import s2d2_sites_i8 as si8
+        q2 = quant["c2"]
+        B2, _, _, Cin = y.shape
+        aq = jnp.full((B2, Cin), float(q2["qin"]), jnp.float32)
+        cq = jnp.zeros((B2, Cin), jnp.float32)
+        r, sout = si8.res_site(y, aq, cq, q2["w"].reshape(4, Cin, -1),
+                               q2["ws"], p["c2_b"].astype(jnp.float32),
+                               -127.0, halo="zero", kh=2, kw=2, pt=1, pl_=1)
+        if p["n2"] is None:
+            y = relu(r.astype(jnp.float32)).astype(y.dtype)
+        else:
+            m2, inv2 = si8._stats(sout, float(y.shape[1] * y.shape[2]),
+                                  eps=p["n2"]["eps"])
+            sc = p["n2"]["scale"].astype(jnp.float32)
+            bi = p["n2"]["bias"].astype(jnp.float32)
+            y = relu(r.astype(jnp.float32) * (inv2 * sc)[:, None, None, :]
+                     + (bi[None] - m2 * inv2 * sc)[:, None, None, :]) \
+                .astype(y.dtype)
+    else:
+        tap("c2", y)
+        y = na(conv2d(y, p["c2_w"], p["c2_b"],
+                      padding=((1, 0), (1, 0))),        # left/top zero halo
+               p["n2"], 1, 2 * c0)
     y = na(conv2d(y, p["c3_w"], p["c3_b"], stride=2, padding=1),
            p["n3"], 1, 4 * c0)
 

@@ -246,7 +246,7 @@ def test_t7_int8_res_chain_parity(norm):
     x = jnp.asarray(rng.normal(0, 50, (2, 32, 64, 3)).astype(np.float32))
     scales = t7_fast.calibrate_t7_scales(fp, x)
     assert sorted(scales) == sorted([f"r{i}{ab}" for i in range(3)
-                                     for ab in "ab"] + ["d1", "d2"])
+                                     for ab in "ab"] + ["c2", "d1", "d2"])
     quant = t7_fast.quantize_t7(fp, scales)
     assert s2d2_sites_i8.res_supported(8, 16)
 
@@ -647,3 +647,63 @@ def test_reconet_dec_i8_parity(frn):
     assert y_pal.shape == y_xla.shape
     d = np.abs(np.asarray(y_xla, np.float32) - np.asarray(y_pal, np.float32))
     assert d.mean() < 5e-3, (d.mean(), d.max())
+
+
+@pytest.mark.parametrize("norm", ["bn", "in"])
+def test_t7_c2_i8_parity(norm):
+    """The .t7 c2 site: the stride-2 scatter (2x2 block conv, (1,0) zero
+    pads) as a KH=KW=2/PT=PL=1 zero-halo int8 site matches an XLA int8
+    c2 built the same way."""
+    from tests.test_t7_fast import _johnson_layers, _in
+    from neuralstyletransferv1_tpu.io import t7_fast
+    from neuralstyletransferv1_tpu.models import s2d2_sites_i8
+    from neuralstyletransferv1_tpu.ops.conv import conv2d_i8
+
+    layers = _johnson_layers()
+    if norm == "in":
+        layers = [(_in(l["weight"].shape[0]) if l["op"] == "batchnorm" else l)
+                  for l in layers]
+        for l in layers:
+            if l["op"] == "concat_table":
+                l["branches"][0][:] = [
+                    (_in(b["weight"].shape[0]) if b["op"] == "batchnorm"
+                     else b) for b in l["branches"][0]]
+    fp = t7_fast.try_fast_johnson(layers)
+    rng = np.random.default_rng(37)
+    x = jnp.asarray(rng.normal(0, 50, (2, 32, 64, 3)).astype(np.float32))
+    scales = t7_fast.calibrate_t7_scales(fp, x)
+    assert "c2" in scales
+    quant = t7_fast.quantize_t7(fp, scales)
+
+    fpb = jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16)
+        if hasattr(a, "astype") and a.dtype == jnp.float32 else a, fp)
+    xb = x.astype(jnp.bfloat16)
+
+    # reproduce the c2 input, then compare the site against XLA int8
+    vals = {}
+    t7_fast.t7_fast_apply(fpb, xb, tap=lambda s, t: vals.__setitem__(s, t))
+    y1 = vals["c2"]
+    q2 = quant["c2"]
+    xq = jnp.clip(jnp.round(y1.astype(jnp.float32) * q2["qin"]),
+                  -127.0, 127.0).astype(jnp.int8)
+    r_ref = (conv2d_i8(xq, q2["w"], padding=((1, 0), (1, 0)))
+             .astype(jnp.float32) * q2["ws"]
+             + fpb["c2_b"].astype(jnp.float32)).astype(jnp.bfloat16)
+    B, _, _, Cin = y1.shape
+    aq = jnp.full((B, Cin), float(q2["qin"]), jnp.float32)
+    cq = jnp.zeros((B, Cin), jnp.float32)
+    s2d2_sites_i8._INTERPRET = True
+    try:
+        r_pal, _ = s2d2_sites_i8.res_site(
+            y1, aq, cq, q2["w"].reshape(4, Cin, -1), q2["ws"],
+            fpb["c2_b"].astype(jnp.float32), -127.0, halo="zero",
+            kh=2, kw=2, pt=1, pl_=1)
+        # and end-to-end through the dispatch
+        y_full = t7_fast.t7_fast_apply(fpb, xb, quant=quant,
+                                       fused_sites=("c2_i8",))
+    finally:
+        s2d2_sites_i8._INTERPRET = False
+    d = np.abs(np.asarray(r_ref, np.float32) - np.asarray(r_pal, np.float32))
+    assert d.max() == 0.0, (d.mean(), d.max())
+    assert y_full.shape == xb.shape
