@@ -77,9 +77,14 @@ def main():
                                    fused_sites=("res_i8", "dec_i8")),
                         0.0, 1.0)
 
+    def step_pal_all(x):
+        return jnp.clip(
+            nstf.apply(pb, x, quant=quant,
+                       fused_sites=("res_i8", "dec_i8", "c2_i8")), 0.0, 1.0)
+
     y0 = np.asarray(jax.jit(step_bf16)(xc.astype(jnp.bfloat16)), np.float32)
     for name, fn in (("xla-i8", step_xla_i8), ("pal-i8", step_pal_i8),
-                     ("pal+dec", step_pal_dec)):
+                     ("pal+dec", step_pal_dec), ("pal+all", step_pal_all)):
         y = np.asarray(jax.jit(fn)(xc.astype(jnp.bfloat16)), np.float32)
         d = np.abs(y0 - y)
         print(f"quality {name}: MAE {d.mean():.5f} max {d.max():.4f}",
@@ -91,7 +96,8 @@ def main():
         batches = (16, 48)
     for B in batches:
         for name, fn in (("bf16  ", step_bf16), ("xla-i8", step_xla_i8),
-                         ("pal-i8", step_pal_i8), ("pal+dec", step_pal_dec)):
+                         ("pal-i8", step_pal_i8), ("pal+dec", step_pal_dec),
+                         ("pal+all", step_pal_all)):
             t = timed_step(fn, B)
             print(f"[{name} B{B}] {t*1e3:.1f} ms/batch  {B/t:.1f} fps",
                   flush=True)

@@ -272,7 +272,7 @@ def quantize_net(p: dict, act_scales: dict) -> dict:
             if site in act_scales:
                 q[site] = qsite(np.asarray(rp[ck]["w"], np.float32),
                                 act_scales[site])
-    for site, wk in (("d1", "d1_w"), ("d2", "d2_w")):
+    for site, wk in (("c2", "c2_w"), ("d1", "d1_w"), ("d2", "d2_w")):
         if site in act_scales:
             q[site] = qsite(np.asarray(p[wk], np.float32), act_scales[site])
     return q
@@ -298,9 +298,34 @@ def apply(params: dict, x: jnp.ndarray, *, tap=None, quant=None,
     m, inv = _in_stats(y, 4, 32)
     y = _apply_in_relu(y, m, inv, p["in1"]["scale"], p["in1"]["bias"], 4)
 
-    y = conv2d(y, p["c2_w"], p["c2_b"], padding=((1, 0), (1, 0)))
-    m, inv = _in_stats(y, 1, 64)
-    y = _apply_in_relu(y, m, inv, p["in2"]["scale"], p["in2"]["bias"], 1)
+    use_c2_i8 = False
+    if quant is not None and "c2" in quant and "c2_i8" in fused_sites:
+        from . import s2d2_sites_i8 as si8
+        use_c2_i8 = si8.res_supported(y.shape[1], y.shape[2])
+    if use_c2_i8:
+        # stride-2 scatter form = 2x2 block conv with (1, 0) zero pads:
+        # KH=KW=2/PT=PL=1 on the zero-halo site (left halo column and
+        # zeroed head strip ARE the pads); the deferred in2 stats ride
+        # the epilogue. Gated to %8 widths (1080p's pad-40 grid is 1000).
+        from . import s2d2_sites_i8 as si8
+        q2 = quant["c2"]
+        B2, Hc, Wc, Cin = y.shape
+        aq = jnp.full((B2, Cin), float(q2["qin"]), jnp.float32)
+        cq = jnp.zeros((B2, Cin), jnp.float32)
+        r, sout = si8.res_site(y, aq, cq, q2["w"].reshape(4, Cin, -1),
+                               q2["ws"], p["c2_b"].astype(jnp.float32),
+                               -127.0, halo="zero", kh=2, kw=2, pt=1, pl_=1)
+        m, inv = si8._stats(sout, float(Hc * Wc))
+        sc = p["in2"]["scale"].astype(jnp.float32)
+        bi = p["in2"]["bias"].astype(jnp.float32)
+        y = jax.nn.relu(
+            r.astype(jnp.float32) * (inv * sc)[:, None, None, :]
+            + (bi[None] - m * inv * sc)[:, None, None, :]).astype(y.dtype)
+    else:
+        tap("c2", y)
+        y = conv2d(y, p["c2_w"], p["c2_b"], padding=((1, 0), (1, 0)))
+        m, inv = _in_stats(y, 1, 64)
+        y = _apply_in_relu(y, m, inv, p["in2"]["scale"], p["in2"]["bias"], 1)
 
     y = conv2d(y, p["c3_w"], p["c3_b"], stride=2, padding=1)
     m, inv = _in_stats(y, 1, 128)

@@ -366,7 +366,7 @@ def test_nst_int8_res_chain_parity(wshape):
     x = jnp.asarray(rng.random((2, 24, wshape, 3)), jnp.float32)
     scales = nstf.calibrate_act_scales(p, x)
     assert sorted(scales) == sorted([f"r{i}{ab}" for i in range(1, 6)
-                                     for ab in "ab"] + ["d1", "d2"])
+                                     for ab in "ab"] + ["c2", "d1", "d2"])
     quant = nstf.quantize_net(p, scales)
 
     pb = jax.tree.map(
@@ -702,6 +702,52 @@ def test_t7_c2_i8_parity(norm):
         # and end-to-end through the dispatch
         y_full = t7_fast.t7_fast_apply(fpb, xb, quant=quant,
                                        fused_sites=("c2_i8",))
+    finally:
+        s2d2_sites_i8._INTERPRET = False
+    d = np.abs(np.asarray(r_ref, np.float32) - np.asarray(r_pal, np.float32))
+    assert d.max() == 0.0, (d.mean(), d.max())
+    assert y_full.shape == xb.shape
+
+
+def test_nst_c2_i8_parity():
+    """The NST c2 site (same 2x2/PT=1 zero-pad stride-2 scatter form as
+    t7's) is bit-exact vs XLA int8, and the full apply with
+    fused_sites=("c2_i8",) runs end-to-end."""
+    from neuralstyletransferv1_tpu.models import s2d2_sites_i8
+    from neuralstyletransferv1_tpu.models import transformer_net_nst
+    from neuralstyletransferv1_tpu.models import transformer_net_nst_fast as nstf
+    from neuralstyletransferv1_tpu.ops.conv import conv2d_i8
+
+    p = nstf.from_nst_params(transformer_net_nst.init(jax.random.key(9)))
+    rng = np.random.default_rng(41)
+    x = jnp.asarray(rng.random((2, 24, 48, 3)), jnp.float32)
+    scales = nstf.calibrate_act_scales(p, x)
+    quant = nstf.quantize_net(p, scales)
+    assert "c2" in quant
+
+    pb = jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16)
+        if hasattr(a, "astype") and a.dtype == jnp.float32 else a, p)
+    xb = x.astype(jnp.bfloat16)
+    vals = {}
+    nstf.apply(pb, xb, tap=lambda s, t: vals.__setitem__(s, t))
+    y1 = vals["c2"]
+    q2 = quant["c2"]
+    xq = jnp.clip(jnp.round(y1.astype(jnp.float32) * q2["qin"]),
+                  -127.0, 127.0).astype(jnp.int8)
+    r_ref = (conv2d_i8(xq, q2["w"], padding=((1, 0), (1, 0)))
+             .astype(jnp.float32) * q2["ws"]
+             + pb["c2_b"].astype(jnp.float32)).astype(jnp.bfloat16)
+    B, _, _, Cin = y1.shape
+    aq = jnp.full((B, Cin), float(q2["qin"]), jnp.float32)
+    cq = jnp.zeros((B, Cin), jnp.float32)
+    s2d2_sites_i8._INTERPRET = True
+    try:
+        r_pal, _ = s2d2_sites_i8.res_site(
+            y1, aq, cq, q2["w"].reshape(4, Cin, -1), q2["ws"],
+            pb["c2_b"].astype(jnp.float32), -127.0, halo="zero",
+            kh=2, kw=2, pt=1, pl_=1)
+        y_full = nstf.apply(pb, xb, quant=quant, fused_sites=("c2_i8",))
     finally:
         s2d2_sites_i8._INTERPRET = False
     d = np.abs(np.asarray(r_ref, np.float32) - np.asarray(r_pal, np.float32))
