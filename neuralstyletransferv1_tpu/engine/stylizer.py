@@ -37,6 +37,13 @@ ARCH_APPLY = {
 _I8_FUSED_SITES = ("res_i8", "dec_i8")
 _I8_QUANT_KEEP = {"d1", "d2"}  # + every r{i}{a,b}; c2/c3 iff head_i8 lands
 
+# Per-backend fused sets for the other fast paths. Each has parity-tested
+# "dec_i8" (+ "c2_i8" for t7/NST) variants pending their in-net TPU A/Bs
+# (experiments/mk32/mk33/mk34 + run_tpu_queue.sh) — flip here on a win.
+_I8_FUSED_T7 = ("res_i8",)
+_I8_FUSED_NST = ("res_i8",)
+_I8_FUSED_RECO = ("res_i8",)
+
 
 @dataclass
 class StyleModel:
@@ -244,7 +251,7 @@ def jit_stylizer(model: StyleModel, *, dtype=jnp.float32, optimize: bool = True,
 
             fused = ()
             if quant is not None and jax.default_backend() == "tpu":
-                fused = ("res_i8",)
+                fused = _I8_FUSED_T7
             xin = iop.preprocess(m.io_preset, x)
             return iop.postprocess(
                 m.io_preset,
@@ -255,7 +262,7 @@ def jit_stylizer(model: StyleModel, *, dtype=jnp.float32, optimize: bool = True,
 
             fused = ()
             if quant is not None and jax.default_backend() == "tpu":
-                fused = ("res_i8",)
+                fused = _I8_FUSED_NST
             xin = iop.preprocess(m.io_preset, x)
             return iop.postprocess(
                 m.io_preset,
@@ -265,7 +272,7 @@ def jit_stylizer(model: StyleModel, *, dtype=jnp.float32, optimize: bool = True,
 
         fused = ()
         if quant is not None and jax.default_backend() == "tpu":
-            fused = ("res_i8",)
+            fused = _I8_FUSED_RECO
         xin = iop.preprocess(m.io_preset, x)
         return iop.postprocess(
             m.io_preset,
