@@ -12,36 +12,12 @@ import jax
 import jax.numpy as jnp
 
 sys.path.insert(0, "/root/repo")
+from experiments._bench import timed_step
 from neuralstyletransferv1_tpu import config
 from neuralstyletransferv1_tpu.models import transformer_net
 from neuralstyletransferv1_tpu.models import transformer_net_s2d2 as s2d2
 
 H, W = 1080, 1920
-
-
-def timed_step(step, batch, chain=8, repeats=2):
-    g = jax.jit(lambda x: jnp.sum(
-        jax.lax.fori_loop(0, chain, lambda i, y: step(y).astype(y.dtype), x)
-        .astype(jnp.float32)))
-    x = jax.random.uniform(jax.random.key(0), (batch, H, W, 3), jnp.bfloat16)
-    float(g(x))
-    best = float("inf")
-    for r in range(repeats):
-        x2 = jax.random.uniform(jax.random.key(100 + r), (batch, H, W, 3),
-                                jnp.bfloat16)
-        float(jnp.sum(x2.astype(jnp.float32)))
-        t0 = time.perf_counter()
-        float(g(x2))
-        best = min(best, time.perf_counter() - t0)
-    d1 = best
-    g1 = jax.jit(lambda x: jnp.sum(step(x).astype(jnp.float32)))
-    float(g1(x))
-    x2 = jax.random.uniform(jax.random.key(999), (batch, H, W, 3), jnp.bfloat16)
-    float(jnp.sum(x2.astype(jnp.float32)))
-    t0 = time.perf_counter()
-    float(g1(x2))
-    done = time.perf_counter() - t0
-    return (d1 - done) / (chain - 1)
 
 
 def main():
@@ -66,7 +42,12 @@ def main():
     # catastrophe) — step_pallas3 gets the superset dict, everything else
     # the XLA-safe one.
     quant3 = s2d2.quantize_net(bp32, scales)
-    quant = {k: v for k, v in quant3.items() if k != "d3"}
+    quant_head = {k: v for k, v in quant3.items() if k != "d3"}
+    # the baseline (non-head) steps must NOT carry c2/c3: without the
+    # head_i8 kernels those sites fall back to XLA-int8 — the documented
+    # measured loss — which would contaminate the pal+dec baseline row of
+    # the head adoption A/B.
+    quant = {k: v for k, v in quant_head.items() if k not in ("c2", "c3")}
     print(f"sites: {sorted(quant3)}", flush=True)
 
     def step_bf16(x):
@@ -84,14 +65,16 @@ def main():
                                    fused_sites=("res_i8", "dec_i8")),
                         0.0, 1.0)
 
+    quant_d3 = {k: v for k, v in quant3.items() if k not in ("c2", "c3")}
+
     def step_pallas3(x):
-        return jnp.clip(s2d2.apply(bp, x, quant=quant3,
+        return jnp.clip(s2d2.apply(bp, x, quant=quant_d3,
                                    fused_sites=("res_i8", "dec_i8", "d3_i8")),
                         0.0, 1.0)
 
     def step_pallas4(x):
         return jnp.clip(
-            s2d2.apply(bp, x, quant=quant,
+            s2d2.apply(bp, x, quant=quant_head,
                        fused_sites=("res_i8", "dec_i8", "head_i8")),
             0.0, 1.0)
 
@@ -130,25 +113,25 @@ def main():
     else:
         batches = (16,) if _os.environ.get("ONLY_SITES") else (16, 48)
     for B in batches:
-        tb = timed_step(step_bf16, B)
+        tb = timed_step(step_bf16, B, H, W)
         print(f"[bf16      B{B}] {tb*1e3:.1f} ms/batch  {B/tb:.1f} fps",
               flush=True)
-        ti = timed_step(step_int8, B)
+        ti = timed_step(step_int8, B, H, W)
         print(f"[int8-xla  B{B}] {ti*1e3:.1f} ms/batch  {B/ti:.1f} fps",
               flush=True)
-        tp = timed_step(step_pallas, B)
+        tp = timed_step(step_pallas, B, H, W)
         print(f"[int8-pal  B{B}] {tp*1e3:.1f} ms/batch  {B/tp:.1f} fps",
               flush=True)
         if "d1" in quant and "d2" in quant:
-            tq = timed_step(step_pallas2, B)
+            tq = timed_step(step_pallas2, B, H, W)
             print(f"[i8-pal+dec B{B}] {tq*1e3:.1f} ms/batch  {B/tq:.1f} fps",
                   flush=True)
         if "d3" in quant3:
-            tr = timed_step(step_pallas3, B)
+            tr = timed_step(step_pallas3, B, H, W)
             print(f"[i8-pal+d3  B{B}] {tr*1e3:.1f} ms/batch  {B/tr:.1f} fps",
                   flush=True)
         if "c2" in quant and "c3" in quant:
-            th = timed_step(step_pallas4, B)
+            th = timed_step(step_pallas4, B, H, W)
             print(f"[i8-pal+head B{B}] {th*1e3:.1f} ms/batch {B/th:.1f} fps",
                   flush=True)
 

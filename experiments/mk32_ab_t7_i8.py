@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 
 sys.path.insert(0, "/root/repo")
+from experiments._bench import timed_step
 from neuralstyletransferv1_tpu import config
 from neuralstyletransferv1_tpu.io import t7_fast
 
@@ -70,32 +71,6 @@ def _layers(C=32, nres=5, norm="bn"):
            _convT(2 * C, C, 3, 1, 1), nm(C), {"op": "relu"},
            _conv(C, 3, 9, 1, 4), {"op": "tanh"}, {"op": "mul", "c": 150.0}]
     return ls
-
-
-def timed_step(step, batch, chain=8, repeats=2):
-    g = jax.jit(lambda x: jnp.sum(
-        jax.lax.fori_loop(0, chain, lambda i, y: step(y).astype(y.dtype), x)
-        .astype(jnp.float32)))
-    x = jax.random.uniform(jax.random.key(0), (batch, H, W, 3), jnp.bfloat16)
-    float(g(x))
-    best = float("inf")
-    for r in range(repeats):
-        x2 = jax.random.uniform(jax.random.key(100 + r), (batch, H, W, 3),
-                                jnp.bfloat16)
-        float(jnp.sum(x2.astype(jnp.float32)))
-        t0 = time.perf_counter()
-        float(g(x2))
-        best = min(best, time.perf_counter() - t0)
-    d1 = best
-    g1 = jax.jit(lambda x: jnp.sum(step(x).astype(jnp.float32)))
-    float(g1(x))
-    x2 = jax.random.uniform(jax.random.key(999), (batch, H, W, 3),
-                            jnp.bfloat16)
-    float(jnp.sum(x2.astype(jnp.float32)))
-    t0 = time.perf_counter()
-    float(g1(x2))
-    done = time.perf_counter() - t0
-    return (d1 - done) / (chain - 1)
 
 
 def main():
@@ -161,7 +136,7 @@ def main():
         batches = (16, 48)
     for B in batches:
         for name, fn in [("bf16  ", step_bf16)] + variants:
-            t = timed_step(fn, B)
+            t = timed_step(fn, B, H, W)
             print(f"[{name} B{B}] {t*1e3:.1f} ms/batch  {B/t:.1f} fps",
                   flush=True)
 

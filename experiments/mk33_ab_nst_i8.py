@@ -14,37 +14,12 @@ import jax.numpy as jnp
 import numpy as np
 
 sys.path.insert(0, "/root/repo")
+from experiments._bench import timed_step
 from neuralstyletransferv1_tpu import config
 from neuralstyletransferv1_tpu.models import transformer_net_nst
 from neuralstyletransferv1_tpu.models import transformer_net_nst_fast as nstf
 
 H, W = 1080, 1920
-
-
-def timed_step(step, batch, chain=8, repeats=2):
-    g = jax.jit(lambda x: jnp.sum(
-        jax.lax.fori_loop(0, chain, lambda i, y: step(y).astype(y.dtype), x)
-        .astype(jnp.float32)))
-    x = jax.random.uniform(jax.random.key(0), (batch, H, W, 3), jnp.bfloat16)
-    float(g(x))
-    best = float("inf")
-    for r in range(repeats):
-        x2 = jax.random.uniform(jax.random.key(100 + r), (batch, H, W, 3),
-                                jnp.bfloat16)
-        float(jnp.sum(x2.astype(jnp.float32)))
-        t0 = time.perf_counter()
-        float(g(x2))
-        best = min(best, time.perf_counter() - t0)
-    d1 = best
-    g1 = jax.jit(lambda x: jnp.sum(step(x).astype(jnp.float32)))
-    float(g1(x))
-    x2 = jax.random.uniform(jax.random.key(999), (batch, H, W, 3),
-                            jnp.bfloat16)
-    float(jnp.sum(x2.astype(jnp.float32)))
-    t0 = time.perf_counter()
-    float(g1(x2))
-    done = time.perf_counter() - t0
-    return (d1 - done) / (chain - 1)
 
 
 def main():
@@ -98,7 +73,7 @@ def main():
         for name, fn in (("bf16  ", step_bf16), ("xla-i8", step_xla_i8),
                          ("pal-i8", step_pal_i8), ("pal+dec", step_pal_dec),
                          ("pal+all", step_pal_all)):
-            t = timed_step(fn, B)
+            t = timed_step(fn, B, H, W)
             print(f"[{name} B{B}] {t*1e3:.1f} ms/batch  {B/t:.1f} fps",
                   flush=True)
 

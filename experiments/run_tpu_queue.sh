@@ -19,8 +19,9 @@ run() { # name timeout cmd...
 run mk24_head 1500 ONLY_SITES="res,c2,c3,d1,d2" BATCHES=16 \
     python -u experiments/mk24_ab_int8.py
 
-# 2. pair-d2 off (K=64 d2s form) — compare i8-pal+dec rows vs mk24_head's
-run mk24_paird2_off 1200 PAIR_D2=0 ONLY_SITES="res,d1,d2" BATCHES=16 \
+# 2. pair-d2 ON (K=128 column-pair form) vs the default K=64 d2s form —
+#    compare the i8-pal+dec rows of this run and run 1
+run mk24_paird2_on 1200 PAIR_D2=1 ONLY_SITES="res,d1,d2" BATCHES=16 \
     python -u experiments/mk24_ab_int8.py
 
 # 3. t7 int8 (BN-folded — the eccv16 shape; fastest backend, 163 bf16)

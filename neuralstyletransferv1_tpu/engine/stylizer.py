@@ -303,37 +303,60 @@ def jit_stylizer(model: StyleModel, *, dtype=jnp.float32, optimize: bool = True,
         return fn
 
     if quantize == "int8":
+        # One lazy-first-batch PTQ wrapper for every fast backend: a jitted
+        # f32 forward taps the per-site activation maxima on the first
+        # batch, then the int8 graph (Pallas fused sites on TPU, XLA int8
+        # on CPU) compiles with static scales. Each entry is
+        # (params32, needs_preprocess, calibrate_fn, quantize_fn,
+        #  site_filter).
         fastq = None
-        if t7_fast_params is not None:
+        if s2d_params is not None:
+            from ..models import transformer_net_s2d2 as tns2d
+
+            def _s2d2_filter(scales, xc):
+                # Quantize only the sites that ride Pallas fused kernels
+                # (res chain + deconv1/2): XLA-int8 pays a standalone HBM
+                # quantize pass per site — a measured LOSS (PERF.md int8
+                # section) — so anything without an adopted kernel stays
+                # bf16 (conv1, c2, c3, d3).
+                keep = set(_I8_QUANT_KEEP)
+                if "head_i8" in _I8_FUSED_SITES:
+                    from ..models import s2d2_sites_i8 as _si8
+                    if _si8.head_supported(xc.shape[1] // 2,
+                                           xc.shape[2] // 2):
+                        keep |= {"c2", "c3"}
+                return {k: v for k, v in scales.items()
+                        if k.startswith("r") or k in keep}
+
+            fastq = (s2d_params32, False,
+                     partial(tns2d.calibrate_act_scales,
+                             sites=tns2d.QUANT_SITES_PALLAS),
+                     tns2d.quantize_net, _s2d2_filter)
+        elif t7_fast_params is not None:
             from ..io import t7_fast as t7f
 
-            fastq = (t7_fast_params32, t7f.calibrate_t7_scales,
-                     t7f.quantize_t7)
+            fastq = (t7_fast_params32, True, t7f.calibrate_t7_scales,
+                     t7f.quantize_t7, None)
         elif nst_fast_params is not None:
             from ..models import transformer_net_nst_fast as nstf
 
-            fastq = (nst_fast_params32, nstf.calibrate_act_scales,
-                     nstf.quantize_net)
+            fastq = (nst_fast_params32, True, nstf.calibrate_act_scales,
+                     nstf.quantize_net, None)
         elif reco_fast_params is not None:
             from ..models import reconet_fast as recf
 
-            fastq = (reco_fast_params32, recf.calibrate_act_scales,
-                     recf.quantize_net)
-        if s2d_params is None and fastq is None:
+            fastq = (reco_fast_params32, True, recf.calibrate_act_scales,
+                     recf.quantize_net, None)
+        if fastq is None:
             print(f"[stylizer][WARN] --quantize int8 needs a supported "
                   f"fast path (Johnson s2d2 / .t7 / NST / ReCoNet); "
                   f"{model.name} ({model.arch}) stays "
                   f"{'bf16' if dtype != jnp.float32 else 'f32'}.")
-        elif fastq is not None:
-            p32, calibrate_fn, quantize_fn = fastq
-
-            # Same lazy-first-batch PTQ structure as the s2d2 branch below:
-            # one jitted f32 forward taps the per-res-site maxima, then the
-            # int8 graph (Pallas fused res sites on TPU, XLA int8 on CPU)
-            # compiles with static scales.
+        else:
+            p32, pre, calibrate_fn, quantize_fn, site_filter = fastq
             state: dict = {}
 
-            def call_fast(x01):
+            def call_quant(x01):
                 if "fn" not in state:
                     xc = x01[:1].astype(jnp.float32)
                     H, W = xc.shape[1], xc.shape[2]
@@ -341,55 +364,17 @@ def jit_stylizer(model: StyleModel, *, dtype=jnp.float32, optimize: bool = True,
                     if ph or pw:
                         xc = jnp.pad(xc, ((0, 0), (0, ph), (0, pw), (0, 0)),
                                      mode="reflect")
-                    xin = iop.preprocess(m.io_preset, xc)
+                    xin = iop.preprocess(m.io_preset, xc) if pre else xc
                     scales = calibrate_fn(p32, xin)
+                    if site_filter is not None:
+                        scales = site_filter(scales, xc)
                     quant = quantize_fn(p32, scales)
                     state["fn"] = _jit_batch(make_fn(quant), mesh)
                     print(f"[stylizer] int8 {model.arch} path calibrated "
                           f"for {model.name} ({len(quant)} sites)")
                 return state["fn"](x01)
 
-            return call_fast
-        else:
-            from ..models import transformer_net_s2d2 as tns2d
-
-            # Lazy first-batch calibration: one jitted f32 forward taps the
-            # per-site activation maxima, then the int8 graph compiles with
-            # static scales (PTQ structure per experiments/mk22: quantize
-            # rides the apply pass, per-channel dequant rides the conv's
-            # output fusion, conv1 stays bf16).
-            state: dict = {}
-
-            def call(x01):
-                if "fn" not in state:
-                    xc = x01[:1].astype(jnp.float32)
-                    H, W = xc.shape[1], xc.shape[2]
-                    ph, pw = (-H) % 4, (-W) % 4
-                    if ph or pw:
-                        xc = jnp.pad(xc, ((0, 0), (0, ph), (0, pw), (0, 0)),
-                                     mode="reflect")
-                    scales = tns2d.calibrate_act_scales(
-                        s2d_params32, xc, sites=tns2d.QUANT_SITES_PALLAS)
-                    # Quantize only the sites that ride Pallas fused kernels
-                    # (res chain + deconv1/2): XLA-int8 pays a standalone
-                    # HBM quantize pass per site — a measured LOSS (PERF.md
-                    # int8 section) — so anything without an adopted kernel
-                    # stays bf16 (conv1, c2, c3, d3).
-                    keep = set(_I8_QUANT_KEEP)
-                    if "head_i8" in _I8_FUSED_SITES:
-                        from ..models import s2d2_sites_i8 as _si8
-                        if _si8.head_supported(xc.shape[1] // 2,
-                                               xc.shape[2] // 2):
-                            keep |= {"c2", "c3"}
-                    scales = {k: v for k, v in scales.items()
-                              if k.startswith("r") or k in keep}
-                    quant = tns2d.quantize_net(s2d_params32, scales)
-                    state["fn"] = _jit_batch(make_fn(quant), mesh)
-                    print(f"[stylizer] int8 path calibrated for {model.name} "
-                          f"({len(quant)} sites)")
-                return state["fn"](x01)
-
-            return call
+            return call_quant
 
     return _jit_batch(make_fn(), mesh)
 

@@ -478,7 +478,8 @@ def _t7_dec_i8(y, p, quant, c0):
         a_eff = jnp.full((B, 2 * c0), float(q2["qin"]), jnp.float32)
         c_eff = jnp.zeros((B, 2 * c0), jnp.float32)
     else:
-        m, inv = si8._stats_phased(sout, float(H * W0), 4, 2 * c0)
+        m, inv = si8._stats_phased(sout, float(H * W0), 4, 2 * c0,
+                                   eps=p["n_d1"]["eps"])
         sc = p["n_d1"]["scale"].astype(jnp.float32)
         bi = p["n_d1"]["bias"].astype(jnp.float32)
         a_eff = (inv * sc) * q2["qin"]
@@ -489,7 +490,8 @@ def _t7_dec_i8(y, p, quant, c0):
                              halo="zero", kh=kh2, kw=kh2, pt=pt2, pl_=pt2)
     if p["n_d2"] is None:
         return jax.nn.relu(r2.astype(jnp.float32)).astype(dt)
-    m2, inv2 = si8._stats_phased(sout2, float(4 * H * W0), 4, c0)
+    m2, inv2 = si8._stats_phased(sout2, float(4 * H * W0), 4, c0,
+                                 eps=p["n_d2"]["eps"])
     sc2 = p["n_d2"]["scale"].astype(jnp.float32)
     bi2 = p["n_d2"]["bias"].astype(jnp.float32)
     a2 = jnp.tile(inv2 * sc2, (1, 4))[:, None, None, :]
@@ -521,13 +523,7 @@ def quantize_t7(p: dict, act_scales: dict) -> dict:
     scales — same contract as transformer_net_s2d2.quantize_net."""
     import jax.numpy as jnp
 
-    def qsite(w, act_scale):
-        ws = np.maximum(np.max(np.abs(w), axis=(0, 1, 2)) / 127.0, 1e-12)
-        wq = np.clip(np.round(w / ws), -127, 127).astype(np.int8)
-        a = max(float(act_scale), 1e-6)
-        return {"w": jnp.asarray(wq),
-                "ws": jnp.asarray(ws * (a / 127.0), jnp.float32),
-                "qin": jnp.float32(127.0 / a)}
+    from ..models.s2d2_sites_i8 import quantize_site as qsite
 
     q = {}
     for i, rp in enumerate(p["res"]):
@@ -616,7 +612,11 @@ def t7_fast_apply(p: dict, x, *, tap=None, quant=None, fused_sites=()):
         use_res_i8 = si8.res_supported(y.shape[1], y.shape[2])
     if use_res_i8:
         y = _t7_res_chain_i8(y, p["res"], quant)
-    elif use_q:
+    elif use_q and "res_i8" not in fused_sites:
+        # the CPU/parity XLA-int8 branch. When "res_i8" WAS requested but
+        # the geometry is unsupported, fall through to bf16 instead —
+        # XLA-i8 pays standalone quantize passes (the measured loss), so
+        # a speed flag must never route there silently.
         y = _t7_res_quant_xla(y, p["res"], quant)
     else:
         for i, rp in enumerate(p["res"]):

@@ -362,13 +362,7 @@ def quantize_net(p: dict, act_scales: dict) -> dict:
     """Per-out-channel symmetric int8 res weights + folded activation
     scales (the transformer_net_s2d2.quantize_net contract), keyed
     r{i}{a,b} over the four res blocks."""
-    def qsite(w, act_scale):
-        ws = np.maximum(np.max(np.abs(w), axis=(0, 1, 2)) / 127.0, 1e-12)
-        wq = np.clip(np.round(w / ws), -127, 127).astype(np.int8)
-        a = max(float(act_scale), 1e-6)
-        return {"w": jnp.asarray(wq),
-                "ws": jnp.asarray(ws * (a / 127.0), jnp.float32),
-                "qin": jnp.float32(127.0 / a)}
+    from .s2d2_sites_i8 import quantize_site as qsite
 
     q = {}
     for i, rp in enumerate(p["res"]):
@@ -423,7 +417,9 @@ def apply(params: dict, x: jnp.ndarray, *, tap=None, quant=None,
         use_res_i8 = si8.res_supported(y.shape[1], y.shape[2])
     if use_res_i8:
         y = _res_chain_i8(y, p, quant, frn)
-    elif use_q:
+    elif use_q and "res_i8" not in fused_sites:
+        # CPU/parity XLA-int8 branch; requested-but-unsupported res_i8
+        # falls through to bf16 (XLA-i8 is the measured loss)
         y = _res_quant_xla(y, p, quant, frn)
     else:
         for i, rp in enumerate(p["res"]):

@@ -67,6 +67,22 @@ def _tiles(ts: int, mt: int = 4):
     return out
 
 
+def quantize_site(w, act_scale: float) -> dict:
+    """Per-out-channel symmetric int8 weights + folded activation scale —
+    the shared quantization contract of every fused site (matches
+    transformer_net_s2d2.quantize_net: q = clip(round(x * qin)), dequant
+    rides the conv output as ws)."""
+    import numpy as np
+
+    w = np.asarray(w, np.float32)
+    ws = np.maximum(np.max(np.abs(w), axis=(0, 1, 2)) / 127.0, 1e-12)
+    wq = np.clip(np.round(w / ws), -127, 127).astype(np.int8)
+    a = max(float(act_scale), 1e-6)
+    return {"w": jnp.asarray(wq),
+            "ws": jnp.asarray(ws * (a / 127.0), jnp.float32),
+            "qin": jnp.float32(127.0 / a)}
+
+
 def res_supported(h4: int, w4: int) -> bool:
     return h4 >= 8 and w4 >= 16 and w4 % 8 == 0 and _pick_ts(h4) is not None
 
@@ -858,6 +874,7 @@ def head_supported(h2: int, w2: int) -> bool:
     """c2 at the (h2, w2) 540-grid (pair width w2/2), c3 to (h2/2, w2/2)."""
     wp = w2 // 2
     return (h2 % 2 == 0 and w2 % 2 == 0 and wp >= 16 and h2 >= 16
+            and wp % 8 == 0  # pair width is the Pallas block width
             and _pick_ts(h2) is not None and _pick_ts(h2 // 2) is not None)
 
 
@@ -894,7 +911,7 @@ def head_chain(y1: jnp.ndarray, m1: jnp.ndarray, inv1: jnp.ndarray,
     return y3, m3, inv3
 
 
-def _stats_phased(sout, n, phases, c):
+def _stats_phased(sout, n, phases, c, eps=1e-5):
     """IN stats per logical channel from per-conv-channel [sum, sum_sq]
     when the CO axis is (phases × c) — matches _in_stats(y, phases, c)."""
     b = sout.shape[0]
@@ -903,7 +920,7 @@ def _stats_phased(sout, n, phases, c):
     nn = n * phases
     mean = s1 / nn
     var = s2 / nn - mean * mean
-    return mean, jax.lax.rsqrt(var + 1e-5)
+    return mean, jax.lax.rsqrt(var + eps)
 
 
 def dec_supported(h4: int, w4: int) -> bool:
@@ -917,9 +934,10 @@ def dec_supported(h4: int, w4: int) -> bool:
 import os as _os
 
 # Column-pair (K=128) d2 form vs the d2s+edge-halo (K=64) form; both exact
-# (tests/test_int8.py dec parity covers the default). PAIR_D2=0 flips for
-# the in-net TPU A/B (experiments/mk24_ab_int8.py).
-_PAIR_D2 = _os.environ.get("PAIR_D2", "1") != "0"
+# (tests/test_int8.py dec parity covers both). Default OFF: the K=64 form
+# is what the published 121.6 fps engine numbers measured; PAIR_D2=1
+# opts the pair form in for its in-net TPU A/B (experiments/mk24).
+_PAIR_D2 = _os.environ.get("PAIR_D2", "0") == "1"
 
 
 def _pair_d2_weights(wq) -> jnp.ndarray:

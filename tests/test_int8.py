@@ -753,3 +753,30 @@ def test_nst_c2_i8_parity():
     d = np.abs(np.asarray(r_ref, np.float32) - np.asarray(r_pal, np.float32))
     assert d.max() == 0.0, (d.mean(), d.max())
     assert y_full.shape == xb.shape
+
+
+def test_dec_i8_pair_form_parity(baked, monkeypatch):
+    """PAIR_D2=1 — the column-pair (K=128) d2 form matches the default
+    K=64 d2s form (both are exact vs the XLA int8 path)."""
+    from neuralstyletransferv1_tpu.models import s2d2_sites_i8
+
+    bp = jax.tree.map(lambda a: a.astype(jnp.bfloat16), baked)
+    rng = np.random.default_rng(43)
+    x = jnp.asarray(rng.random((2, 32, 256, 3)), jnp.bfloat16)
+    scales = s2d2.calibrate_act_scales(baked, x.astype(jnp.float32))
+    scales = {k: v for k, v in scales.items()
+              if k.startswith("r") or k in ("d1", "d2")}
+    quant = s2d2.quantize_net(baked, scales)
+
+    s2d2_sites_i8._INTERPRET = True
+    try:
+        monkeypatch.setattr(s2d2_sites_i8, "_PAIR_D2", False)
+        y_k64 = s2d2.apply(bp, x, quant=quant,
+                           fused_sites=("res_i8", "dec_i8"))
+        monkeypatch.setattr(s2d2_sites_i8, "_PAIR_D2", True)
+        y_pair = s2d2.apply(bp, x, quant=quant,
+                            fused_sites=("res_i8", "dec_i8"))
+    finally:
+        s2d2_sites_i8._INTERPRET = False
+    d = np.abs(np.asarray(y_k64, np.float32) - np.asarray(y_pair, np.float32))
+    assert d.mean() < 1e-3, (d.mean(), d.max())
