@@ -250,6 +250,36 @@ def _backend_fps():
     return out
 
 
+def _backend_int8_fps():
+    """--quantize int8 on the .t7 fast path (the fastest backend; engine
+    fused set = _I8_FUSED_T7, Pallas zero-halo res sites). Separate guarded
+    section — the zero-halo kernels' first real-TPU compile happens here."""
+    import numpy as np
+    from neuralstyletransferv1_tpu.engine.stylizer import _I8_FUSED_T7
+    from neuralstyletransferv1_tpu.io import t7_fast
+    from neuralstyletransferv1_tpu.models import io_presets as iop
+
+    out = {}
+    B = 8
+    p32 = t7_fast.try_fast_johnson(_t7_layers(np.random.default_rng(7)))
+    p7 = jax.tree.map(lambda a: a.astype(jnp.bfloat16)
+                      if hasattr(a, "astype") else a, p32)
+    xc = jax.random.uniform(jax.random.key(7), (1, H, W, 3), jnp.float32)
+    scales = t7_fast.calibrate_t7_scales(p32, np.asarray(
+        iop.preprocess("caffe_bgr", xc)))
+    quant = t7_fast.quantize_t7(p32, scales)
+
+    def t7_i8_step(x01):
+        y = t7_fast.t7_fast_apply(p7, iop.preprocess("caffe_bgr", x01),
+                                  quant=quant, fused_sites=_I8_FUSED_T7)
+        return jnp.clip(iop.postprocess("caffe_bgr", y), 0.0, 1.0)
+
+    out["t7_int8_fps_1080"] = _fps(t7_i8_step,
+                                   lambda s: _rand_img(s, B, H, W), B)
+    _log(f"t7 int8 {out['t7_int8_fps_1080']:.1f} fps")
+    return out
+
+
 def _ladder(extras):
     """Config #2: vmapped 8-model Johnson bank @1080p (fast s2d2 forms)."""
     from neuralstyletransferv1_tpu.engine import stylizer as st
@@ -452,6 +482,7 @@ def main() -> None:
                 latency_ms_p50_512=_latency_p50(bparams, 512, 512),
                 latency_ms_p50_1080=_latency_p50(bparams, H, W))),
             ("backends", lambda: extras.update(_backend_fps())),
+            ("backends_int8", lambda: extras.update(_backend_int8_fps())),
             ("ladder", lambda: _ladder(extras)),
             ("gram_nst", lambda: _gram_nst(extras)),
             ("deeplab", lambda: _deeplab_masked(extras, bparams)),
