@@ -38,5 +38,10 @@ run mk34_reco_in 1200 NORM=in BATCHES=16 python -u experiments/mk34_ab_reconet_i
 run mk34_reco_frn 1200 NORM=frn BATCHES=16 python -u experiments/mk34_ab_reconet_i8.py
 run mk34_reco_skip 1200 NORM=in RECO_SKIP=1 BATCHES=16 python -u experiments/mk34_ab_reconet_i8.py
 
+# 7. Full bench sweep (headline + int8 + latency + backends + ladder +
+#    gram + deeplab + magenta + flow e2e) — captures every BASELINE config
+#    number in one relay window even before any adoption flips.
+run bench_full 3000 BENCH_EXTRAS=1 python -u bench.py
+
 echo "=== queue done; summary ==="
 grep -H "fps\|quality" "$OUT"/*.txt | tail -60
