@@ -40,6 +40,8 @@ _I8_QUANT_KEEP = {"d1", "d2"}  # + every r{i}{a,b}; c2/c3 iff head_i8 lands
 # Per-backend fused sets for the other fast paths. Each has parity-tested
 # "dec_i8" (+ "c2_i8" for t7/NST) variants pending their in-net TPU A/Bs
 # (experiments/mk32/mk33/mk34 + run_tpu_queue.sh) — flip here on a win.
+# For t7 add "res_s8" (s8-carry chain, BN-folded graphs only — IN graphs
+# keep riding "res_i8") if mk32's s8c rows win.
 _I8_FUSED_T7 = ("res_i8",)
 _I8_FUSED_NST = ("res_i8",)
 _I8_FUSED_RECO = ("res_i8",)

@@ -406,6 +406,34 @@ def _t7_res_chain_i8(y, res, quant):
              + c2[:, None, None, :]).astype(y.dtype) + y).astype(dt)
 
 
+def _t7_res_chain_i8_s8c(y, res, quant):
+    """BN-folded res chain with s8 carries (models/s2d2_sites_i8
+    res_site_s8o / res_site_s8i_yadd): with every norm folded into the
+    conv weights, the inter-conv quantize scale is a calibration constant
+    — so the a-site emits the b-site's s8 input DIRECTLY (ReLU in the
+    clamp floor; the bf16 raw never exists in HBM) and the b-site folds
+    the residual add into its epilogue. Interior boundaries carry half
+    the bytes of _t7_res_chain_i8 and the trailing XLA combine pass
+    disappears. Bit-exact vs _t7_res_quant_xla (both round through bf16
+    at every materialization point)."""
+    import jax.numpy as jnp
+
+    from ..models import s2d2_sites_i8 as si8
+
+    B, _, _, C = y.shape
+    ones = jnp.ones((B, C), jnp.float32)
+    zeros = jnp.zeros((B, C), jnp.float32)
+    for i, rp in enumerate(res):
+        qa, qb = quant[f"r{i}a"], quant[f"r{i}b"]
+        s8a = si8.res_site_s8o(y, ones * qa["qin"], zeros,
+                               qa["w"].reshape(9, C, C), qa["ws"],
+                               rp["b1"].astype(jnp.float32), qb["qin"],
+                               -127.0, qlo=0.0)
+        y = si8.res_site_s8i_yadd(s8a, y, qb["w"].reshape(9, C, C),
+                                  qb["ws"], rp["b2"].astype(jnp.float32))
+    return y
+
+
 def _dec_kform(pad):
     """(kh, pt) for a scattered transposed-conv block kernel: k3 convT
     scatters to 2x2 with pads (0, 1) (_scatter_convT_f2), k4 to 3x3 with
@@ -607,14 +635,20 @@ def t7_fast_apply(p: dict, x, *, tap=None, quant=None, fused_sites=()):
     use_q = quant is not None and all(
         f"r{i}{ab}" in quant for i in range(nres) for ab in "ab")
     use_res_i8 = False
-    if use_q and "res_i8" in fused_sites:
+    use_res_s8 = False
+    if use_q and ("res_i8" in fused_sites or "res_s8" in fused_sites):
         from ..models import s2d2_sites_i8 as si8
-        use_res_i8 = si8.res_supported(y.shape[1], y.shape[2])
-    if use_res_i8:
+        ok = si8.res_supported(y.shape[1], y.shape[2])
+        use_res_s8 = (ok and "res_s8" in fused_sites and all(
+            rp["rn1"] is None and rp["rn2"] is None for rp in p["res"]))
+        use_res_i8 = ok and not use_res_s8 and "res_i8" in fused_sites
+    if use_res_s8:
+        y = _t7_res_chain_i8_s8c(y, p["res"], quant)
+    elif use_res_i8:
         y = _t7_res_chain_i8(y, p["res"], quant)
-    elif use_q and "res_i8" not in fused_sites:
-        # the CPU/parity XLA-int8 branch. When "res_i8" WAS requested but
-        # the geometry is unsupported, fall through to bf16 instead —
+    elif use_q and not ({"res_i8", "res_s8"} & set(fused_sites)):
+        # the CPU/parity XLA-int8 branch. When a fused chain WAS requested
+        # but the geometry is unsupported, fall through to bf16 instead —
         # XLA-i8 pays standalone quantize passes (the measured loss), so
         # a speed flag must never route there silently.
         y = _t7_res_quant_xla(y, p["res"], quant)

@@ -473,6 +473,208 @@ def res_site_skip(r2: jnp.ndarray, yp: jnp.ndarray, a: jnp.ndarray,
     )(stat, w9, dq, r2, r2, r2, yp, yp, yp)
 
 
+def _site_kernel_s8o(stat_ref, w_ref, dq_ref, head_ref, body_ref, tail_ref,
+                     q_ref, xs_ref, *, TS, W0, WPS, LO, QLO, MT=4, NS=None):
+    """Static-scale site with an s8 OUTPUT: quantize prologue (zero column
+    halos) -> 3x3 s8 conv -> dequant + bias -> bf16 round -> STATIC output
+    quantize -> s8 out at width WPS with the zero column halos already
+    injected (exactly the consumer kernel's scratch row form).
+
+    Only valid when the net has no norm between the convs (BN-folded .t7
+    graphs): the output quantize scale is a calibration constant, so the
+    bf16 raw never needs to exist in HBM and no stats are emitted. The
+    bf16 round before the output quantize keeps codes bit-identical to
+    the XLA int8 reference (io/t7_fast._t7_res_quant_xla), which
+    quantizes the materialized bf16 tensor."""
+    from jax.experimental import pallas as pl
+
+    j = pl.program_id(1)
+    C = w_ref.shape[1]
+    CO = w_ref.shape[2]
+    a = stat_ref[0, 0, :]
+    c = stat_ref[0, 1, :]
+    ws = dq_ref[0, :]
+    bi = dq_ref[1, :]
+    qo = dq_ref[2, :]
+
+    xh = _quant_zero(head_ref[0], a, c, LO, WPS)
+    xb = _quant_zero(body_ref[0], a, c, LO, WPS)
+    xt = _quant_zero(tail_ref[0], a, c, LO, WPS)
+    z = jnp.zeros_like(xh)
+    xh = jnp.where(j == 0, z, xh)
+    xt = jnp.where(j == NS - 1, z, xt)
+    xs_ref[0:WPS] = xh.reshape(WPS, C)
+    xs_ref[WPS:(TS + 1) * WPS] = xb.reshape(TS * WPS, C)
+    xs_ref[(TS + 1) * WPS:(TS + 2) * WPS] = xt.reshape(WPS, C)
+    xs_ref[(TS + 2) * WPS:] = jnp.zeros((32, C), jnp.int8)
+
+    for r0, rows in _tiles(TS, MT):
+        m0 = r0 * WPS
+        MTn = rows * WPS
+        acc = None
+        for dy in range(3):
+            for dx in range(3):
+                s = m0 + dy * WPS + dx
+                p = jnp.dot(xs_ref[s:s + MTn, :], w_ref[dy * 3 + dx],
+                            preferred_element_type=jnp.int32)
+                acc = p if acc is None else acc + p
+        f = acc.astype(jnp.float32) * ws + bi
+        fv = f.reshape(rows, WPS, CO)[:, 0:W0, :].astype(jnp.bfloat16)
+        q = jnp.clip(jnp.round(fv.astype(jnp.float32) * qo),
+                     QLO, 127.0).astype(jnp.int8)
+        q_ref[0, r0:r0 + rows] = jnp.pad(
+            q, ((0, 0), (1, WPS - W0 - 1), (0, 0)))
+
+
+def _site_kernel_s8i_yadd(w_ref, dq_ref, qh_ref, qb_ref, qt_ref, yb_ref,
+                          o_ref, xs_ref, *, TS, W0, WPS, MT=4, NS=None):
+    """s8-INPUT site with the residual add fused: strips arrive as s8 with
+    their zero column halos pre-injected (``_site_kernel_s8o`` output), so
+    the prologue is a plain copy into the conv scratch (head/tail rows
+    zeroed at the image border). The epilogue folds the block's skip:
+    y_new = bf16(bf16(conv·ws + bias) + y) — bit-identical to the XLA
+    combine — and nothing else is emitted (static-scale nets need no
+    stats)."""
+    from jax.experimental import pallas as pl
+
+    j = pl.program_id(1)
+    C = w_ref.shape[1]
+    CO = w_ref.shape[2]
+    ws = dq_ref[0, :]
+    bi = dq_ref[1, :]
+
+    z8 = jnp.zeros((WPS, C), jnp.int8)
+    xh = qh_ref[0].reshape(WPS, C)
+    xt = qt_ref[0].reshape(WPS, C)
+    xs_ref[0:WPS] = jnp.where(j == 0, z8, xh)
+    xs_ref[WPS:(TS + 1) * WPS] = qb_ref[0].reshape(TS * WPS, C)
+    xs_ref[(TS + 1) * WPS:(TS + 2) * WPS] = jnp.where(j == NS - 1, z8, xt)
+    xs_ref[(TS + 2) * WPS:] = jnp.zeros((32, C), jnp.int8)
+
+    for r0, rows in _tiles(TS, MT):
+        m0 = r0 * WPS
+        MTn = rows * WPS
+        acc = None
+        for dy in range(3):
+            for dx in range(3):
+                s = m0 + dy * WPS + dx
+                p = jnp.dot(xs_ref[s:s + MTn, :], w_ref[dy * 3 + dx],
+                            preferred_element_type=jnp.int32)
+                acc = p if acc is None else acc + p
+        f = acc.astype(jnp.float32) * ws + bi
+        fv = f.reshape(rows, WPS, CO)[:, 0:W0, :].astype(jnp.bfloat16)
+        v = (fv.astype(jnp.float32)
+             + yb_ref[0, r0:r0 + rows].astype(jnp.float32)).astype(
+                 jnp.bfloat16)
+        o_ref[0, r0:r0 + rows] = v
+
+
+def _wps(w0: int) -> int:
+    """s8 carry width: content + 2 halo columns rounded up to the int8
+    (32, 128) tile so the HBM<->VMEM blocks stay tile-aligned."""
+    return ((w0 + 2 + 31) // 32) * 32
+
+
+def res_site_s8o(x: jnp.ndarray, a: jnp.ndarray, c: jnp.ndarray,
+                 w9: jnp.ndarray, ws: jnp.ndarray, bias: jnp.ndarray,
+                 qo, lo: float, qlo: float = 0.0, *, ts: int | None = None,
+                 mt: int = 4):
+    """Static-scale 3x3 site emitting the NEXT site's s8 input directly.
+
+    x: (B, H, W0, C) bf16 raw. a, c: (B, C) input quantize affine
+    (q = clip(round(x·a + c), lo, 127), zero halos). qo: scalar output
+    quantize scale (the next site's qin); qlo its clamp floor (0.0 folds
+    the inter-conv ReLU of the BN-folded .t7 blocks). Returns
+    (B, H, WPS, CO) s8 with zero column halos at [..., 0, :] /
+    [..., W0+1:, :] — feed straight to ``res_site_s8i_yadd``."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, H, W0, C = x.shape
+    CO = w9.shape[2]
+    TS = ts if ts is not None else _pick_ts(H)
+    WPS = _wps(W0)
+    NS = H // TS
+    stat = jnp.stack([a, c], axis=1)                   # (B, 2, C)
+    dq = jnp.stack([ws, bias,
+                    jnp.full((CO,), qo, jnp.float32)], axis=0)  # (3, CO)
+    kern = functools.partial(_site_kernel_s8o, TS=TS, W0=W0, WPS=WPS,
+                             LO=lo, QLO=qlo, MT=mt, NS=NS)
+    hmap = lambda b, j: (b, jnp.maximum(TS * j - 1, 0), 0, 0)  # noqa: E731
+    tmap = lambda b, j: (b, jnp.minimum(TS * (j + 1), H - 1), 0, 0)  # noqa: E731
+    return pl.pallas_call(
+        kern,
+        grid=(B, NS),
+        in_specs=[
+            pl.BlockSpec((1, 2, C), lambda b, j: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, C, CO), lambda b, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, CO), lambda b, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, W0, C), hmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TS, W0, C), lambda b, j: (b, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, W0, C), tmap, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, TS, WPS, CO), lambda b, j: (b, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((B, H, WPS, CO), jnp.int8)],
+        scratch_shapes=[pltpu.VMEM(((TS + 2) * WPS + 32, C), jnp.int8)],
+        interpret=_INTERPRET,
+        compiler_params=None if _INTERPRET else _params(),
+    )(stat, w9, dq, x, x, x)[0]
+
+
+def res_site_s8i_yadd(xq: jnp.ndarray, y: jnp.ndarray, w9: jnp.ndarray,
+                      ws: jnp.ndarray, bias: jnp.ndarray, *,
+                      ts: int | None = None, mt: int = 4):
+    """Consume a ``res_site_s8o`` tensor and fold the residual add.
+
+    xq: (B, H, WPS, C) s8 (column halos pre-injected). y: (B, H, W0, C)
+    bf16 — the block input, added to the dequantized conv output. Returns
+    y_new = bf16(bf16(conv·ws + bias) + y), shape (B, H, W0, CO)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, H, W0, C = y.shape
+    WPS = xq.shape[2]
+    CO = w9.shape[2]
+    TS = ts if ts is not None else _pick_ts(H)
+    NS = H // TS
+    dq = jnp.stack([ws, bias], axis=0)                 # (2, CO)
+    kern = functools.partial(_site_kernel_s8i_yadd, TS=TS, W0=W0, WPS=WPS,
+                             MT=mt, NS=NS)
+    hmap = lambda b, j: (b, jnp.maximum(TS * j - 1, 0), 0, 0)  # noqa: E731
+    tmap = lambda b, j: (b, jnp.minimum(TS * (j + 1), H - 1), 0, 0)  # noqa: E731
+    return pl.pallas_call(
+        kern,
+        grid=(B, NS),
+        in_specs=[
+            pl.BlockSpec((9, C, CO), lambda b, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, CO), lambda b, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, WPS, C), hmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TS, WPS, C), lambda b, j: (b, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, WPS, C), tmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TS, W0, C), lambda b, j: (b, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, TS, W0, CO), lambda b, j: (b, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((B, H, W0, CO), jnp.bfloat16)],
+        scratch_shapes=[pltpu.VMEM(((TS + 2) * WPS + 32, C), jnp.int8)],
+        interpret=_INTERPRET,
+        compiler_params=None if _INTERPRET else _params(),
+    )(w9, dq, xq, xq, xq, y)[0]
+
+
 def _d3_kernel(stat_ref, w_ref, dq_ref, body_ref, y_ref, xs_ref,
                *, TS, W0, WPd, MT=4):
     """deconv3 rows site: quantize prologue (in5 affine + ReLU folded,

@@ -278,6 +278,79 @@ def test_t7_int8_res_chain_parity(norm):
     assert q.mean() < 0.05 * ref_mag, (q.mean(), ref_mag)
 
 
+def test_t7_s8_carry_chain_bit_exact():
+    """BN-folded .t7 res chain with s8 carries (res_site_s8o +
+    res_site_s8i_yadd): with every norm folded, the inter-conv quantize
+    scale is static, so the a-site emits the b-site's s8 input directly
+    and the b-site folds the residual add. Both paths round through bf16
+    at every materialization point, so the s8-carry chain must be
+    BIT-IDENTICAL to the XLA int8 reference branch."""
+    from tests.test_t7_fast import _johnson_layers
+    from neuralstyletransferv1_tpu.io import t7_fast
+    from neuralstyletransferv1_tpu.models import s2d2_sites_i8
+
+    fp = t7_fast.try_fast_johnson(_johnson_layers())
+    assert fp is not None
+    assert all(rp["rn1"] is None and rp["rn2"] is None for rp in fp["res"])
+
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(rng.normal(0, 50, (2, 32, 64, 3)).astype(np.float32))
+    quant = t7_fast.quantize_t7(fp, t7_fast.calibrate_t7_scales(fp, x))
+
+    fpb = jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16)
+        if hasattr(a, "astype") and a.dtype == jnp.float32 else a, fp)
+    xb = x.astype(jnp.bfloat16)
+    y_xla = t7_fast.t7_fast_apply(fpb, xb, quant=quant)
+    s2d2_sites_i8._INTERPRET = True
+    try:
+        y_s8 = t7_fast.t7_fast_apply(fpb, xb, quant=quant,
+                                     fused_sites=("res_s8",))
+    finally:
+        s2d2_sites_i8._INTERPRET = False
+    assert np.array_equal(np.asarray(y_xla, np.float32),
+                          np.asarray(y_s8, np.float32))
+
+
+def test_t7_s8_carry_in_variant_falls_back():
+    """res_s8 on an instance-norm .t7 graph (deferred stats => dynamic
+    quantize scales) must NOT take the static-scale chain: with
+    ("res_i8", "res_s8") requested it matches the res_i8 chain exactly."""
+    from tests.test_t7_fast import _johnson_layers, _in
+    from neuralstyletransferv1_tpu.io import t7_fast
+    from neuralstyletransferv1_tpu.models import s2d2_sites_i8
+
+    layers = _johnson_layers()
+    layers = [(_in(l["weight"].shape[0]) if l["op"] == "batchnorm" else l)
+              for l in layers]
+    for l in layers:
+        if l["op"] == "concat_table":
+            l["branches"][0][:] = [
+                (_in(b["weight"].shape[0]) if b["op"] == "batchnorm"
+                 else b) for b in l["branches"][0]]
+    fp = t7_fast.try_fast_johnson(layers)
+    assert fp is not None
+    assert any(rp["rn1"] is not None for rp in fp["res"])
+
+    rng = np.random.default_rng(14)
+    x = jnp.asarray(rng.normal(0, 50, (1, 32, 64, 3)).astype(np.float32))
+    quant = t7_fast.quantize_t7(fp, t7_fast.calibrate_t7_scales(fp, x))
+    fpb = jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16)
+        if hasattr(a, "astype") and a.dtype == jnp.float32 else a, fp)
+    xb = x.astype(jnp.bfloat16)
+    s2d2_sites_i8._INTERPRET = True
+    try:
+        y_i8 = t7_fast.t7_fast_apply(fpb, xb, quant=quant,
+                                     fused_sites=("res_i8",))
+        y_both = t7_fast.t7_fast_apply(fpb, xb, quant=quant,
+                                       fused_sites=("res_i8", "res_s8"))
+    finally:
+        s2d2_sites_i8._INTERPRET = False
+    assert np.array_equal(np.asarray(y_i8, np.float32),
+                          np.asarray(y_both, np.float32))
+
+
 def test_engine_t7_quantize_flag():
     """--quantize int8 on a .t7 slot: the stylizer's lazy-calibration t7
     branch (engine/stylizer.py) produces output close to the exact bf16
