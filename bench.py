@@ -277,6 +277,20 @@ def _backend_int8_fps():
     out["t7_int8_fps_1080"] = _fps(t7_i8_step,
                                    lambda s: _rand_img(s, B, H, W), B)
     _log(f"t7 int8 {out['t7_int8_fps_1080']:.1f} fps")
+
+    if "res_s8" not in _I8_FUSED_T7:
+        # Pending-adoption candidate (mk32 s8c rows): s8-carry chain for
+        # the BN-folded graph — measured here so every round-end bench
+        # records it even if no interactive relay window existed.
+        def t7_s8c_step(x01):
+            y = t7_fast.t7_fast_apply(
+                p7, iop.preprocess("caffe_bgr", x01), quant=quant,
+                fused_sites=("res_s8",))  # same dec setting as the row above
+            return jnp.clip(iop.postprocess("caffe_bgr", y), 0.0, 1.0)
+
+        out["t7_int8_s8carry_fps_1080"] = _fps(
+            t7_s8c_step, lambda s: _rand_img(s, B, H, W), B)
+        _log(f"t7 int8 s8-carry {out['t7_int8_s8carry_fps_1080']:.1f} fps")
     return out
 
 
