@@ -39,7 +39,11 @@ run mk34_reco_in 1200 NORM=in BATCHES=16 python -u experiments/mk34_ab_reconet_i
 run mk34_reco_frn 1200 NORM=frn BATCHES=16 python -u experiments/mk34_ab_reconet_i8.py
 run mk34_reco_skip 1200 NORM=in RECO_SKIP=1 BATCHES=16 python -u experiments/mk34_ab_reconet_i8.py
 
-# 7. Full bench sweep (headline + int8 + latency + backends + ladder +
+# 7. xplane trace of the engine int8 config — attributes the remaining
+#    XLA<->Pallas boundary/relayout tax (the next headline lever).
+run mk25_trace 1500 python -u experiments/mk25_trace_int8.py bf16 pallas
+
+# 8. Full bench sweep (headline + int8 + latency + backends + ladder +
 #    gram + deeplab + magenta + flow e2e) — captures every BASELINE config
 #    number in one relay window even before any adoption flips.
 run bench_full 3000 BENCH_EXTRAS=1 python -u bench.py
