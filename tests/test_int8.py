@@ -278,13 +278,16 @@ def test_t7_int8_res_chain_parity(norm):
     assert q.mean() < 0.05 * ref_mag, (q.mean(), ref_mag)
 
 
-def test_t7_s8_carry_chain_bit_exact():
+@pytest.mark.parametrize("shape", [(2, 32, 64, 3), (1, 32, 160, 3)])
+def test_t7_s8_carry_chain_bit_exact(shape):
     """BN-folded .t7 res chain with s8 carries (res_site_s8o +
     res_site_s8i_yadd): with every norm folded, the inter-conv quantize
     scale is static, so the a-site emits the b-site's s8 input directly
     and the b-site folds the residual add. Both paths round through bf16
     at every materialization point, so the s8-carry chain must be
-    BIT-IDENTICAL to the XLA int8 reference branch."""
+    BIT-IDENTICAL to the XLA int8 reference branch. The 160-wide case
+    exercises a non-trivial s8 carry pad (W0=40 -> WPS=96: 54 zeroed
+    columns between the right halo and the tile boundary)."""
     from tests.test_t7_fast import _johnson_layers
     from neuralstyletransferv1_tpu.io import t7_fast
     from neuralstyletransferv1_tpu.models import s2d2_sites_i8
@@ -294,7 +297,7 @@ def test_t7_s8_carry_chain_bit_exact():
     assert all(rp["rn1"] is None and rp["rn2"] is None for rp in fp["res"])
 
     rng = np.random.default_rng(13)
-    x = jnp.asarray(rng.normal(0, 50, (2, 32, 64, 3)).astype(np.float32))
+    x = jnp.asarray(rng.normal(0, 50, shape).astype(np.float32))
     quant = t7_fast.quantize_t7(fp, t7_fast.calibrate_t7_scales(fp, x))
 
     fpb = jax.tree.map(
