@@ -282,10 +282,14 @@ def _backend_int8_fps():
         # Pending-adoption candidate (mk32 s8c rows): s8-carry chain for
         # the BN-folded graph — measured here so every round-end bench
         # records it even if no interactive relay window existed.
+        # same dec/c2 setting as the row above — only the res chain differs
+        s8c_sites = tuple(s for s in _I8_FUSED_T7
+                          if s != "res_i8") + ("res_s8",)
+
         def t7_s8c_step(x01):
             y = t7_fast.t7_fast_apply(
                 p7, iop.preprocess("caffe_bgr", x01), quant=quant,
-                fused_sites=("res_s8",))  # same dec setting as the row above
+                fused_sites=s8c_sites)
             return jnp.clip(iop.postprocess("caffe_bgr", y), 0.0, 1.0)
 
         out["t7_int8_s8carry_fps_1080"] = _fps(

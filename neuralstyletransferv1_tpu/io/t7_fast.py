@@ -421,6 +421,7 @@ def _t7_res_chain_i8_s8c(y, res, quant):
     from ..models import s2d2_sites_i8 as si8
 
     B, _, _, C = y.shape
+    dt = y.dtype
     ones = jnp.ones((B, C), jnp.float32)
     zeros = jnp.zeros((B, C), jnp.float32)
     for i, rp in enumerate(res):
@@ -431,7 +432,7 @@ def _t7_res_chain_i8_s8c(y, res, quant):
                                -127.0, qlo=0.0)
         y = si8.res_site_s8i_yadd(s8a, y, qb["w"].reshape(9, C, C),
                                   qb["ws"], rp["b2"].astype(jnp.float32))
-    return y
+    return y.astype(dt)
 
 
 def _dec_kform(pad):

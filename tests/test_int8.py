@@ -278,7 +278,8 @@ def test_t7_int8_res_chain_parity(norm):
     assert q.mean() < 0.05 * ref_mag, (q.mean(), ref_mag)
 
 
-@pytest.mark.parametrize("shape", [(2, 32, 64, 3), (1, 32, 160, 3)])
+@pytest.mark.parametrize("shape", [(2, 32, 64, 3), (1, 32, 160, 3),
+                                   (1, 160, 64, 3)])
 def test_t7_s8_carry_chain_bit_exact(shape):
     """BN-folded .t7 res chain with s8 carries (res_site_s8o +
     res_site_s8i_yadd): with every norm folded, the inter-conv quantize
@@ -286,8 +287,10 @@ def test_t7_s8_carry_chain_bit_exact(shape):
     and the b-site folds the residual add. Both paths round through bf16
     at every materialization point, so the s8-carry chain must be
     BIT-IDENTICAL to the XLA int8 reference branch. The 160-wide case
-    exercises a non-trivial s8 carry pad (W0=40 -> WPS=96: 54 zeroed
-    columns between the right halo and the tile boundary)."""
+    exercises a non-trivial s8 carry pad (W0=40 -> WPS=64: 22 zeroed
+    columns between the right halo and the tile boundary); the 160-tall
+    case (H4=40 -> TS=20, NS=2) exercises the cross-strip s8 halo rows
+    (the consumer kernel's hmap/tmap BlockSpecs on the carry tensor)."""
     from tests.test_t7_fast import _johnson_layers
     from neuralstyletransferv1_tpu.io import t7_fast
     from neuralstyletransferv1_tpu.models import s2d2_sites_i8
