@@ -295,6 +295,23 @@ def _backend_int8_fps():
         out["t7_int8_s8carry_fps_1080"] = _fps(
             t7_s8c_step, lambda s: _rand_img(s, B, H, W), B)
         _log(f"t7 int8 s8-carry {out['t7_int8_s8carry_fps_1080']:.1f} fps")
+
+    if "dec_s8" not in _I8_FUSED_T7:
+        # Second pending candidate (mk32 ds8 rows): carry extended through
+        # deconv1/deconv2 — res-chain/deconv1 outputs never hit HBM as bf16.
+        ds8_sites = tuple(s for s in _I8_FUSED_T7
+                          if s not in ("res_i8", "dec_i8")) + ("res_s8",
+                                                               "dec_s8")
+
+        def t7_ds8_step(x01):
+            y = t7_fast.t7_fast_apply(
+                p7, iop.preprocess("caffe_bgr", x01), quant=quant,
+                fused_sites=ds8_sites)
+            return jnp.clip(iop.postprocess("caffe_bgr", y), 0.0, 1.0)
+
+        out["t7_int8_decs8_fps_1080"] = _fps(
+            t7_ds8_step, lambda s: _rand_img(s, B, H, W), B)
+        _log(f"t7 int8 dec-s8 {out['t7_int8_decs8_fps_1080']:.1f} fps")
     return out
 
 

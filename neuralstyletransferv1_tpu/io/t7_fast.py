@@ -406,7 +406,7 @@ def _t7_res_chain_i8(y, res, quant):
              + c2[:, None, None, :]).astype(y.dtype) + y).astype(dt)
 
 
-def _t7_res_chain_i8_s8c(y, res, quant):
+def _t7_res_chain_i8_s8c(y, res, quant, emit_qo=None):
     """BN-folded res chain with s8 carries (models/s2d2_sites_i8
     res_site_s8o / res_site_s8i_yadd): with every norm folded into the
     conv weights, the inter-conv quantize scale is a calibration constant
@@ -415,12 +415,17 @@ def _t7_res_chain_i8_s8c(y, res, quant):
     the residual add into its epilogue. Interior boundaries carry half
     the bytes of _t7_res_chain_i8 and the trailing XLA combine pass
     disappears. Bit-exact vs _t7_res_quant_xla (both round through bf16
-    at every materialization point)."""
+    at every materialization point).
+
+    emit_qo: when set (the dec-s8 extension), the LAST block's b-site
+    also quantizes its combine output at this static scale and the chain
+    returns the deconv1 site's s8 input (B, H, WPS, C) instead of bf16 —
+    the chain output never exists in HBM either."""
     import jax.numpy as jnp
 
     from ..models import s2d2_sites_i8 as si8
 
-    B, _, _, C = y.shape
+    B, _, W0, C = y.shape
     dt = y.dtype
     ones = jnp.ones((B, C), jnp.float32)
     zeros = jnp.zeros((B, C), jnp.float32)
@@ -430,9 +435,46 @@ def _t7_res_chain_i8_s8c(y, res, quant):
                                qa["w"].reshape(9, C, C), qa["ws"],
                                rp["b1"].astype(jnp.float32), qb["qin"],
                                -127.0, qlo=0.0)
+        if emit_qo is not None and i == len(res) - 1:
+            return si8.site_s8(s8a, qb["w"].reshape(9, C, C), qb["ws"],
+                               rp["b2"].astype(jnp.float32), w0=W0, y=y,
+                               qo=emit_qo, qlo=-127.0)
         y = si8.res_site_s8i_yadd(s8a, y, qb["w"].reshape(9, C, C),
                                   qb["ws"], rp["b2"].astype(jnp.float32))
     return y.astype(dt)
+
+
+def _t7_dec_i8_s8(xq, p, quant, c0, w0, dt):
+    """deconv1+deconv2 on an s8 carry (BN-folded graphs only — every
+    scale static): deconv1 consumes the res chain's s8 output and emits
+    deconv2's s8 input directly (the ReLU between them folds into the
+    clamp floor; the quantize commutes with the d2s permutation, so
+    quantizing BEFORE the shuffle is bit-exact vs the XLA reference
+    which quantizes after), the d2s shuffle and its halo re-pad run on
+    s8 (half the copy bytes), and deconv2 emits the bf16 raw for the
+    XLA tail. Kills the two largest dec-boundary bf16 round trips."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..models import s2d2_sites_i8 as si8
+    from ..models.transformer_net_s2d import d2s
+
+    q1, q2 = quant["d1"], quant["d2"]
+    kh1, pt1 = _dec_kform(p["d1_pad"])
+    kh2, pt2 = _dec_kform(p["d2_pad"])
+    C = 4 * c0
+    w1 = q1["w"].reshape(kh1 * kh1, C, -1)
+    r8 = si8.site_s8(xq, w1, q1["ws"], p["d1_b"].astype(jnp.float32),
+                     w0=w0, qo=q2["qin"], qlo=0.0, kh=kh1, kw=kh1,
+                     pt=pt1, pl_=pt1)
+    yd = d2s(r8[:, :, 1:w0 + 1, :], 2, 2 * c0)     # s8 shuffle
+    w02 = 2 * w0
+    wps2 = si8._wps(w02)
+    yd = jnp.pad(yd, ((0, 0), (0, 0), (1, wps2 - w02 - 1), (0, 0)))
+    w2 = q2["w"].reshape(kh2 * kh2, 2 * c0, -1)
+    r2 = si8.site_s8(yd, w2, q2["ws"], p["d2_b"].astype(jnp.float32),
+                     w0=w02, kh=kh2, kw=kh2, pt=pt2, pl_=pt2)
+    return jax.nn.relu(r2.astype(jnp.float32)).astype(dt)
 
 
 def _dec_kform(pad):
@@ -577,7 +619,11 @@ def t7_fast_apply(p: dict, x, *, tap=None, quant=None, fused_sites=()):
 
     quant: optional quantize_t7 output — the res chain runs int8 (fused
     Pallas sites when "res_i8" in fused_sites and the geometry supports
-    it, XLA int8 otherwise). tap: calibration hook (site, tensor)."""
+    it, XLA int8 otherwise). "res_s8" upgrades BN-folded graphs to the
+    static-scale s8-carry chain; "dec_s8" (requires an active res_s8
+    chain and norm-free deconvs) extends the carry through deconv1/
+    deconv2 so the res-chain output and the deconv1 output never exist
+    in HBM as bf16. tap: calibration hook (site, tensor)."""
     import jax
     import jax.numpy as jnp
 
@@ -643,8 +689,20 @@ def t7_fast_apply(p: dict, x, *, tap=None, quant=None, fused_sites=()):
         use_res_s8 = (ok and "res_s8" in fused_sites and all(
             rp["rn1"] is None and rp["rn2"] is None for rp in p["res"]))
         use_res_i8 = ok and not use_res_s8 and "res_i8" in fused_sites
+    use_dec_s8 = False
+    if use_res_s8 and "dec_s8" in fused_sites:
+        from ..models import s2d2_sites_i8 as si8
+        use_dec_s8 = bool(
+            p["res"] and "d1" in quant and "d2" in quant
+            and p["n_d1"] is None and p["n_d2"] is None
+            and _dec_kform(p["d1_pad"]) is not None
+            and _dec_kform(p["d2_pad"]) is not None
+            and si8.res_supported(2 * y.shape[1], 2 * y.shape[2]))
+    w0_res, dt_res = y.shape[2], y.dtype
     if use_res_s8:
-        y = _t7_res_chain_i8_s8c(y, p["res"], quant)
+        y = _t7_res_chain_i8_s8c(
+            y, p["res"], quant,
+            emit_qo=quant["d1"]["qin"] if use_dec_s8 else None)
     elif use_res_i8:
         y = _t7_res_chain_i8(y, p["res"], quant)
     elif use_q and not ({"res_i8", "res_s8"} & set(fused_sites)):
@@ -663,14 +721,16 @@ def t7_fast_apply(p: dict, x, *, tap=None, quant=None, fused_sites=()):
                    4 * c0, act=False)
             y = y + r
     use_dec_i8 = False
-    if (quant is not None and "dec_i8" in fused_sites
+    if (not use_dec_s8 and quant is not None and "dec_i8" in fused_sites
             and "d1" in quant and "d2" in quant):
         from ..models import s2d2_sites_i8 as si8
         use_dec_i8 = (si8.res_supported(y.shape[1], y.shape[2])
                       and si8.res_supported(2 * y.shape[1], 2 * y.shape[2])
                       and _dec_kform(p["d1_pad"]) is not None
                       and _dec_kform(p["d2_pad"]) is not None)
-    if use_dec_i8:
+    if use_dec_s8:
+        y = _t7_dec_i8_s8(y, p, quant, c0, w0_res, dt_res)
+    elif use_dec_i8:
         y = _t7_dec_i8(y, p, quant, c0)
     elif (quant is not None and "d1" in quant and "d2" in quant
           and "dec_xla_i8" in fused_sites):

@@ -675,6 +675,130 @@ def res_site_s8i_yadd(xq: jnp.ndarray, y: jnp.ndarray, w9: jnp.ndarray,
     )(w9, dq, xq, xq, xq, y)[0]
 
 
+def _site_kernel_s8g(w_ref, dq_ref, qh_ref, qb_ref, qt_ref, *refs,
+                     TS, W0, WPS, WPO, MT=4, NS=None, KH=3, KW=3,
+                     PT=1, PL=1, YADD=False, S8OUT=False, QLO=0.0):
+    """Generic static-scale s8-INPUT site (the s8-carry workhorse):
+    strips arrive as s8 with zero column halos pre-injected
+    (``_site_kernel_s8o`` / own output form), so the prologue is a plain
+    copy with the image-border row halos zeroed. KHxKW taps with PT/PL
+    pad offsets (3x3/1/1 res form; 2x2/0/0 k3-convT scatter; 3x3/1/1 k4).
+
+    Epilogue combos (all rounding through bf16 at every materialization
+    point, matching the XLA int8 reference bit-for-bit):
+      YADD:  fold a residual add  y_new = bf16(bf16(conv·ws + b) + y)
+      S8OUT: STATIC output quantize q = clip(round(bf16·qo), QLO, 127),
+             emitted at width WPO with the zero column halos injected —
+             the next s8 site's input. Only valid on norm-folded nets.
+    Default epilogue (S8OUT=False) emits the bf16 raw at width W0."""
+    from jax.experimental import pallas as pl
+
+    if YADD:
+        yb_ref, o_ref, xs_ref = refs
+    else:
+        o_ref, xs_ref = refs
+    j = pl.program_id(1)
+    C = w_ref.shape[1]
+    CO = w_ref.shape[2]
+    ws = dq_ref[0, :]
+    bi = dq_ref[1, :]
+    qo = dq_ref[2, :] if S8OUT else None
+
+    z8 = jnp.zeros((WPS, C), jnp.int8)
+    xh = qh_ref[0].reshape(WPS, C)
+    xt = qt_ref[0].reshape(WPS, C)
+    xs_ref[0:WPS] = jnp.where(j == 0, z8, xh)
+    xs_ref[WPS:(TS + 1) * WPS] = qb_ref[0].reshape(TS * WPS, C)
+    xs_ref[(TS + 1) * WPS:(TS + 2) * WPS] = jnp.where(j == NS - 1, z8, xt)
+    xs_ref[(TS + 2) * WPS:] = jnp.zeros((32, C), jnp.int8)
+
+    for r0, rows in _tiles(TS, MT):
+        m0 = r0 * WPS
+        MTn = rows * WPS
+        acc = None
+        for dy in range(KH):
+            for dx in range(KW):
+                s = m0 + (dy + 1 - PT) * WPS + (dx + 1 - PL)
+                p = jnp.dot(xs_ref[s:s + MTn, :], w_ref[dy * KW + dx],
+                            preferred_element_type=jnp.int32)
+                acc = p if acc is None else acc + p
+        f = acc.astype(jnp.float32) * ws + bi
+        fv = f.reshape(rows, WPS, CO)[:, 0:W0, :].astype(jnp.bfloat16)
+        if YADD:
+            fv = (fv.astype(jnp.float32)
+                  + yb_ref[0, r0:r0 + rows].astype(jnp.float32)).astype(
+                      jnp.bfloat16)
+        if S8OUT:
+            q = jnp.clip(jnp.round(fv.astype(jnp.float32) * qo),
+                         QLO, 127.0).astype(jnp.int8)
+            o_ref[0, r0:r0 + rows] = jnp.pad(
+                q, ((0, 0), (1, WPO - W0 - 1), (0, 0)))
+        else:
+            o_ref[0, r0:r0 + rows] = fv
+
+
+def site_s8(xq: jnp.ndarray, w: jnp.ndarray, ws: jnp.ndarray,
+            bias: jnp.ndarray, *, w0: int, y: jnp.ndarray | None = None,
+            qo=None, qlo: float = 0.0, kh: int = 3, kw: int = 3,
+            pt: int = 1, pl_: int = 1, ts: int | None = None, mt: int = 4):
+    """Static-scale s8-input KHxKW site (zero-pad semantics).
+
+    xq: (B, H, WPS, C) s8, content at columns 1..w0 with zero column
+    halos pre-injected (``res_site_s8o`` / own S8OUT form). w:
+    (kh*kw, C, CO) s8; ws, bias: (CO,) f32.
+    y: optional (B, H, w0, C) bf16 residual folded into the epilogue.
+    qo: optional scalar static output quantize scale — when given the
+    site emits (B, H, _wps(w0), CO) s8 (clamp floor qlo; 0.0 folds a
+    trailing ReLU), else the (B, H, w0, CO) bf16 raw."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, H, WPS, C = xq.shape
+    CO = w.shape[2]
+    TS = ts if ts is not None else _pick_ts(H)
+    NS = H // TS
+    WPO = _wps(w0) if qo is not None else w0
+    rows = [ws, bias]
+    if qo is not None:
+        rows.append(jnp.full((CO,), qo, jnp.float32))
+    dq = jnp.stack(rows, axis=0)                       # (2|3, CO)
+    kern = functools.partial(_site_kernel_s8g, TS=TS, W0=w0, WPS=WPS,
+                             WPO=WPO, MT=mt, NS=NS, KH=kh, KW=kw, PT=pt,
+                             PL=pl_, YADD=y is not None,
+                             S8OUT=qo is not None, QLO=qlo)
+    hmap = lambda b, j: (b, jnp.maximum(TS * j - 1, 0), 0, 0)  # noqa: E731
+    tmap = lambda b, j: (b, jnp.minimum(TS * (j + 1), H - 1), 0, 0)  # noqa: E731
+    in_specs = [
+        pl.BlockSpec((kh * kw, C, CO), lambda b, j: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((dq.shape[0], CO), lambda b, j: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, WPS, C), hmap, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, TS, WPS, C), lambda b, j: (b, j, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, WPS, C), tmap, memory_space=pltpu.VMEM),
+    ]
+    args = [w, dq, xq, xq, xq]
+    if y is not None:
+        in_specs.append(pl.BlockSpec((1, TS, w0, C), lambda b, j: (b, j, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(y)
+    odt = jnp.int8 if qo is not None else jnp.bfloat16
+    return pl.pallas_call(
+        kern,
+        grid=(B, NS),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, TS, WPO, CO), lambda b, j: (b, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((B, H, WPO, CO), odt)],
+        scratch_shapes=[pltpu.VMEM(((TS + 2) * WPS + 32, C), jnp.int8)],
+        interpret=_INTERPRET,
+        compiler_params=None if _INTERPRET else _params(),
+    )(*args)[0]
+
+
 def _d3_kernel(stat_ref, w_ref, dq_ref, body_ref, y_ref, xs_ref,
                *, TS, W0, WPd, MT=4):
     """deconv3 rows site: quantize prologue (in5 affine + ReLU folded,

@@ -318,6 +318,50 @@ def test_t7_s8_carry_chain_bit_exact(shape):
                           np.asarray(y_s8, np.float32))
 
 
+@pytest.mark.parametrize("deconv_k,shape", [(3, (2, 32, 64, 3)),
+                                            (4, (1, 160, 64, 3)),
+                                            (3, (1, 32, 160, 3))])
+def test_t7_dec_s8_carry_bit_exact(deconv_k, shape):
+    """dec_s8: the s8 carry extended through deconv1/deconv2 of a
+    BN-folded .t7 graph (io/t7_fast._t7_dec_i8_s8). The last res b-site
+    emits deconv1's s8 input (site_s8 YADD+S8OUT), deconv1 emits
+    deconv2's s8 input (quantize BEFORE the d2s shuffle — commutes with
+    the permutation), and deconv2 emits the bf16 raw. Every path rounds
+    through bf16 at each XLA-reference materialization point, so the
+    output must be BIT-IDENTICAL to the XLA int8 branch
+    (_t7_res_quant_xla + _t7_dec_quant_xla). k=3 exercises the 2x2/pt=0
+    scatter form, k=4 the 3x3/pt=1 form; the 160-tall case crosses strip
+    boundaries on both carry tensors (NS=2 at the res grid, NS=4 at the
+    doubled deconv2 grid)."""
+    from tests.test_t7_fast import _johnson_layers
+    from neuralstyletransferv1_tpu.io import t7_fast
+    from neuralstyletransferv1_tpu.models import s2d2_sites_i8
+
+    fp = t7_fast.try_fast_johnson(_johnson_layers(deconv_k=deconv_k))
+    assert fp is not None
+    assert fp["n_d1"] is None and fp["n_d2"] is None
+
+    rng = np.random.default_rng(15)
+    x = jnp.asarray(rng.normal(0, 50, shape).astype(np.float32))
+    quant = t7_fast.quantize_t7(fp, t7_fast.calibrate_t7_scales(fp, x))
+    assert "d1" in quant and "d2" in quant
+
+    fpb = jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16)
+        if hasattr(a, "astype") and a.dtype == jnp.float32 else a, fp)
+    xb = x.astype(jnp.bfloat16)
+    y_xla = t7_fast.t7_fast_apply(fpb, xb, quant=quant,
+                                  fused_sites=("dec_xla_i8",))
+    s2d2_sites_i8._INTERPRET = True
+    try:
+        y_s8 = t7_fast.t7_fast_apply(fpb, xb, quant=quant,
+                                     fused_sites=("res_s8", "dec_s8"))
+    finally:
+        s2d2_sites_i8._INTERPRET = False
+    assert np.array_equal(np.asarray(y_xla, np.float32),
+                          np.asarray(y_s8, np.float32))
+
+
 def test_t7_s8_carry_in_variant_falls_back():
     """res_s8 on an instance-norm .t7 graph (deferred stats => dynamic
     quantize scales) must NOT take the static-scale chain: with
