@@ -46,14 +46,14 @@ DEFAULT_SAMPLES = [
 
 
 def generate_deeplab_mask(input_image, target_ids, output_mask, *, weights,
-                          backbone="resnet", resolution=513, feather_pct=1.0):
+                          backbone="auto", resolution=513, feather_pct=1.0):
     """(reference: :240-264) — in-process sky_swap inference at a working
     resolution, mask upsampled back to the input size."""
     from PIL import Image
 
     from .sky_swap import SegmentationModel, infer_mask, load_deeplab
 
-    params, num_classes = load_deeplab(weights, backbone=backbone)
+    params, num_classes, backbone = load_deeplab(weights, backbone=backbone)
     seg = SegmentationModel(params, num_classes, backbone)
     pil = Image.open(input_image).convert("RGB")
     w0, h0 = pil.size
@@ -106,7 +106,7 @@ def create_comparison_image(original, mask, styled, output):
 
 
 def generate_sample(cfg, *, input_dir, output_dir, work_dir, weights, style,
-                    scale, backbone="resnet", force=False):
+                    scale, backbone="auto", force=False):
     """(reference: :391-450)"""
     name = cfg["name"]
     out_comparison = output_dir / f"{name}_comparison.jpg"
@@ -157,8 +157,9 @@ def main(argv=None) -> int:
     ap.add_argument("--output_dir", default="output/mask_samples")
     ap.add_argument("--work_dir", default="_work/mask_samples")
     ap.add_argument("--deeplab_weights", required=True)
-    ap.add_argument("--backbone", choices=["resnet", "xception", "drn", "mobilenet"],
-                    default="resnet")
+    ap.add_argument("--backbone",
+                    choices=["auto", "resnet", "xception", "drn", "mobilenet"],
+                    default="auto", help="auto = detect from the checkpoint")
     ap.add_argument("--model", required=True, help="Default style checkpoint")
     ap.add_argument("--model_type", default="transformer")
     ap.add_argument("--io_preset", default="auto")

@@ -243,8 +243,8 @@ def main(argv=None) -> int:
         if crop is not None:
             print(f"[morph_v2] face crop {crop.shape[1]}x{crop.shape[0]}")
     if crop is None:
-        params, nc = load_deeplab(args.deeplab_weights)
-        model = SegmentationModel(params, nc)
+        params, nc, bb = load_deeplab(args.deeplab_weights)
+        model = SegmentationModel(params, nc, bb)
         work = img_pil
         w0, h0 = img_pil.size
         s = args.seg_res / max(w0, h0)

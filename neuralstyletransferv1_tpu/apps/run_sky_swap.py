@@ -77,8 +77,8 @@ def main(argv=None) -> int:
     # 2/3 batch masks (reference: :242-292)
     from .sky_swap import SegmentationModel, batch_masks_from_frames, guess_sky_id, load_deeplab, lookup_label_ids
 
-    params, nc = load_deeplab(weights)
-    model = SegmentationModel(params, nc)
+    params, nc, bb = load_deeplab(weights, getenv("BACKBONE", "auto"))
+    model = SegmentationModel(params, nc, bb)
 
     def gen_masks(label_csv: str | None, dst: pathlib.Path, use_scan: bool):
         target_ids = None

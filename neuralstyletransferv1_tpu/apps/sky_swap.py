@@ -56,9 +56,10 @@ def lookup_label_ids(label_names, used_nc: int):
     return sorted(set(ids))
 
 
-def load_deeplab(weights_path: str, backbone: str = "resnet", num_classes: int | None = None):
+def load_deeplab(weights_path: str, backbone: str = "auto", num_classes: int | None = None):
     """Load reference-format DeepLab weights into the JAX model
-    (reference loader semantics: sky_swap.py:143-177)."""
+    (reference loader semantics: sky_swap.py:143-177). backbone="auto"
+    detects the family from the state-dict keys."""
     import torch
 
     from ..models import deeplab as dl
@@ -69,10 +70,12 @@ def load_deeplab(weights_path: str, backbone: str = "resnet", num_classes: int |
         ckpt = torch.load(weights_path, map_location="cpu")
     state = ckpt["state_dict"] if isinstance(ckpt, dict) and "state_dict" in ckpt else ckpt
     sd = {k: v.detach().numpy() if hasattr(v, "detach") else np.asarray(v) for k, v in state.items()}
+    if backbone in (None, "auto"):
+        backbone = dl.detect_backbone(sd)
     params, detected_nc = dl.import_deeplab(sd, backbone=backbone)
     nc = num_classes or detected_nc
     print(f"[info] using num_classes={nc} (detected={detected_nc}) backbone={backbone}")
-    return params, int(nc)
+    return params, int(nc), backbone
 
 
 def _mask_postprocess_np(sky_u8: np.ndarray, expand_px: int, contract_px: int,
@@ -276,8 +279,9 @@ def build_arg_parser():
     ap.add_argument("--verbose", action="store_true")
     ap.add_argument("--image", required=False)
     ap.add_argument("--weights", required=True)
-    ap.add_argument("--backbone", choices=["resnet", "xception", "drn", "mobilenet"],
-                    default="resnet")
+    ap.add_argument("--backbone",
+                    choices=["auto", "resnet", "xception", "drn", "mobilenet"],
+                    default="auto", help="auto = detect from the checkpoint")
     ap.add_argument("--sky_id", type=int, default=CITYSCAPES_SKY_ID_DEFAULT)
     ap.add_argument("--num_classes", type=int, default=None)
     ap.add_argument("--scan_sky", action="store_true")
@@ -307,8 +311,8 @@ def build_arg_parser():
 
 def main(argv=None) -> int:
     args = build_arg_parser().parse_args(argv)
-    params, nc = load_deeplab(args.weights, args.backbone, args.num_classes)
-    model = SegmentationModel(params, nc, args.backbone)
+    params, nc, bb = load_deeplab(args.weights, args.backbone, args.num_classes)
+    model = SegmentationModel(params, nc, bb)
 
     target_ids = None
     if args.target_ids:

@@ -23,6 +23,9 @@ def main(argv=None) -> int:
     ap.add_argument("--images", nargs="+", required=True)
     ap.add_argument("--output", required=True, help="slideshow video path")
     ap.add_argument("--deeplab_weights", required=True)
+    ap.add_argument("--backbone",
+                    choices=["auto", "resnet", "xception", "drn", "mobilenet"],
+                    default="auto", help="auto = detect from the checkpoint")
     ap.add_argument("--target_labels", default="person")
     ap.add_argument("--fg_model", required=True, help="checkpoint for the masked region")
     ap.add_argument("--bg_model", default=None, help="checkpoint for the background (default: fg_model)")
@@ -43,8 +46,8 @@ def main(argv=None) -> int:
     from .drive_videos import crossfade_concat
     from .sky_swap import SegmentationModel, infer_mask, load_deeplab, lookup_label_ids
 
-    params, nc = load_deeplab(args.deeplab_weights)
-    model = SegmentationModel(params, nc)
+    params, nc, bb = load_deeplab(args.deeplab_weights, args.backbone)
+    model = SegmentationModel(params, nc, bb)
     target_ids = lookup_label_ids(args.target_labels.replace("|", ",").split(","), nc)
     bg_model = args.bg_model or args.fg_model
 

@@ -154,6 +154,21 @@ def apply(params: dict, x: jnp.ndarray, *, output_stride: int = 16,
 # ---------------------------------------------------------------------------
 
 
+def detect_backbone(sd: dict[str, np.ndarray]) -> str:
+    """Auto-detect the backbone family from reference-format state-dict
+    keys (modeling/backbone/*: mobilenet uses a ``features`` sequential,
+    drn a ``layer0`` conv stem, xception named ``blockN`` modules, resnet
+    ``layer1..4`` bottlenecks)."""
+    keys = {k.removeprefix("module.") for k in sd}
+    if any(k.startswith("backbone.features.") for k in keys):
+        return "mobilenet"
+    if any(k.startswith("backbone.layer0.") for k in keys):
+        return "drn"
+    if any(k.startswith("backbone.block1.") for k in keys):
+        return "xception"
+    return "resnet"
+
+
 def detect_num_classes(sd: dict[str, np.ndarray]) -> int:
     """Auto-detect K from 1×1 conv heads, preferring {19,21,150,80}
     (reference: sky_swap.py:128-141)."""
