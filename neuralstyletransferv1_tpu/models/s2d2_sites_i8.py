@@ -526,49 +526,6 @@ def _site_kernel_s8o(stat_ref, w_ref, dq_ref, head_ref, body_ref, tail_ref,
             q, ((0, 0), (1, WPS - W0 - 1), (0, 0)))
 
 
-def _site_kernel_s8i_yadd(w_ref, dq_ref, qh_ref, qb_ref, qt_ref, yb_ref,
-                          o_ref, xs_ref, *, TS, W0, WPS, MT=4, NS=None):
-    """s8-INPUT site with the residual add fused: strips arrive as s8 with
-    their zero column halos pre-injected (``_site_kernel_s8o`` output), so
-    the prologue is a plain copy into the conv scratch (head/tail rows
-    zeroed at the image border). The epilogue folds the block's skip:
-    y_new = bf16(bf16(conv·ws + bias) + y) — bit-identical to the XLA
-    combine — and nothing else is emitted (static-scale nets need no
-    stats)."""
-    from jax.experimental import pallas as pl
-
-    j = pl.program_id(1)
-    C = w_ref.shape[1]
-    CO = w_ref.shape[2]
-    ws = dq_ref[0, :]
-    bi = dq_ref[1, :]
-
-    z8 = jnp.zeros((WPS, C), jnp.int8)
-    xh = qh_ref[0].reshape(WPS, C)
-    xt = qt_ref[0].reshape(WPS, C)
-    xs_ref[0:WPS] = jnp.where(j == 0, z8, xh)
-    xs_ref[WPS:(TS + 1) * WPS] = qb_ref[0].reshape(TS * WPS, C)
-    xs_ref[(TS + 1) * WPS:(TS + 2) * WPS] = jnp.where(j == NS - 1, z8, xt)
-    xs_ref[(TS + 2) * WPS:] = jnp.zeros((32, C), jnp.int8)
-
-    for r0, rows in _tiles(TS, MT):
-        m0 = r0 * WPS
-        MTn = rows * WPS
-        acc = None
-        for dy in range(3):
-            for dx in range(3):
-                s = m0 + dy * WPS + dx
-                p = jnp.dot(xs_ref[s:s + MTn, :], w_ref[dy * 3 + dx],
-                            preferred_element_type=jnp.int32)
-                acc = p if acc is None else acc + p
-        f = acc.astype(jnp.float32) * ws + bi
-        fv = f.reshape(rows, WPS, CO)[:, 0:W0, :].astype(jnp.bfloat16)
-        v = (fv.astype(jnp.float32)
-             + yb_ref[0, r0:r0 + rows].astype(jnp.float32)).astype(
-                 jnp.bfloat16)
-        o_ref[0, r0:r0 + rows] = v
-
-
 def _wps(w0: int) -> int:
     """s8 carry width: content + 2 halo columns rounded up to the int8
     (32, 128) tile so the HBM<->VMEM blocks stay tile-aligned."""
@@ -635,44 +592,9 @@ def res_site_s8i_yadd(xq: jnp.ndarray, y: jnp.ndarray, w9: jnp.ndarray,
 
     xq: (B, H, WPS, C) s8 (column halos pre-injected). y: (B, H, W0, C)
     bf16 — the block input, added to the dequantized conv output. Returns
-    y_new = bf16(bf16(conv·ws + bias) + y), shape (B, H, W0, CO)."""
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    B, H, W0, C = y.shape
-    WPS = xq.shape[2]
-    CO = w9.shape[2]
-    TS = ts if ts is not None else _pick_ts(H)
-    NS = H // TS
-    dq = jnp.stack([ws, bias], axis=0)                 # (2, CO)
-    kern = functools.partial(_site_kernel_s8i_yadd, TS=TS, W0=W0, WPS=WPS,
-                             MT=mt, NS=NS)
-    hmap = lambda b, j: (b, jnp.maximum(TS * j - 1, 0), 0, 0)  # noqa: E731
-    tmap = lambda b, j: (b, jnp.minimum(TS * (j + 1), H - 1), 0, 0)  # noqa: E731
-    return pl.pallas_call(
-        kern,
-        grid=(B, NS),
-        in_specs=[
-            pl.BlockSpec((9, C, CO), lambda b, j: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, CO), lambda b, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, WPS, C), hmap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TS, WPS, C), lambda b, j: (b, j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, WPS, C), tmap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TS, W0, C), lambda b, j: (b, j, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, TS, W0, CO), lambda b, j: (b, j, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[jax.ShapeDtypeStruct((B, H, W0, CO), jnp.bfloat16)],
-        scratch_shapes=[pltpu.VMEM(((TS + 2) * WPS + 32, C), jnp.int8)],
-        interpret=_INTERPRET,
-        compiler_params=None if _INTERPRET else _params(),
-    )(w9, dq, xq, xq, xq, y)[0]
+    y_new = bf16(bf16(conv·ws + bias) + y), shape (B, H, W0, CO).
+    Thin specialization of ``site_s8`` (3x3/PT=PL=1, YADD, bf16 out)."""
+    return site_s8(xq, w9, ws, bias, w0=y.shape[2], y=y, ts=ts, mt=mt)
 
 
 def _site_kernel_s8g(w_ref, dq_ref, qh_ref, qb_ref, qt_ref, *refs,
