@@ -1,7 +1,8 @@
 """Benchmark: batched 1080p stylization throughput on one TPU chip.
 
 Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N, "extras": {...}}
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N,
+   "config": "bf16"|"int8-fused-sites", "extras": {...}}
 
 Headline config matches BASELINE.md's north star (≥200 stylized 1080p
 frames/s/chip on v5e): Johnson TransformerNet in its f=2 space-to-depth form
@@ -9,8 +10,12 @@ frames/s/chip on v5e): Johnson TransformerNet in its f=2 space-to-depth form
 repacks, zero-SAME conv1/deconv3 with exact border-strip fixups), the
 imagenet_255 preset affines baked into conv1/deconv3 (bake_io_affine), bf16
 activations/weights with f32 accumulation. Batch 48 is the measured optimum
-of the round-2c sweep. ``vs_baseline`` is value / 200 (the reference
-publishes no numbers of its own — BASELINE.md).
+of the round-2c sweep. The headline reports the BEST config that meets
+BASELINE's quality gate (per-frame MAE ≤ 1e-2): when the opt-in
+``--quantize int8`` fused-site mode (measured in-net win, MAE ~3e-5 —
+PERF.md round-3) beats bf16 under an in-run gate check, the headline rides
+it and ``config`` records that. ``vs_baseline`` is value / 200 (the
+reference publishes no numbers of its own — BASELINE.md).
 
 ``extras`` covers every BASELINE.md config + the other fast-path backends so
 the driver regress-detects them each round (VERDICT round 2, Weak #3 /
@@ -132,10 +137,21 @@ def _int8(extras, bparams, bparams32):
         return jnp.clip(s2d.apply(bparams, x, quant=quant,
                                   fused_sites=_I8_FUSED_SITES), 0.0, 1.0)
 
+    # In-run quality gate vs the bf16 path (BASELINE's per-frame MAE
+    # budget is 1e-2 on [0,1] output; measured ~3e-5): the headline may
+    # only ride int8 when the gate holds on this device/toolchain.
+    xq = _rand_img(42, 4, H, W)
+    y_bf = jax.jit(lambda x: jnp.clip(s2d.apply(bparams, x), 0.0, 1.0))(xq)
+    y_i8 = jax.jit(step)(xq)
+    mae = float(jnp.mean(jnp.abs(y_bf.astype(jnp.float32)
+                                 - y_i8.astype(jnp.float32))))
+    extras["int8_mae_vs_bf16"] = mae
     extras["int8_fps_1080"] = _fps(
         step, lambda s: _rand_img(s, BATCH, H, W), BATCH, chain=CHAIN,
         repeats=REPEATS)
-    _log(f"int8 engine mode {extras['int8_fps_1080']:.1f} fps")
+    _log(f"int8 engine mode {extras['int8_fps_1080']:.1f} fps "
+         f"(MAE {mae:.2e})")
+    return extras["int8_fps_1080"], mae
 
 
 def _latency_p50(bparams, h, w):
@@ -508,11 +524,14 @@ def main() -> None:
 
     t_start = time.perf_counter()
     fps = _headline(bparams)
+    cfg = "bf16"
 
     extras = {}
+    i8_res: dict = {}
     if os.environ.get("BENCH_EXTRAS", "1") != "0":
         for name, fn in [
-            ("int8", lambda: _int8(extras, bparams, bparams32)),
+            ("int8", lambda: i8_res.update(
+                zip(("fps", "mae"), _int8(extras, bparams, bparams32)))),
             ("latency", lambda: extras.update(
                 latency_ms_p50_512=_latency_p50(bparams, 512, 512),
                 latency_ms_p50_1080=_latency_p50(bparams, H, W))),
@@ -532,6 +551,13 @@ def main() -> None:
             except Exception as e:  # one section must not kill the bench
                 _log(f"section {name} FAILED: {type(e).__name__}: {e}")
 
+    # Headline = best config meeting BASELINE's quality gate (per-frame
+    # MAE <= 1e-2): the opt-in int8 fused-site mode is a measured in-net
+    # win (PERF.md round-3) and far inside the gate (~3e-5), so when it
+    # beats bf16 on this device it IS the production operating point.
+    if i8_res and i8_res.get("mae", 1.0) <= 1e-2 and i8_res["fps"] > fps:
+        fps, cfg = i8_res["fps"], "int8-fused-sites"
+
     _log(f"total bench {time.perf_counter() - t_start:.0f}s")
     print(
         json.dumps(
@@ -540,7 +566,8 @@ def main() -> None:
                 "value": round(fps, 2),
                 "unit": "frames/s",
                 "vs_baseline": round(fps / BASELINE_FPS, 3),
-                "extras": {k: round(float(v), 3) for k, v in extras.items()},
+                "config": cfg,
+                "extras": {k: round(float(v), 6) for k, v in extras.items()},
             }
         )
     )
