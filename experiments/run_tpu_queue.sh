@@ -25,8 +25,9 @@ run mk24_paird2_on 1200 PAIR_D2=1 ONLY_SITES="res,d1,d2" BATCHES=16 \
     python -u experiments/mk24_ab_int8.py
 
 # 3. t7 int8 (BN-folded — the eccv16 shape; fastest backend, 163 bf16).
-#    Includes the s8-carry variants (res_site_s8o/s8i_yadd).
-run mk32_t7_bn 2100 NORM=bn BATCHES=16,48 python -u experiments/mk32_ab_t7_i8.py
+#    Includes the s8-carry variants (res_site_s8o/s8i_yadd) and the dec-s8
+#    extension rows (s8c+ds8 / s8c+ds8c2).
+run mk32_t7_bn 3000 NORM=bn BATCHES=16,48 python -u experiments/mk32_ab_t7_i8.py
 
 # 4. t7 instance-norm variant
 run mk32_t7_in 1200 NORM=in BATCHES=16 python -u experiments/mk32_ab_t7_i8.py
