@@ -81,7 +81,11 @@ def _affine_pair(angle, scale):
     return img, curr
 
 
-@pytest.mark.parametrize("angle,scale", [(3.0, 1.0), (0.0, 1.06), (2.0, 1.04)])
+@pytest.mark.parametrize("angle,scale", [
+    pytest.param(3.0, 1.0, marks=pytest.mark.slow),
+    (0.0, 1.06),
+    pytest.param(2.0, 1.04, marks=pytest.mark.slow),
+])
 def test_dis_close_to_cv2_rotation_zoom(reference_path, angle, scale):
     """VERDICT round-1 item 8: rotation/zoom agreement, not just translation.
     The variational refinement stage is what holds these under 0.5 px."""
@@ -94,6 +98,7 @@ def test_dis_close_to_cv2_rotation_zoom(reference_path, angle, scale):
     assert d.mean() < 0.5, (angle, scale, d.mean())
 
 
+@pytest.mark.slow
 def test_variational_refine_reduces_residual(reference_path):
     """Refinement must reduce the warped photometric residual."""
     from neuralstyletransferv1_tpu.ops.dis_flow import (

@@ -20,7 +20,10 @@ import jax.numpy as jnp
 from neuralstyletransferv1_tpu.engine import stylizer as st
 
 
-@pytest.mark.parametrize("arch", ["johnson", "nst", "reconet"])
+@pytest.mark.parametrize("arch", [
+    "johnson", "nst",
+    pytest.param("reconet", marks=pytest.mark.slow),
+])
 def test_odd_shape_equals_cropped_padded(arch):
     rng = np.random.default_rng(0)
     H, W = 46, 71

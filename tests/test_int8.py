@@ -362,6 +362,7 @@ def test_t7_dec_s8_carry_bit_exact(deconv_k, shape):
                           np.asarray(y_s8, np.float32))
 
 
+@pytest.mark.slow
 def test_t7_s8_carry_in_variant_falls_back():
     """res_s8 on an instance-norm .t7 graph (deferred stats => dynamic
     quantize scales) must NOT take the static-scale chain: with
@@ -878,6 +879,7 @@ def test_nst_c2_i8_parity():
     assert y_full.shape == xb.shape
 
 
+@pytest.mark.slow
 def test_dec_i8_pair_form_parity(baked, monkeypatch):
     """PAIR_D2=1 — the column-pair (K=128) d2 form matches the default
     K=64 d2s form (both are exact vs the XLA int8 path)."""

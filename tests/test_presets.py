@@ -108,6 +108,7 @@ def test_generate_preset_samples_renders(small_db_with_renderable_presets, tmp_p
     assert all("sample_image" in p for p in presets)
 
 
+@pytest.mark.slow
 def test_generate_video_and_morph_samples(small_db_with_renderable_presets, tmp_path):
     cv2 = pytest.importorskip("cv2")
     from PIL import Image
