@@ -19,6 +19,7 @@ from pathlib import Path
 import jax
 import jax.numpy as jnp
 
+from .. import adopt_overrides as _adopt
 from ..io import checkpoints as ckpt
 from ..models import io_presets as iop
 from ..models import reconet, transformer_net, transformer_net_nst
@@ -29,22 +30,19 @@ ARCH_APPLY = {
     "reconet": reconet.apply,
 }
 
-# The measured-win int8 fused-site set for the s2d2 path (PERF.md round-3:
-# res chain + deconv1/2 = 121.6 fps @B16 vs 110.1 bf16). "head_i8"
-# (pair-packed c2/c3) and "d3_i8" exist and are parity-tested but are NOT
-# in the default: d3_i8 measured a regression, head_i8's in-net TPU A/B is
-# still pending (experiments/mk24_ab_int8.py is the harness).
-_I8_FUSED_SITES = ("res_i8", "dec_i8")
+# The measured-win int8 fused-site sets (defaults in adopt_overrides.py;
+# PERF.md round-3: res chain + deconv1/2 = 121.6 fps @B16 vs 110.1 bf16).
+# "head_i8" (pair-packed c2/c3), "d3_i8", per-backend "dec_i8"/"c2_i8" and
+# the t7 "res_s8"/"dec_s8" carry chains are parity-tested but NOT default:
+# d3_i8 measured a regression; the rest await their in-net TPU A/Bs
+# (experiments/run_tpu_queue.sh). When the queue runs unattended,
+# adopt_from_queue --apply lands wins via i8_adopt.json (adopt_overrides).
+_I8_FUSED_SITES = _adopt.sites("sites")
 _I8_QUANT_KEEP = {"d1", "d2"}  # + every r{i}{a,b}; c2/c3 iff head_i8 lands
 
-# Per-backend fused sets for the other fast paths. Each has parity-tested
-# "dec_i8" (+ "c2_i8" for t7/NST) variants pending their in-net TPU A/Bs
-# (experiments/mk32/mk33/mk34 + run_tpu_queue.sh) — flip here on a win.
-# For t7 add "res_s8" (s8-carry chain, BN-folded graphs only — IN graphs
-# keep riding "res_i8") if mk32's s8c rows win.
-_I8_FUSED_T7 = ("res_i8",)
-_I8_FUSED_NST = ("res_i8",)
-_I8_FUSED_RECO = ("res_i8",)
+_I8_FUSED_T7 = _adopt.sites("t7")
+_I8_FUSED_NST = _adopt.sites("nst")
+_I8_FUSED_RECO = _adopt.sites("reco")
 
 
 @dataclass

@@ -151,11 +151,10 @@ def _res_chain_i8(y, p, quant, frn):
     folds them into the next a-site's prologue instead (res_site_skip
     with act="relu"/"tau" — exact, pending its in-net TPU A/B,
     experiments/mk34)."""
-    import os
-
+    from ..adopt_overrides import flag as _adopt_flag
     from . import s2d2_sites_i8 as si8
 
-    if os.environ.get("RECO_SKIP", "0") == "1":
+    if _adopt_flag("reco_skip", env="RECO_SKIP"):
         return _res_chain_i8_skip(y, p, quant, frn, si8)
 
     B, H, W0, C = y.shape

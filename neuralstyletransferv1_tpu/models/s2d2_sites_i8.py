@@ -1179,13 +1179,14 @@ def dec_supported(h4: int, w4: int) -> bool:
 #: d2 as a column-PAIR-packed site (K=128, CO=256): the plain form's K=64
 #: contraction half-fills the MXU and its 64-lane prologue half-fills the
 #: VPU. Flag for the in-net A/B (experiments/mk24 PAIR_D2 env).
-import os as _os
+from ..adopt_overrides import flag as _adopt_flag
 
 # Column-pair (K=128) d2 form vs the d2s+edge-halo (K=64) form; both exact
 # (tests/test_int8.py dec parity covers both). Default OFF: the K=64 form
 # is what the published 121.6 fps engine numbers measured; PAIR_D2=1
-# opts the pair form in for its in-net TPU A/B (experiments/mk24).
-_PAIR_D2 = _os.environ.get("PAIR_D2", "0") == "1"
+# opts the pair form in for its in-net TPU A/B (experiments/mk24), and
+# adopt_from_queue --apply flips the default via i8_adopt.json on a win.
+_PAIR_D2 = _adopt_flag("pair_d2", env="PAIR_D2")
 
 
 def _pair_d2_weights(wq) -> jnp.ndarray:

@@ -1,12 +1,17 @@
-"""Queue adoption advisor (experiments/adopt_from_queue.py) parsing and
-recommendation logic — pure-text, no jax."""
+"""Queue adoption advisor (experiments/adopt_from_queue.py) parsing,
+decision, and apply logic — pure-text, no jax."""
 
+import json
 import sys
 from pathlib import Path
 
+import pytest
+
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from experiments.adopt_from_queue import MARGIN, parse  # noqa: E402
+from experiments.adopt_from_queue import (  # noqa: E402
+    MARGIN, bench_headline, decide, main, parse)
+from neuralstyletransferv1_tpu import adopt_overrides  # noqa: E402
 
 SAMPLE = """norm=bn sites: ['c2', 'd1']
 quality pal-i8: MAE 0.00300 max 0.0900
@@ -30,8 +35,6 @@ def test_parse_rows_quality_and_bf16(tmp_path):
 
 
 def test_main_recommends_only_real_wins(tmp_path, capsys):
-    from experiments.adopt_from_queue import main
-
     (tmp_path / "mk32_t7_bn.txt").write_text(SAMPLE)
     # a harness whose variant is within noise must NOT be recommended
     (tmp_path / "mk33_nst.txt").write_text(
@@ -43,3 +46,111 @@ def test_main_recommends_only_real_wins(tmp_path, capsys):
     assert "ADOPT" in out and "res_s8 + dec_s8" in out
     assert "[no-win" in out          # the 0.5% mk33 row stays unadopted
     assert 160.8 / 160.0 < MARGIN    # sanity: the fixture is inside noise
+
+
+def _rows(name_fps: dict[str, float], b: int = 16) -> str:
+    return "".join(f"[{n} B{b}] 100.0 ms/batch  {v:.1f} fps\n"
+                   for n, v in name_fps.items())
+
+
+def test_decide_picks_best_winning_variant(tmp_path):
+    # s8c+ds8 (+10%) beats pal+dec (+4%); both clear the margin
+    (tmp_path / "mk32_t7_bn.txt").write_text(
+        _rows({"pal-i8": 180.0, "pal+dec": 187.5, "s8c+ds8": 198.0}))
+    _, config = decide(str(tmp_path))
+    assert config["t7"] == ["res_i8", "res_s8", "dec_s8"]
+
+
+def test_decide_sibling_veto_drops_shared_token(tmp_path):
+    # bn adopts dec_i8+c2_i8; the IN sibling ran c2_i8 rows without a win
+    # -> c2_i8 is vetoed (shared tuple), dec_i8 survives (IN's dec wins).
+    (tmp_path / "mk32_t7_bn.txt").write_text(
+        _rows({"pal-i8": 180.0, "pal+all": 195.0}))
+    (tmp_path / "mk32_t7_in.txt").write_text(
+        _rows({"pal-i8": 100.0, "pal+dec": 106.0, "pal+all": 100.5}))
+    lines, config = decide(str(tmp_path))
+    assert config["t7"] == ["res_i8", "dec_i8"]
+    assert any("(veto) c2_i8" in ln for ln in lines)
+
+
+def test_decide_mask_exempts_dec_i8_under_dec_s8(tmp_path):
+    # bn chooses the s8 carry chain (dec_s8 masks dec_i8 there); IN's
+    # dec_i8 win must still land — no veto from the bn file.
+    (tmp_path / "mk32_t7_bn.txt").write_text(
+        _rows({"pal-i8": 180.0, "pal+dec": 179.0, "s8c+ds8": 198.0}))
+    (tmp_path / "mk32_t7_in.txt").write_text(
+        _rows({"pal-i8": 100.0, "pal+dec": 106.0}))
+    _, config = decide(str(tmp_path))
+    assert config["t7"] == ["res_i8", "res_s8", "dec_s8", "dec_i8"]
+
+
+def test_decide_quality_gate_blocks_adoption(tmp_path):
+    (tmp_path / "mk33_nst.txt").write_text(
+        "quality pal+dec: MAE 0.30000 max 1.0\n"
+        + _rows({"pal-i8": 100.0, "pal+dec": 120.0}))
+    lines, config = decide(str(tmp_path))
+    assert config is None
+    assert any("quality-fail" in ln for ln in lines)
+
+
+def test_decide_cross_file_pair_d2(tmp_path):
+    (tmp_path / "mk24_head.txt").write_text(
+        _rows({"i8-pal+dec": 120.0, "i8-pal+head": 121.0}))
+    (tmp_path / "mk24_paird2_on.txt").write_text(
+        "quality pallas+dec: MAE 0.00010 max 0.001\n"
+        + _rows({"i8-pal+dec": 126.0}))
+    _, config = decide(str(tmp_path))
+    assert config == {"pair_d2": True}  # head_i8 at +0.8% stays out
+
+
+def test_decide_multi_batch_requires_win_on_every_batch(tmp_path):
+    (tmp_path / "mk33_nst.txt").write_text(
+        _rows({"pal-i8": 100.0, "pal+dec": 110.0}, b=16)
+        + _rows({"pal-i8": 100.0, "pal+dec": 100.5}, b=48))
+    _, config = decide(str(tmp_path))
+    assert config is None
+
+
+def test_apply_writes_json_and_loader_rides_it(tmp_path, monkeypatch, capsys):
+    (tmp_path / "mk32_t7_bn.txt").write_text(SAMPLE)
+    monkeypatch.setattr(adopt_overrides, "PATH", tmp_path / "i8_adopt.json")
+    try:
+        assert main(str(tmp_path), apply=True) == 0
+        data = json.loads((tmp_path / "i8_adopt.json").read_text())
+        assert data["t7"] == ["res_i8", "res_s8", "dec_s8"]
+        adopt_overrides.reload()
+        assert adopt_overrides.sites("t7") == ("res_i8", "res_s8", "dec_s8")
+        assert adopt_overrides.sites("sites") == ("res_i8", "dec_i8")  # default
+        # flag precedence: env var beats the json
+        (tmp_path / "i8_adopt.json").write_text(json.dumps({"pair_d2": True}))
+        adopt_overrides.reload()
+        assert adopt_overrides.flag("pair_d2", env="PAIR_D2") is True
+        monkeypatch.setenv("PAIR_D2", "0")
+        assert adopt_overrides.flag("pair_d2", env="PAIR_D2") is False
+    finally:
+        monkeypatch.undo()
+        adopt_overrides.reload()
+
+
+def test_apply_no_change_writes_nothing(tmp_path, monkeypatch, capsys):
+    (tmp_path / "mk33_nst.txt").write_text(
+        _rows({"pal-i8": 100.0, "pal+dec": 100.5}))
+    monkeypatch.setattr(adopt_overrides, "PATH", tmp_path / "i8_adopt.json")
+    assert main(str(tmp_path), apply=True) == 0
+    assert not (tmp_path / "i8_adopt.json").exists()
+    assert "defaults stand" in capsys.readouterr().out
+
+
+def test_bench_headline_parses_last_metric_line(tmp_path):
+    p = tmp_path / "bench.txt"
+    p.write_text('noise\n{"metric": "x", "value": 115.3}\n'
+                 'more\n{"metric": "x", "value": 127.2}\n')
+    assert bench_headline(p) == 127.2
+    assert bench_headline(tmp_path / "absent.txt") is None
+
+
+@pytest.fixture(autouse=True)
+def _isolate_adopt_file():
+    """These tests must never see (or leave) a real repo i8_adopt.json."""
+    yield
+    adopt_overrides.reload()
