@@ -1,0 +1,88 @@
+"""mk35: in-net STATIC-NORM A/B — the s2d2 net at 1080p: dynamic bf16 vs
+bf16_static (frozen IN stats) vs int8 pal+dec vs int8_static (frozen IN +
+fused int8 sites). Same process / same protocol as the headline bench.
+
+Quality lines report MAE on noise-perturbed variants of the calibration
+frame (the mode's intra-video contract, sigma 0.03) AND on an independent
+random frame (harsh: random-gain nets amplify IN drift ~10x/block)."""
+
+import sys
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, "/root/repo")
+from experiments._bench import timed_step
+from neuralstyletransferv1_tpu import config
+from neuralstyletransferv1_tpu.models import transformer_net
+from neuralstyletransferv1_tpu.models import transformer_net_s2d2 as s2d2
+
+H, W = 1080, 1920
+
+
+def main():
+    import os
+
+    config.set_conv_precision("default")
+    print("device:", jax.devices()[0], flush=True)
+    params = transformer_net.init(jax.random.key(0))
+    bp32 = s2d2.bake_io_affine(s2d2.from_johnson_params(params),
+                               "imagenet_255")
+    bp = jax.tree.map(lambda a: a.astype(jnp.bfloat16), bp32)
+
+    xc = jax.random.uniform(jax.random.key(7), (1, H, W, 3), jnp.float32)
+    stats = s2d2.calibrate_in_stats(bp32, xc)
+    scales = s2d2.calibrate_act_scales(bp32, xc)
+    quant = {k: v for k, v in
+             s2d2.quantize_net(bp32, scales).items()
+             if k.startswith("r") or k in ("d1", "d2")}
+    scales_s = s2d2.calibrate_act_scales(bp32, xc, static_stats=stats)
+    quant_s = {k: v for k, v in
+               s2d2.quantize_net(bp32, scales_s).items()
+               if k.startswith("r") or k in ("d1", "d2")}
+
+    def step_bf16(x):
+        return jnp.clip(s2d2.apply(bp, x), 0.0, 1.0)
+
+    def step_bf16_static(x):
+        return jnp.clip(s2d2.apply(bp, x, static_stats=stats), 0.0, 1.0)
+
+    def step_i8(x):
+        return jnp.clip(s2d2.apply(bp, x, quant=quant,
+                                   fused_sites=("res_i8", "dec_i8")),
+                        0.0, 1.0)
+
+    def step_i8_static(x):
+        return jnp.clip(s2d2.apply(bp, x, quant=quant_s, static_stats=stats,
+                                   fused_sites=("res_i8", "dec_i8")),
+                        0.0, 1.0)
+
+    variants = [("bf16-static", step_bf16_static),
+                ("i8-pal+dec", step_i8), ("i8-static", step_i8_static)]
+
+    k1, k2 = jax.random.split(jax.random.key(42))
+    xg = jnp.clip(xc.astype(jnp.bfloat16)
+                  + 0.03 * jax.random.normal(k1, (2, H, W, 3), jnp.bfloat16),
+                  0.0, 1.0)
+    xi = jax.random.uniform(k2, (1, H, W, 3), jnp.bfloat16)
+    yg = np.asarray(jax.jit(step_bf16)(xg), np.float32)
+    yi = np.asarray(jax.jit(step_bf16)(xi), np.float32)
+    for name, fn in variants:
+        dg = np.abs(yg - np.asarray(jax.jit(fn)(xg), np.float32))
+        di = np.abs(yi - np.asarray(jax.jit(fn)(xi), np.float32))
+        print(f"quality {name}: MAE {dg.mean():.5f} max {dg.max():.4f} "
+              f"(indep MAE {di.mean():.5f})", flush=True)
+
+    batches = tuple(int(b) for b in
+                    os.environ.get("BATCHES", "16,48").split(","))
+    for B in batches:
+        for name, fn in [("bf16", step_bf16)] + variants:
+            t = timed_step(fn, B, H, W)
+            print(f"[{name} B{B}] {t*1e3:.1f} ms/batch  {B/t:.1f} fps",
+                  flush=True)
+
+
+if __name__ == "__main__":
+    main()

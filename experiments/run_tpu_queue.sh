@@ -24,6 +24,11 @@ run mk24_head 1500 ONLY_SITES="res,c2,c3,d1,d2" BATCHES=16 \
 run mk24_paird2_on 1200 PAIR_D2=1 ONLY_SITES="res,d1,d2" BATCHES=16 \
     python -u experiments/mk24_ab_int8.py
 
+# 2b. static-norm modes (frozen IN stats): bf16_static + int8_static vs
+#     dynamic bf16 / int8 pal+dec @B16+B48 — the quality-gated headline
+#     candidates (bench.py picks the fastest config whose MAE gate holds).
+run mk35_static 1800 BATCHES=16,48 python -u experiments/mk35_ab_static.py
+
 # 3. t7 int8 (BN-folded — the eccv16 shape; fastest backend, 163 bf16).
 #    Includes the s8-carry variants (res_site_s8o/s8i_yadd) and the dec-s8
 #    extension rows (s8c+ds8 / s8c+ds8c2).

@@ -121,15 +121,22 @@ def build_arg_parser() -> argparse.ArgumentParser:
                     "stylize runs batched and the temporal chain runs as one "
                     "in-graph scan per batch. Region modes fall back to "
                     "per-frame processing.")
-    ap.add_argument("--quantize", choices=["none", "int8"], default="none",
-                    help="int8: Johnson slots run per-out-channel int8 convs "
-                    "with per-site activation scales calibrated on the first "
-                    "batch (conv1/deconv3 stay bf16). Output differs from "
-                    "the exact path by <1e-2 MAE (quality-gated in tests). "
-                    "NOTE: under the current XLA lowering this is NOT faster "
-                    "than bf16 (the materialized quantize passes offset the "
-                    "2.3x conv win — PERF.md round-3); kept opt-in as the "
-                    "calibration/quality harness for the Pallas int8 path.")
+    ap.add_argument("--quantize",
+                    choices=["none", "int8", "bf16_static", "int8_static"],
+                    default="none",
+                    help="int8: fast-path slots run per-out-channel int8 "
+                    "convs, calibrated on the first batch; on TPU the res "
+                    "and deconv sites run as fused Pallas kernels — a "
+                    "measured in-net WIN (PERF.md round-3; output <1e-2 MAE "
+                    "vs the exact path, quality-gated in tests). "
+                    "bf16_static / int8_static (Johnson slots): additionally "
+                    "FREEZE every instance norm to the job's first-batch "
+                    "statistics — stats reductions disappear and the IN "
+                    "affines become compile-time constants (the structure "
+                    "that makes BN-folded .t7 the fastest backend). "
+                    "Static modes trade per-frame adaptivity for speed; "
+                    "quality depends on how stationary the video's "
+                    "statistics are.")
     ap.add_argument("--stream", choices=["auto", "off"], default="auto",
                     help="Video jobs with --frame_batch stream decode → "
                     "device → encode with NO per-frame files (threaded "

@@ -45,6 +45,20 @@ _I8_FUSED_NST = _adopt.sites("nst")
 _I8_FUSED_RECO = _adopt.sites("reco")
 
 
+def _s2d2_site_filter(scales: dict, xc) -> dict:
+    """Quantize only the s2d2 sites that ride Pallas fused kernels (res
+    chain + deconv1/2): XLA-int8 pays a standalone HBM quantize pass per
+    site — a measured LOSS (PERF.md int8 section) — so anything without an
+    adopted kernel stays bf16 (conv1, c2, c3, d3)."""
+    keep = set(_I8_QUANT_KEEP)
+    if "head_i8" in _I8_FUSED_SITES:
+        from ..models import s2d2_sites_i8 as _si8
+        if _si8.head_supported(xc.shape[1] // 2, xc.shape[2] // 2):
+            keep |= {"c2", "c3"}
+    return {k: v for k, v in scales.items()
+            if k.startswith("r") or k in keep}
+
+
 @dataclass
 class StyleModel:
     """One loaded slot of the model bank (reference slots A-H,
@@ -224,7 +238,7 @@ def jit_stylizer(model: StyleModel, *, dtype=jnp.float32, optimize: bool = True,
                    (s2d_params, t7_fast_params, nst_fast_params,
                     reco_fast_params))
 
-    def fast_apply(x, quant=None):
+    def fast_apply(x, quant=None, static_stats=None):
         """Fast f=2 forms; x must have H, W divisible by 4."""
         from ..models import transformer_net_s2d2 as tns2d
         from ..ops.resize import resize_bilinear
@@ -242,7 +256,8 @@ def jit_stylizer(model: StyleModel, *, dtype=jnp.float32, optimize: bool = True,
                 # PERF.md round-3).
                 fused = _I8_FUSED_SITES
             out = jnp.clip(tns2d.apply(s2d_params, x, quant=quant,
-                                       fused_sites=fused), 0.0, 1.0)
+                                       fused_sites=fused,
+                                       static_stats=static_stats), 0.0, 1.0)
             if out.shape[1:3] != x.shape[1:3]:
                 out = resize_bilinear(out, (x.shape[1], x.shape[2]))
             return out
@@ -279,7 +294,7 @@ def jit_stylizer(model: StyleModel, *, dtype=jnp.float32, optimize: bool = True,
             reconet_fast.apply(reco_fast_params, xin, quant=quant,
                                fused_sites=fused))
 
-    def make_fn(quant=None):
+    def make_fn(quant=None, static_stats=None):
         def fn(x01):
             x = x01.astype(dtype)
             H, W = x.shape[1], x.shape[2]
@@ -295,12 +310,61 @@ def jit_stylizer(model: StyleModel, *, dtype=jnp.float32, optimize: bool = True,
                 # frame.
                 xp = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)),
                              mode="reflect")
-                out = fast_apply(xp, quant)[:, :H, :W]
+                out = fast_apply(xp, quant, static_stats)[:, :H, :W]
             else:
-                out = fast_apply(x, quant)
+                out = fast_apply(x, quant, static_stats)
             return out.astype(jnp.float32)
 
         return fn
+
+    if quantize in ("bf16_static", "int8_static") and s2d_params is None:
+        # Static-norm is a Johnson-s2d2 mode today. BN-folded .t7 graphs
+        # have no runtime norms at all, so int8_static degenerates to the
+        # regular int8 path; everything else keeps its exact path.
+        print(f"[stylizer][WARN] --quantize {quantize} is a Johnson-s2d2 "
+              f"static-norm mode; {model.name} ({model.arch}) falls back "
+              f"to {'int8' if quantize == 'int8_static' else 'the exact path'}.")
+        quantize = "int8" if quantize == "int8_static" else None
+
+    if quantize in ("bf16_static", "int8_static"):
+        # STATIC-NORM modes (opt-in quality trade): freeze every instance
+        # norm to the job's own first-batch statistics
+        # (transformer_net_s2d2.calibrate_in_stats). The per-image stats
+        # reductions disappear and every IN affine becomes a compile-time
+        # constant XLA folds into conv epilogues — the structure that
+        # makes BN-folded .t7 the fastest backend (163 vs 115 fps bf16).
+        # int8_static additionally rides the fused int8 sites with static
+        # quantize affines. NOT exact vs the reference; bench.py gates
+        # these configs on output MAE before they can take the headline.
+        from ..models import transformer_net_s2d2 as tns2d
+
+        want_i8 = quantize == "int8_static"
+        state_s: dict = {}
+
+        def call_static(x01):
+            if "fn" not in state_s:
+                xc = x01[:1].astype(jnp.float32)
+                H, W = xc.shape[1], xc.shape[2]
+                ph, pw = (-H) % 4, (-W) % 4
+                if ph or pw:
+                    xc = jnp.pad(xc, ((0, 0), (0, ph), (0, pw), (0, 0)),
+                                 mode="reflect")
+                stats = tns2d.calibrate_in_stats(s2d_params32, xc)
+                quant = None
+                if want_i8:
+                    scales = tns2d.calibrate_act_scales(
+                        s2d_params32, xc, sites=tns2d.QUANT_SITES_PALLAS,
+                        static_stats=stats)
+                    scales = _s2d2_site_filter(scales, xc)
+                    quant = tns2d.quantize_net(s2d_params32, scales)
+                state_s["fn"] = _jit_batch(
+                    make_fn(quant, static_stats=stats), mesh)
+                print(f"[stylizer] static-norm {'int8' if want_i8 else 'bf16'}"
+                      f" path calibrated for {model.name} "
+                      f"({len(stats)} frozen norms)")
+            return state_s["fn"](x01)
+
+        return call_static
 
     if quantize == "int8":
         # One lazy-first-batch PTQ wrapper for every fast backend: a jitted
@@ -313,25 +377,10 @@ def jit_stylizer(model: StyleModel, *, dtype=jnp.float32, optimize: bool = True,
         if s2d_params is not None:
             from ..models import transformer_net_s2d2 as tns2d
 
-            def _s2d2_filter(scales, xc):
-                # Quantize only the sites that ride Pallas fused kernels
-                # (res chain + deconv1/2): XLA-int8 pays a standalone HBM
-                # quantize pass per site — a measured LOSS (PERF.md int8
-                # section) — so anything without an adopted kernel stays
-                # bf16 (conv1, c2, c3, d3).
-                keep = set(_I8_QUANT_KEEP)
-                if "head_i8" in _I8_FUSED_SITES:
-                    from ..models import s2d2_sites_i8 as _si8
-                    if _si8.head_supported(xc.shape[1] // 2,
-                                           xc.shape[2] // 2):
-                        keep |= {"c2", "c3"}
-                return {k: v for k, v in scales.items()
-                        if k.startswith("r") or k in keep}
-
             fastq = (s2d_params32, False,
                      partial(tns2d.calibrate_act_scales,
                              sites=tns2d.QUANT_SITES_PALLAS),
-                     tns2d.quantize_net, _s2d2_filter)
+                     tns2d.quantize_net, _s2d2_site_filter)
         elif t7_fast_params is not None:
             from ..io import t7_fast as t7f
 

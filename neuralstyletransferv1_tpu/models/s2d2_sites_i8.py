@@ -1208,7 +1208,8 @@ def _pair_d2_weights(wq) -> jnp.ndarray:
     return jnp.asarray(out.reshape(9, 128, 256))
 
 
-def dec_chain(y: jnp.ndarray, p: dict, quant: dict, carry=None):
+def dec_chain(y: jnp.ndarray, p: dict, quant: dict, carry=None,
+              static_stats: dict | None = None):
     """deconv1 + deconv2 as fused int8 sites (edge halos in-kernel).
 
     y: (B, H4, W4, 128) the res-chain output — or, when ``carry`` is the
@@ -1231,6 +1232,13 @@ def dec_chain(y: jnp.ndarray, p: dict, quant: dict, carry=None):
     B, H, W0, C = y.shape
     q1, q2 = quant["d1"], quant["d2"]
 
+    def _site_stats(site, sout, n, phases, c):
+        if static_stats is not None and site in static_stats:
+            ms, invs = static_stats[site]
+            return (jnp.broadcast_to(ms.astype(jnp.float32), (B, ms.shape[-1])),
+                    jnp.broadcast_to(invs.astype(jnp.float32), (B, invs.shape[-1])))
+        return _stats_phased(sout, n, phases, c)
+
     # d1: plain quantize (res output has no pending affine), 128 -> 256.
     aq = jnp.full((B, C), q1["qin"], jnp.float32)
     cq = jnp.zeros((B, C), jnp.float32)
@@ -1243,7 +1251,7 @@ def dec_chain(y: jnp.ndarray, p: dict, quant: dict, carry=None):
     else:
         r, sout = res_site(y, aq, cq, q1["w"].reshape(9, C, -1), q1["ws"],
                            p["d1_b"].astype(jnp.float32), -127.0, halo="edge")
-    m, inv = _stats_phased(sout, float(H * W0), 4, r.shape[-1] // 4)
+    m, inv = _site_stats("in4", sout, float(H * W0), 4, r.shape[-1] // 4)
 
     # d2: in4 affine folds into the quantize (ReLU -> clamp lo=0), 64 -> 128.
     sc = p["in4"]["scale"].astype(jnp.float32)
@@ -1279,20 +1287,20 @@ def dec_chain(y: jnp.ndarray, p: dict, quant: dict, carry=None):
                               0.0, halo="prehalo")
         r2 = r2p.reshape(Bq, 2 * H4, W4, 2, 2 * co).reshape(
             Bq, 2 * H4, 2 * W4, 2 * co)
-        m5, inv5 = _stats_phased(sout2, float(2 * H4 * W4), 8,
-                                 r2.shape[-1] // 4)
+        m5, inv5 = _site_stats("in5", sout2, float(2 * H4 * W4), 8,
+                               r2.shape[-1] // 4)
     else:
         yd = d2s(r, 2, co)                         # (B, 2H, 2W, 64) raw
         r2, sout2 = res_site(yd, a_eff, c_eff,
                              q2["w"].reshape(9, yd.shape[-1], -1), q2["ws"],
                              p["d2_b"].astype(jnp.float32), 0.0, halo="edge")
-        m5, inv5 = _stats_phased(sout2, float(yd.shape[1] * yd.shape[2]), 4,
-                                 r2.shape[-1] // 4)
+        m5, inv5 = _site_stats("in5", sout2, float(yd.shape[1] * yd.shape[2]),
+                               4, r2.shape[-1] // 4)
     return r2, m5, inv5
 
 
 def res_chain(y: jnp.ndarray, p: dict, quant: dict, *,
-              ret_carry: bool = False):
+              ret_carry: bool = False, static_stats: dict | None = None):
     """The five residual blocks with all ten convs as fused int8 sites.
 
     y: (B, H4, W4, 128) the ACTIVATED res-chain input (post in3 apply).
@@ -1306,9 +1314,22 @@ def res_chain(y: jnp.ndarray, p: dict, quant: dict, *,
     ret_carry=True the LAST combine is also left pending and
     ``(y4, (r2_5, a2, c2))`` is returned for the d1 site to fold
     (dec_chain); otherwise the final combine runs as one XLA pass.
+
+    static_stats: optional frozen IN stats ({f"r{{i}}in{{1,2}}": (m, inv)},
+    transformer_net_s2d2.calibrate_in_stats) — the STATIC-NORM int8 mode:
+    the kernels' stats epilogues are ignored and every affine becomes a
+    compile-time constant.
     """
     B, H, W0, C = y.shape
     n = float(H * W0)
+
+    def _site_stats(site, sout):
+        if static_stats is not None and site in static_stats:
+            ms, invs = static_stats[site]
+            return (jnp.broadcast_to(ms.astype(jnp.float32), (B, ms.shape[-1])),
+                    jnp.broadcast_to(invs.astype(jnp.float32), (B, invs.shape[-1])))
+        return _stats(sout, n)
+
     carry = None
     for i in range(1, 6):
         rp = p[f"res{i}"]
@@ -1325,14 +1346,14 @@ def res_chain(y: jnp.ndarray, p: dict, quant: dict, *,
             r2p, a2p, c2p = carry
             r, sout, y = res_site_skip(r2p, y, aq, cq, a2p, c2p, w9a,
                                        qa["ws"], ba, -127.0)
-        m, inv = _stats(sout, n)
+        m, inv = _site_stats(f"r{i}in1", sout)
         sc = rp["in1"]["scale"].astype(jnp.float32)
         bi = rp["in1"]["bias"].astype(jnp.float32)
         a_eff = (inv * sc) * qb["qin"]
         c_eff = (bi - m * inv * sc) * qb["qin"]
         r2, sout2 = res_site(r, a_eff, c_eff, w9b, qb["ws"],
                              rp["conv2"]["b"].astype(jnp.float32), 0.0)
-        m2, inv2 = _stats(sout2, n)
+        m2, inv2 = _site_stats(f"r{i}in2", sout2)
         sc2 = rp["in2"]["scale"].astype(jnp.float32)
         bi2 = rp["in2"]["bias"].astype(jnp.float32)
         carry = (r2, inv2 * sc2, bi2 - m2 * inv2 * sc2)

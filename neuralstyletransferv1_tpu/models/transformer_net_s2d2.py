@@ -249,7 +249,9 @@ def _conv1_same_fixed(ys: jnp.ndarray, w: jnp.ndarray,
 
 
 def apply(params: dict, x: jnp.ndarray, *, tap=None,
-          fused_sites: tuple = (), quant: dict | None = None) -> jnp.ndarray:
+          fused_sites: tuple = (), quant: dict | None = None,
+          static_stats: dict | None = None,
+          stats_out: dict | None = None) -> jnp.ndarray:
     """Forward pass, same contract as transformer_net.apply.
 
     x: NHWC with H, W divisible by 4. Instance norms split into a stats
@@ -267,12 +269,42 @@ def apply(params: dict, x: jnp.ndarray, *, tap=None,
     and "d3" (legacy single-site form, kept for the PERF.md record).
     Unsupported geometries silently fall back to the XLA form.
     For fused sites, ``tap`` receives the RAW (pre-apply) tensor.
+
+    static_stats: optional ``{site: (mean, inv)}`` (sites ``in1..in5``,
+    ``r{i}in1``/``r{i}in2``) freezing every instance norm to
+    calibration-time statistics (``calibrate_in_stats``). This is the
+    opt-in STATIC-NORM mode (engine ``--quantize bf16_static`` /
+    ``int8_static``): per-image stats reductions disappear and every IN
+    affine becomes a compile-time constant that XLA folds into the conv
+    epilogues — the same structure that makes BN-folded .t7 graphs the
+    fastest backend. NOT exact vs the reference (IN is per-image by
+    definition); quality is gated at the engine/bench level. The fused
+    "head"/"head_i8" sites compute stats internally and are ignored
+    under static_stats (the XLA head runs instead).
+
+    stats_out: optional dict the forward fills with each computed
+    ``(mean, inv)`` under its site name — the calibration hook.
     """
     b, h, w, _ = x.shape
     assert h % 4 == 0 and w % 4 == 0, "s2d2 path needs H,W divisible by 4"
     p = params
     if tap is None:
         tap = lambda name, t: None  # noqa: E731
+    if static_stats is not None:
+        # stats kernels need dynamic stats; static mode keeps the XLA head
+        fused_sites = tuple(s for s in fused_sites
+                            if s not in ("head", "head_i8", "tail"))
+
+    def _st(site, t, phases, c):
+        """Deferred-IN stats: frozen when static, measured (and optionally
+        recorded) otherwise."""
+        if static_stats is not None and site in static_stats:
+            ms, invs = static_stats[site]
+            return ms.astype(jnp.float32), invs.astype(jnp.float32)
+        ms, invs = _in_stats(t, phases, c)
+        if stats_out is not None:
+            stats_out[site] = (ms, invs)
+        return ms, invs
 
     def _qc(site, xin, wkey_w, bias=None, affine=None, **kw):
         """Site conv: int8 (quantize folded into this read, per-channel
@@ -335,7 +367,7 @@ def apply(params: dict, x: jnp.ndarray, *, tap=None,
             y = _conv1_same_fixed(ys, p["c1_w"], p["c1_b"])
         else:
             y = conv2d(_pad_reflect_f2_4px(ys, 3), p["c1_w"], p["c1_b"])
-    m, inv = _in_stats(y, 4, 32)                  # [B, H/2, W/2, 128]
+    m, inv = _st("in1", y, 4, 32)                 # [B, H/2, W/2, 128]
 
     use_head_i8 = False
     if "head_i8" in fused_sites and quant is not None:
@@ -371,7 +403,7 @@ def apply(params: dict, x: jnp.ndarray, *, tap=None,
         af = (m, inv, p["in1"]["scale"], p["in1"]["bias"], 4)
         tap("c2", _apply_in_relu(y, *af))         # DCE'd when tap is a no-op
         y = _qc("c2" + hsfx, y, p["c2_w"], p["c2_b"], affine=af)
-        m, inv = _in_stats(y, 1, 64)
+        m, inv = _st("in2", y, 1, 64)
         if _C3_BLOCK and "c3_wb" in p:
             # 2×2 block conv at K=256 on the s2d'd tensor instead of XLA's
             # strided-conv path (~46 TF/s in the round-2c trace); the s2d
@@ -387,7 +419,7 @@ def apply(params: dict, x: jnp.ndarray, *, tap=None,
             af = (m, inv, p["in2"]["scale"], p["in2"]["bias"], 1)
             tap("c3", _apply_in_relu(y, *af))
             y = _qc("c3" + hsfx, y, p["c3_w"], p["c3_b"], stride=2, affine=af)
-        m, inv = _in_stats(y, 1, 128)
+        m, inv = _st("in3", y, 1, 128)
         y = _apply_in_relu(y, m, inv, p["in3"]["scale"], p["in3"]["bias"], 1)
 
     use_res_i8 = use_dec_i8 = False
@@ -412,33 +444,44 @@ def apply(params: dict, x: jnp.ndarray, *, tap=None,
         # residual add folds into it (carry) instead of an HBM pass.
         if use_dec_i8:
             y, res_carry = s2d2_sites_i8.res_chain(y, p, quant,
-                                                   ret_carry=True)
+                                                   ret_carry=True,
+                                                   static_stats=static_stats)
         else:
-            y = s2d2_sites_i8.res_chain(y, p, quant)
+            y = s2d2_sites_i8.res_chain(y, p, quant,
+                                        static_stats=static_stats)
     else:
         for i in range(1, 6):
             rp = p[f"res{i}"]
             tap(f"r{i}a", y)
             r = _qc(f"r{i}a", reflect_pad_2d(y, 1), rp["conv1"]["w"], rp["conv1"]["b"])
-            m, inv = _in_stats(r, 1, 128)
+            m, inv = _st(f"r{i}in1", r, 1, 128)
             r = reflect_pad_2d(r, 1)
             af = (m, inv, rp["in1"]["scale"], rp["in1"]["bias"], 1)
             tap(f"r{i}b", _apply_in_relu(r, *af))
             r = _qc(f"r{i}b", r, rp["conv2"]["w"], rp["conv2"]["b"], affine=af)
-            y = instance_norm(r, rp["in2"]["scale"], rp["in2"]["bias"]) + y
+            if static_stats is None and stats_out is None:
+                y = instance_norm(r, rp["in2"]["scale"], rp["in2"]["bias"]) + y
+            else:
+                # deferred form of the same norm (needed to freeze/record
+                # the stats); bf16 dynamic path keeps instance_norm so the
+                # exact-parity tests stay byte-stable.
+                m2, inv2 = _st(f"r{i}in2", r, 1, 128)
+                y = _apply_in_relu(r, m2, inv2, rp["in2"]["scale"],
+                                   rp["in2"]["bias"], 1, relu=False) + y
 
     if use_dec_i8:
         # deconv1+deconv2 as Pallas int8 fused sites (edge halos + the in4
         # affine in the d2 kernel's quantize prologue; d2s stays XLA).
         from . import s2d2_sites_i8
         tap("d1", y)
-        y, m, inv = s2d2_sites_i8.dec_chain(y, p, quant, carry=res_carry)
+        y, m, inv = s2d2_sites_i8.dec_chain(y, p, quant, carry=res_carry,
+                                            static_stats=static_stats)
     else:
         # deconv1: up×2 + conv → f2-of-540p on the 270 grid, then ONE d2s.
         tap("d1", y)
         y = _pad_edge_blocks(y)
         y = _qc("d1", y, p["d1_w"], p["d1_b"])    # [B, H/4, W/4, 256]
-        m, inv = _in_stats(y, 4, 64)
+        m, inv = _st("in4", y, 4, 64)
 
         if "tail" in fused_sites:
             from . import s2d2_sites
@@ -457,7 +500,7 @@ def apply(params: dict, x: jnp.ndarray, *, tap=None,
         af = (m, inv, p["in4"]["scale"], p["in4"]["bias"], 1)
         tap("d2", _apply_in_relu(y, *af))
         y = _qc("d2", y, p["d2_w"], p["d2_b"], affine=af)  # [B,H/2,W/2,128]
-        m, inv = _in_stats(y, 4, 32)
+        m, inv = _st("in5", y, 4, 32)
 
     # deconv3: tap-packed — 1×5 conv to 60 lanes on the padded rows, then
     # five shifted slice-adds collapse the kernel-row axis; only output d2s.
@@ -582,14 +625,19 @@ def _site_weight(bp: dict, site: str):
 
 
 def calibrate_act_scales(bp: dict, x_cal: jnp.ndarray,
-                         sites: tuple = QUANT_SITES) -> dict:
+                         sites: tuple = QUANT_SITES,
+                         static_stats: dict | None = None) -> dict:
     """Per-site max|activation| from ONE jitted calibration forward: the tap
     hook fires at trace time with exactly the tensor each conv consumes
     (halos copy values, so maxima agree).
 
     Note the "d3" tap fires with the APPLIED (post-in5) tensor in the XLA
     branch but the RAW tensor under d3_i8 — calibration always runs with
-    fused_sites=() so the scale is the applied maximum either way."""
+    fused_sites=() so the scale is the applied maximum either way.
+
+    static_stats: calibrate against the STATIC-NORM graph instead (the
+    int8_static mode quantizes that graph, so its maxima are the right
+    ones)."""
     def run(x):
         vals: dict = {}
 
@@ -597,11 +645,34 @@ def calibrate_act_scales(bp: dict, x_cal: jnp.ndarray,
             if site in sites:
                 vals[site] = jnp.max(jnp.abs(t.astype(jnp.float32)))
 
-        apply(bp, x, tap=tap)
+        apply(bp, x, tap=tap, static_stats=static_stats)
         return vals
 
     out = jax.jit(run)(x_cal)
     return {k: float(v) for k, v in out.items()}
+
+
+def calibrate_in_stats(bp: dict, x_cal: jnp.ndarray) -> dict:
+    """Frozen per-site instance-norm ``(mean, inv)`` from ONE jitted f32
+    calibration forward — the STATIC-NORM mode's statistics
+    (``apply(..., static_stats=...)``).
+
+    Freezing IN is a deliberate quality trade (the reference's IN is
+    per-image by definition, /root/reference/transformer_net.py:4-33);
+    the engine calibrates on the job's own first batch and gates output
+    MAE, so drift only comes from frame-to-frame statistics motion within
+    one video. Stats are averaged over the calibration batch (shape
+    (1, C)) so any runtime batch broadcasts."""
+    def run(x):
+        so: dict = {}
+        apply(bp, x, stats_out=so)
+        return {k: (jnp.mean(mv[0], axis=0, keepdims=True),
+                    jnp.mean(mv[1], axis=0, keepdims=True))
+                for k, mv in so.items()}
+
+    out = jax.jit(run)(x_cal.astype(jnp.float32))
+    return {k: (jnp.asarray(m, jnp.float32), jnp.asarray(iv, jnp.float32))
+            for k, (m, iv) in out.items()}
 
 
 def quantize_net(bp: dict, act_scales: dict) -> dict:

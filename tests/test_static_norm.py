@@ -1,0 +1,149 @@
+"""Static-norm modes (--quantize bf16_static / int8_static): every instance
+norm frozen to calibration-batch statistics
+(transformer_net_s2d2.calibrate_in_stats / apply(static_stats=...)).
+
+The mode is an opt-in quality trade (IN is per-image in the reference,
+/root/reference/transformer_net.py:4-33); these tests pin the invariants
+that make it sound: B=1 calibration reproduces the dynamic output exactly
+on the calibration input, the int8 static path stays inside the engine
+quality gate, and the Pallas fused chains accept frozen stats."""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from neuralstyletransferv1_tpu.models import transformer_net
+from neuralstyletransferv1_tpu.models import transformer_net_s2d2 as s2d2
+
+ALL_NORMS = ("in1", "in2", "in3", "in4", "in5") + tuple(
+    f"r{i}in{j}" for i in range(1, 6) for j in (1, 2))
+
+
+@pytest.fixture(scope="module")
+def baked():
+    params = transformer_net.init(jax.random.key(0))
+    return s2d2.bake_io_affine(s2d2.from_johnson_params(params), "imagenet_255")
+
+
+def test_calibrate_in_stats_covers_all_norms(baked):
+    x = jnp.asarray(np.random.default_rng(0).random((1, 32, 48, 3)), jnp.float32)
+    stats = s2d2.calibrate_in_stats(baked, x)
+    assert sorted(stats) == sorted(ALL_NORMS)
+    for m, inv in stats.values():
+        assert m.shape[0] == 1 and inv.shape == m.shape
+        assert np.isfinite(np.asarray(m)).all()
+        assert (np.asarray(inv) > 0).all()
+
+
+def test_static_matches_dynamic_on_calibration_input(baked):
+    """B=1 calibration: frozen stats == measured stats, so the static
+    graph must reproduce the dynamic output to float-rounding level."""
+    x = jnp.asarray(np.random.default_rng(1).random((1, 48, 64, 3)), jnp.float32)
+    stats = s2d2.calibrate_in_stats(baked, x)
+    ref = jax.jit(lambda t: s2d2.apply(baked, t))(x)
+    got = jax.jit(lambda t: s2d2.apply(baked, t, static_stats=stats))(x)
+    d = np.abs(np.asarray(ref) - np.asarray(got))
+    assert d.mean() < 1e-4, (d.mean(), d.max())
+
+
+def test_static_int8_quality_gate(baked):
+    """int8 + frozen norms stays inside the 1e-2 MAE engine gate on the
+    clipped [0,1] output (random net + random input = the harsh case)."""
+    x = jnp.asarray(np.random.default_rng(2).random((2, 64, 96, 3)), jnp.float32)
+    stats = s2d2.calibrate_in_stats(baked, x[:1])
+    scales = s2d2.calibrate_act_scales(baked, x[:1], static_stats=stats)
+    quant = s2d2.quantize_net(baked, scales)
+    ref = jax.jit(lambda t: jnp.clip(s2d2.apply(baked, t), 0, 1))(x)
+    got = jax.jit(lambda t: jnp.clip(
+        s2d2.apply(baked, t, quant=quant, static_stats=stats), 0, 1))(x)
+    mae = np.abs(np.asarray(ref) - np.asarray(got)).mean()
+    assert mae < 1e-2, mae
+
+
+def test_static_drops_stat_dependent_fused_sites(baked):
+    """head/head_i8/tail fused sites compute stats internally — under
+    static_stats they must be ignored, not fed frozen stats they cannot
+    use. The call must produce the XLA-head static output."""
+    x = jnp.asarray(np.random.default_rng(3).random((1, 32, 48, 3)), jnp.float32)
+    stats = s2d2.calibrate_in_stats(baked, x)
+    a = s2d2.apply(baked, x, static_stats=stats)
+    b = s2d2.apply(baked, x, static_stats=stats, fused_sites=("head", "tail"))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.slow
+def test_static_pallas_chain_parity(baked):
+    """The Pallas res+dec fused chains accept frozen stats: interpret-mode
+    kernels with static affines match the XLA static int8 path."""
+    from neuralstyletransferv1_tpu.models import s2d2_sites_i8
+
+    bp = jax.tree.map(lambda a: a.astype(jnp.bfloat16), baked)
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.random((2, 32, 256, 3)), jnp.bfloat16)
+    xf = x.astype(jnp.float32)
+    stats = s2d2.calibrate_in_stats(baked, xf[:1])
+    scales = s2d2.calibrate_act_scales(baked, xf[:1], static_stats=stats)
+    quant = s2d2.quantize_net(baked, scales)
+    assert s2d2_sites_i8.res_supported(8, 64)
+    assert s2d2_sites_i8.dec_supported(8, 64)
+
+    s2d2_sites_i8._INTERPRET = True
+    try:
+        y_xla = s2d2.apply(bp, x, quant=quant, static_stats=stats)
+        y_pal = s2d2.apply(bp, x, quant=quant, static_stats=stats,
+                           fused_sites=("res_i8", "dec_i8"))
+    finally:
+        s2d2_sites_i8._INTERPRET = False
+    assert y_pal.shape == y_xla.shape
+    d = np.abs(np.asarray(y_xla, np.float32) - np.asarray(y_pal, np.float32))
+    assert d.mean() < 1e-3, (d.mean(), d.max())
+
+
+def test_engine_static_flags(tmp_path):
+    """--quantize bf16_static / int8_static through the engine CLI: output
+    close to the exact run (image mode, batched path; calibration rides
+    the first batch)."""
+    from PIL import Image
+
+    from neuralstyletransferv1_tpu.engine.pipeline import main
+
+    ckpt = Path(__file__).resolve().parent.parent / "_testdata" / "test_johnson.pth"
+    if not ckpt.exists():
+        pytest.skip("synthetic checkpoint missing")
+    src = tmp_path / "in"
+    src.mkdir()
+    rng = np.random.default_rng(0)
+    base = rng.random((32, 48, 3))
+    for i in range(3):
+        # correlated frames: the static mode's intended regime
+        im = np.clip(base + rng.normal(0, 0.02, base.shape), 0, 1)
+        Image.fromarray((im * 255).astype(np.uint8)).save(
+            src / f"im_{i:02d}.png")
+
+    def run(out, extra):
+        rc = main([
+            "--input_dir", str(src), "--pattern", "*.png",
+            "--model", str(ckpt), "--io_preset", "raw_255",
+            "--frame_batch", "3", "--image_ext", "png",
+            "--output_dir", str(out),
+            "--work_dir", str(tmp_path / "_w" / out.name),
+        ] + extra)
+        assert rc == 0
+
+    ref = tmp_path / "ref"
+    run(ref, [])
+    fa = [np.asarray(Image.open(p), np.float32)
+          for p in sorted(ref.glob("*.png"))]
+    assert len(fa) == 3
+    for mode in ("bf16_static", "int8_static"):
+        out = tmp_path / mode
+        run(out, ["--quantize", mode])
+        fb = [np.asarray(Image.open(p), np.float32)
+              for p in sorted(out.glob("*.png"))]
+        assert len(fb) == 3
+        for xf, yf in zip(fa, fb):
+            assert np.abs(xf - yf).mean() < 2.0, mode  # u8 scale
