@@ -165,7 +165,7 @@ def _static_norm(extras, bparams, bparams32):
     (``*_mae_indep``) for transparency but do not gate (a trained net's
     gain is ~10x tamer per block — PERF.md chain-parity note)."""
     from neuralstyletransferv1_tpu.engine.stylizer import (
-        _I8_FUSED_SITES, _s2d2_site_filter)
+        _I8_FUSED_STATIC, _s2d2_site_filter)
     from neuralstyletransferv1_tpu.models import transformer_net_s2d2 as s2d
 
     xc = jax.random.uniform(jax.random.key(7), (1, H, W, 3), jnp.float32)
@@ -188,7 +188,7 @@ def _static_norm(extras, bparams, bparams32):
                                               static_stats=stats)
             scales = _s2d2_site_filter(scales, xc)
             quant = s2d.quantize_net(bparams32, scales)
-            fused = _I8_FUSED_SITES
+            fused = _I8_FUSED_STATIC
 
         def step(x, q=quant, f=fused):
             return jnp.clip(s2d.apply(bparams, x, quant=q, fused_sites=f,

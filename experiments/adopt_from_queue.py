@@ -46,8 +46,9 @@ BENCH_MARGIN = 0.99    # post-adoption headline must stay within 1%
 ORDER = ("res_i8", "res_s8", "dec_s8", "dec_i8", "c2_i8", "head_i8")
 #: token -> carry tokens that mask it at runtime (no veto where masked)
 MASKS = {"dec_i8": {"dec_s8"}}
-TARGET_NAME = {"sites": "_I8_FUSED_SITES", "t7": "_I8_FUSED_T7",
-               "nst": "_I8_FUSED_NST", "reco": "_I8_FUSED_RECO"}
+TARGET_NAME = {"sites": "_I8_FUSED_SITES", "sites_static": "_I8_FUSED_STATIC",
+               "t7": "_I8_FUSED_T7", "nst": "_I8_FUSED_NST",
+               "reco": "_I8_FUSED_RECO"}
 
 #: harness file -> target tuple, base row, variant rows (token sets), and
 #: quality-line name remaps where the harness prints different names
@@ -56,6 +57,10 @@ FILES = {
         target="sites", base="i8-pal+dec",
         rows={"i8-pal+head": frozenset({"head_i8"})},
         qual={"i8-pal+head": "pallas+head"}),
+    "mk35_static": dict(
+        target="sites_static", base="i8-static",
+        rows={"i8-s8c": frozenset({"res_s8"}),
+              "i8-s8c+ds8": frozenset({"res_s8", "dec_s8"})}),
     "mk32_t7_bn": dict(
         target="t7", base="pal-i8",
         rows={
@@ -199,7 +204,7 @@ def decide(out_dir: str):
         chosen_by_file[stem] = _eval_file(stem, spec, d, lines)
 
     config: dict = {}
-    for target in ("sites", "t7", "nst", "reco"):
+    for target in ("sites", "sites_static", "t7", "nst", "reco"):
         stems = [s for s, sp in FILES.items() if sp["target"] == target]
         ran = [s for s in stems if chosen_by_file.get(s) is not None]
         adopted: set[str] = set()

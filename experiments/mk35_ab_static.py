@@ -59,8 +59,24 @@ def main():
                                    fused_sites=("res_i8", "dec_i8")),
                         0.0, 1.0)
 
+    def step_i8_s8c(x):
+        # s8-carry res chain (res_site_s8o/site_s8 with reflect halos +
+        # frozen affines): bf16 a-raws never exist in HBM
+        return jnp.clip(s2d2.apply(bp, x, quant=quant_s, static_stats=stats,
+                                   fused_sites=("res_s8", "res_i8",
+                                                "dec_i8")),
+                        0.0, 1.0)
+
+    def step_i8_s8c_ds8(x):
+        # + dec on the s8 carry too (d2s shuffle at s8)
+        return jnp.clip(s2d2.apply(bp, x, quant=quant_s, static_stats=stats,
+                                   fused_sites=("res_s8", "res_i8",
+                                                "dec_s8", "dec_i8")),
+                        0.0, 1.0)
+
     variants = [("bf16-static", step_bf16_static),
-                ("i8-pal+dec", step_i8), ("i8-static", step_i8_static)]
+                ("i8-pal+dec", step_i8), ("i8-static", step_i8_static),
+                ("i8-s8c", step_i8_s8c), ("i8-s8c+ds8", step_i8_s8c_ds8)]
 
     k1, k2 = jax.random.split(jax.random.key(42))
     xg = jnp.clip(xc.astype(jnp.bfloat16)

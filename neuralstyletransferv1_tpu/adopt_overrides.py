@@ -31,6 +31,9 @@ PATH = Path(__file__).with_name("i8_adopt.json")
 #: reads these too, so the A/B decision tables and the engine stay in sync.
 DEFAULTS: dict[str, tuple | bool] = {
     "sites": ("res_i8", "dec_i8"),  # s2d2 Johnson engine path
+    # int8_static mode (frozen norms); "res_s8" (s8-carry chain) is the
+    # mk35-measured candidate
+    "sites_static": ("res_i8", "dec_i8"),
     "t7": ("res_i8",),
     "nst": ("res_i8",),
     "reco": ("res_i8",),

@@ -38,6 +38,7 @@ ARCH_APPLY = {
 # (experiments/run_tpu_queue.sh). When the queue runs unattended,
 # adopt_from_queue --apply lands wins via i8_adopt.json (adopt_overrides).
 _I8_FUSED_SITES = _adopt.sites("sites")
+_I8_FUSED_STATIC = _adopt.sites("sites_static")  # int8_static (frozen norms)
 _I8_QUANT_KEEP = {"d1", "d2"}  # + every r{i}{a,b}; c2/c3 iff head_i8 lands
 
 _I8_FUSED_T7 = _adopt.sites("t7")
@@ -249,12 +250,14 @@ def jit_stylizer(model: StyleModel, *, dtype=jnp.float32, optimize: bool = True,
                 # int8 res + deconv sites run as Pallas fused kernels
                 # (quantize in the kernel prologue — the XLA standalone
                 # quantize passes were the whole int8 loss; PERF.md int8
-                # section).
+                # section). The static-norm mode has its own adopted set
+                # ("res_s8" s8-carry chain is its mk35-measured candidate).
                 # NOT "d3_i8": measured 133.5 -> 146.3 ms/B16 REGRESSION
                 # (the bf16 in5 apply input-fuses into the conv for free;
                 # the kernel's 60-lane writes cost more than i8 saves —
                 # PERF.md round-3).
-                fused = _I8_FUSED_SITES
+                fused = (_I8_FUSED_STATIC if static_stats is not None
+                         else _I8_FUSED_SITES)
             out = jnp.clip(tns2d.apply(s2d_params, x, quant=quant,
                                        fused_sites=fused,
                                        static_stats=static_stats), 0.0, 1.0)

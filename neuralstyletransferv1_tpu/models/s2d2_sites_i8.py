@@ -473,18 +473,47 @@ def res_site_skip(r2: jnp.ndarray, yp: jnp.ndarray, a: jnp.ndarray,
     )(stat, w9, dq, r2, r2, r2, yp, yp, yp)
 
 
-def _site_kernel_s8o(stat_ref, w_ref, dq_ref, head_ref, body_ref, tail_ref,
-                     q_ref, xs_ref, *, TS, W0, WPS, LO, QLO, MT=4, NS=None):
-    """Static-scale site with an s8 OUTPUT: quantize prologue (zero column
-    halos) -> 3x3 s8 conv -> dequant + bias -> bf16 round -> STATIC output
-    quantize -> s8 out at width WPS with the zero column halos already
-    injected (exactly the consumer kernel's scratch row form).
+def _s8_col_halo(q, W0, WP, halo):
+    """Inject the carry layout's column halos into an s8 (rows, W0, CO)
+    strip: X[0] / X[W0+1] are the halo columns, zeros beyond."""
+    X = jnp.pad(q, ((0, 0), (1, WP - W0 - 1), (0, 0)))
+    if halo == "zero":
+        return X
+    R, _, CO = q.shape
+    ci = jax.lax.broadcasted_iota(jnp.int32, (R, WP, CO), 1)
+    li, ri = (1, W0 - 2) if halo == "reflect" else (0, W0 - 1)
+    X = jnp.where(ci == 0, q[:, li:li + 1], X)
+    X = jnp.where(ci == W0 + 1, q[:, ri:ri + 1], X)
+    return X
 
-    Only valid when the net has no norm between the convs (BN-folded .t7
-    graphs): the output quantize scale is a calibration constant, so the
-    bf16 raw never needs to exist in HBM and no stats are emitted. The
-    bf16 round before the output quantize keeps codes bit-identical to
-    the XLA int8 reference (io/t7_fast._t7_res_quant_xla), which
+
+def _s8_row_maps(TS, H, halo):
+    """head/tail BlockSpec index maps for the image-border row halo:
+    reflect |.|, edge clamp, or zero (clamp + in-kernel zeroing)."""
+    if halo == "reflect":
+        hmap = lambda b, j: (b, jnp.abs(TS * j - 1), 0, 0)  # noqa: E731
+        tmap = lambda b, j: (b, jnp.where(TS * (j + 1) > H - 1, H - 2,
+                                          TS * (j + 1)), 0, 0)  # noqa: E731
+    else:  # edge and zero share clamp maps; zero kernels zero the strip
+        hmap = lambda b, j: (b, jnp.maximum(TS * j - 1, 0), 0, 0)  # noqa: E731
+        tmap = lambda b, j: (b, jnp.minimum(TS * (j + 1), H - 1), 0, 0)  # noqa: E731
+    return hmap, tmap
+
+
+def _site_kernel_s8o(stat_ref, w_ref, dq_ref, head_ref, body_ref, tail_ref,
+                     q_ref, xs_ref, *, TS, W0, WPS, LO, QLO, MT=4, NS=None,
+                     HALO="zero"):
+    """Static-scale site with an s8 OUTPUT: quantize prologue (column
+    halos per HALO) -> 3x3 s8 conv -> dequant + bias -> bf16 round ->
+    STATIC output quantize affine -> s8 out at width WPS with the column
+    halos already injected (exactly the consumer kernel's scratch form).
+
+    Only valid when every norm between the convs is a compile-time
+    constant: BN-folded .t7 graphs (no norm at all — zero halos) or the
+    STATIC-NORM Johnson mode (frozen IN affine folded into the output
+    quantize rows qa/qc — reflect halos). The bf16 round before the
+    output quantize keeps codes bit-identical to the XLA int8 reference
+    (io/t7_fast._t7_res_quant_xla / transformer_net_s2d2._qc), which
     quantizes the materialized bf16 tensor."""
     from jax.experimental import pallas as pl
 
@@ -495,14 +524,20 @@ def _site_kernel_s8o(stat_ref, w_ref, dq_ref, head_ref, body_ref, tail_ref,
     c = stat_ref[0, 1, :]
     ws = dq_ref[0, :]
     bi = dq_ref[1, :]
-    qo = dq_ref[2, :]
+    qa = dq_ref[2, :]
+    qc = dq_ref[3, :]
 
-    xh = _quant_zero(head_ref[0], a, c, LO, WPS)
-    xb = _quant_zero(body_ref[0], a, c, LO, WPS)
-    xt = _quant_zero(tail_ref[0], a, c, LO, WPS)
-    z = jnp.zeros_like(xh)
-    xh = jnp.where(j == 0, z, xh)
-    xt = jnp.where(j == NS - 1, z, xt)
+    if HALO == "zero":
+        xh = _quant_zero(head_ref[0], a, c, LO, WPS)
+        xb = _quant_zero(body_ref[0], a, c, LO, WPS)
+        xt = _quant_zero(tail_ref[0], a, c, LO, WPS)
+        z = jnp.zeros_like(xh)
+        xh = jnp.where(j == 0, z, xh)
+        xt = jnp.where(j == NS - 1, z, xt)
+    else:
+        xh = _quant_halo(head_ref[0], a, c, LO, W0, WPS, halo=HALO)
+        xb = _quant_halo(body_ref[0], a, c, LO, W0, WPS, halo=HALO)
+        xt = _quant_halo(tail_ref[0], a, c, LO, W0, WPS, halo=HALO)
     xs_ref[0:WPS] = xh.reshape(WPS, C)
     xs_ref[WPS:(TS + 1) * WPS] = xb.reshape(TS * WPS, C)
     xs_ref[(TS + 1) * WPS:(TS + 2) * WPS] = xt.reshape(WPS, C)
@@ -520,10 +555,9 @@ def _site_kernel_s8o(stat_ref, w_ref, dq_ref, head_ref, body_ref, tail_ref,
                 acc = p if acc is None else acc + p
         f = acc.astype(jnp.float32) * ws + bi
         fv = f.reshape(rows, WPS, CO)[:, 0:W0, :].astype(jnp.bfloat16)
-        q = jnp.clip(jnp.round(fv.astype(jnp.float32) * qo),
+        q = jnp.clip(jnp.round(fv.astype(jnp.float32) * qa + qc),
                      QLO, 127.0).astype(jnp.int8)
-        q_ref[0, r0:r0 + rows] = jnp.pad(
-            q, ((0, 0), (1, WPS - W0 - 1), (0, 0)))
+        q_ref[0, r0:r0 + rows] = _s8_col_halo(q, W0, WPS, HALO)
 
 
 def _wps(w0: int) -> int:
@@ -534,16 +568,20 @@ def _wps(w0: int) -> int:
 
 def res_site_s8o(x: jnp.ndarray, a: jnp.ndarray, c: jnp.ndarray,
                  w9: jnp.ndarray, ws: jnp.ndarray, bias: jnp.ndarray,
-                 qo, lo: float, qlo: float = 0.0, *, ts: int | None = None,
-                 mt: int = 4):
+                 qo=None, lo: float = -127.0, qlo: float = 0.0, *,
+                 qa=None, qc=None, halo: str = "zero",
+                 ts: int | None = None, mt: int = 4):
     """Static-scale 3x3 site emitting the NEXT site's s8 input directly.
 
     x: (B, H, W0, C) bf16 raw. a, c: (B, C) input quantize affine
-    (q = clip(round(x·a + c), lo, 127), zero halos). qo: scalar output
-    quantize scale (the next site's qin); qlo its clamp floor (0.0 folds
-    the inter-conv ReLU of the BN-folded .t7 blocks). Returns
-    (B, H, WPS, CO) s8 with zero column halos at [..., 0, :] /
-    [..., W0+1:, :] — feed straight to ``res_site_s8i_yadd``."""
+    (q = clip(round(x·a + c), lo, 127); column halos per ``halo``).
+    Output quantize: either a scalar ``qo`` (the next site's qin —
+    BN-folded .t7 form) or per-channel ``qa``/``qc`` (CO,) rows folding a
+    FROZEN norm affine (static-norm Johnson: qa = inv·scale·qin,
+    qc = (bias − mean·inv·scale)·qin); ``qlo`` is the clamp floor (0.0
+    folds the inter-conv ReLU). Returns (B, H, WPS, CO) s8 with the
+    column halos at [..., 0, :] / [..., W0+1, :] — feed straight to
+    ``res_site_s8i_yadd`` / ``site_s8``."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -553,12 +591,13 @@ def res_site_s8o(x: jnp.ndarray, a: jnp.ndarray, c: jnp.ndarray,
     WPS = _wps(W0)
     NS = H // TS
     stat = jnp.stack([a, c], axis=1)                   # (B, 2, C)
-    dq = jnp.stack([ws, bias,
-                    jnp.full((CO,), qo, jnp.float32)], axis=0)  # (3, CO)
+    if qa is None:
+        qa = jnp.full((CO,), qo, jnp.float32)
+        qc = jnp.zeros((CO,), jnp.float32)
+    dq = jnp.stack([ws, bias, qa, qc], axis=0)         # (4, CO)
     kern = functools.partial(_site_kernel_s8o, TS=TS, W0=W0, WPS=WPS,
-                             LO=lo, QLO=qlo, MT=mt, NS=NS)
-    hmap = lambda b, j: (b, jnp.maximum(TS * j - 1, 0), 0, 0)  # noqa: E731
-    tmap = lambda b, j: (b, jnp.minimum(TS * (j + 1), H - 1), 0, 0)  # noqa: E731
+                             LO=lo, QLO=qlo, MT=mt, NS=NS, HALO=halo)
+    hmap, tmap = _s8_row_maps(TS, H, halo)
     return pl.pallas_call(
         kern,
         grid=(B, NS),
@@ -567,7 +606,7 @@ def res_site_s8o(x: jnp.ndarray, a: jnp.ndarray, c: jnp.ndarray,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((9, C, CO), lambda b, j: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, CO), lambda b, j: (0, 0),
+            pl.BlockSpec((4, CO), lambda b, j: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, W0, C), hmap, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TS, W0, C), lambda b, j: (b, j, 0, 0),
@@ -599,20 +638,27 @@ def res_site_s8i_yadd(xq: jnp.ndarray, y: jnp.ndarray, w9: jnp.ndarray,
 
 def _site_kernel_s8g(w_ref, dq_ref, qh_ref, qb_ref, qt_ref, *refs,
                      TS, W0, WPS, WPO, MT=4, NS=None, KH=3, KW=3,
-                     PT=1, PL=1, YADD=False, S8OUT=False, QLO=0.0):
+                     PT=1, PL=1, YADD=False, S8OUT=False, AFF=False,
+                     QLO=0.0, HALO="zero"):
     """Generic static-scale s8-INPUT site (the s8-carry workhorse):
-    strips arrive as s8 with zero column halos pre-injected
+    strips arrive as s8 with the column halos pre-injected
     (``_site_kernel_s8o`` / own output form), so the prologue is a plain
-    copy with the image-border row halos zeroed. KHxKW taps with PT/PL
-    pad offsets (3x3/1/1 res form; 2x2/0/0 k3-convT scatter; 3x3/1/1 k4).
+    copy; image-border row halos are zeroed (HALO="zero") or ride the
+    wrapper's reflect/edge index maps (quantize is pointwise, so the
+    carry's row 1 / row H−2 IS the reflect halo code). KHxKW taps with
+    PT/PL pad offsets (3x3/1/1 res form; 2x2/0/0 k3-convT scatter).
 
     Epilogue combos (all rounding through bf16 at every materialization
     point, matching the XLA int8 reference bit-for-bit):
-      YADD:  fold a residual add  y_new = bf16(bf16(conv·ws + b) + y)
-      S8OUT: STATIC output quantize q = clip(round(bf16·qo), QLO, 127),
-             emitted at width WPO with the zero column halos injected —
-             the next s8 site's input. Only valid on norm-folded nets.
-    Default epilogue (S8OUT=False) emits the bf16 raw at width W0."""
+      AFF:   frozen norm affine  fv = bf16(f32(fv)·aa + ac)  (static-norm
+             Johnson in2; applied after the raw's bf16 round, before YADD)
+      YADD:  fold a residual add  y_new = bf16(f32(fv) + f32(y))
+      S8OUT: STATIC output quantize q = clip(round(f32(fv)·qa + qc),
+             QLO, 127), emitted at width WPO with the column halos
+             injected — the next s8 site's input. Only valid when every
+             intervening norm is a compile-time constant.
+    Default epilogue (S8OUT=False) emits the bf16 raw at width W0.
+    dq rows: [ws, bias] + ([aa, ac] if AFF) + ([qa, qc] if S8OUT)."""
     from jax.experimental import pallas as pl
 
     if YADD:
@@ -624,14 +670,22 @@ def _site_kernel_s8g(w_ref, dq_ref, qh_ref, qb_ref, qt_ref, *refs,
     CO = w_ref.shape[2]
     ws = dq_ref[0, :]
     bi = dq_ref[1, :]
-    qo = dq_ref[2, :] if S8OUT else None
+    row = 2
+    if AFF:
+        aa, ac = dq_ref[row, :], dq_ref[row + 1, :]
+        row += 2
+    if S8OUT:
+        qa, qc = dq_ref[row, :], dq_ref[row + 1, :]
 
-    z8 = jnp.zeros((WPS, C), jnp.int8)
     xh = qh_ref[0].reshape(WPS, C)
     xt = qt_ref[0].reshape(WPS, C)
-    xs_ref[0:WPS] = jnp.where(j == 0, z8, xh)
+    if HALO == "zero":
+        z8 = jnp.zeros((WPS, C), jnp.int8)
+        xh = jnp.where(j == 0, z8, xh)
+        xt = jnp.where(j == NS - 1, z8, xt)
+    xs_ref[0:WPS] = xh
     xs_ref[WPS:(TS + 1) * WPS] = qb_ref[0].reshape(TS * WPS, C)
-    xs_ref[(TS + 1) * WPS:(TS + 2) * WPS] = jnp.where(j == NS - 1, z8, xt)
+    xs_ref[(TS + 1) * WPS:(TS + 2) * WPS] = xt
     xs_ref[(TS + 2) * WPS:] = jnp.zeros((32, C), jnp.int8)
 
     for r0, rows in _tiles(TS, MT):
@@ -646,32 +700,38 @@ def _site_kernel_s8g(w_ref, dq_ref, qh_ref, qb_ref, qt_ref, *refs,
                 acc = p if acc is None else acc + p
         f = acc.astype(jnp.float32) * ws + bi
         fv = f.reshape(rows, WPS, CO)[:, 0:W0, :].astype(jnp.bfloat16)
+        if AFF:
+            fv = (fv.astype(jnp.float32) * aa + ac).astype(jnp.bfloat16)
         if YADD:
             fv = (fv.astype(jnp.float32)
                   + yb_ref[0, r0:r0 + rows].astype(jnp.float32)).astype(
                       jnp.bfloat16)
         if S8OUT:
-            q = jnp.clip(jnp.round(fv.astype(jnp.float32) * qo),
+            q = jnp.clip(jnp.round(fv.astype(jnp.float32) * qa + qc),
                          QLO, 127.0).astype(jnp.int8)
-            o_ref[0, r0:r0 + rows] = jnp.pad(
-                q, ((0, 0), (1, WPO - W0 - 1), (0, 0)))
+            o_ref[0, r0:r0 + rows] = _s8_col_halo(q, W0, WPO, HALO)
         else:
             o_ref[0, r0:r0 + rows] = fv
 
 
 def site_s8(xq: jnp.ndarray, w: jnp.ndarray, ws: jnp.ndarray,
             bias: jnp.ndarray, *, w0: int, y: jnp.ndarray | None = None,
-            qo=None, qlo: float = 0.0, kh: int = 3, kw: int = 3,
+            qo=None, qa=None, qc=None, aff=None, qlo: float = 0.0,
+            halo: str = "zero", kh: int = 3, kw: int = 3,
             pt: int = 1, pl_: int = 1, ts: int | None = None, mt: int = 4):
-    """Static-scale s8-input KHxKW site (zero-pad semantics).
+    """Static-scale s8-input KHxKW site.
 
-    xq: (B, H, WPS, C) s8, content at columns 1..w0 with zero column
-    halos pre-injected (``res_site_s8o`` / own S8OUT form). w:
-    (kh*kw, C, CO) s8; ws, bias: (CO,) f32.
+    xq: (B, H, WPS, C) s8, content at columns 1..w0 with the column
+    halos pre-injected (``res_site_s8o`` / own S8OUT form); ``halo``
+    ("zero"/"reflect"/"edge") picks the image-border ROW behavior and the
+    emitted column halos. w: (kh*kw, C, CO) s8; ws, bias: (CO,) f32.
+    aff: optional (aa, ac) per-channel (CO,) FROZEN norm affine applied
+    after the raw's bf16 round (static-norm Johnson in2).
     y: optional (B, H, w0, C) bf16 residual folded into the epilogue.
-    qo: optional scalar static output quantize scale — when given the
-    site emits (B, H, _wps(w0), CO) s8 (clamp floor qlo; 0.0 folds a
-    trailing ReLU), else the (B, H, w0, CO) bf16 raw."""
+    Output quantize: scalar ``qo`` or per-channel ``qa``/``qc`` (CO,)
+    rows — when given the site emits (B, H, _wps(w0), CO) s8 (clamp
+    floor qlo; 0.0 folds a trailing ReLU), else the (B, H, w0, CO)
+    bf16 raw."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -679,17 +739,23 @@ def site_s8(xq: jnp.ndarray, w: jnp.ndarray, ws: jnp.ndarray,
     CO = w.shape[2]
     TS = ts if ts is not None else _pick_ts(H)
     NS = H // TS
-    WPO = _wps(w0) if qo is not None else w0
+    s8out = qo is not None or qa is not None
+    WPO = _wps(w0) if s8out else w0
     rows = [ws, bias]
-    if qo is not None:
-        rows.append(jnp.full((CO,), qo, jnp.float32))
-    dq = jnp.stack(rows, axis=0)                       # (2|3, CO)
+    if aff is not None:
+        rows.extend([aff[0], aff[1]])
+    if s8out:
+        if qa is None:
+            qa = jnp.full((CO,), qo, jnp.float32)
+            qc = jnp.zeros((CO,), jnp.float32)
+        rows.extend([qa, qc])
+    dq = jnp.stack(rows, axis=0)                       # (2..6, CO)
     kern = functools.partial(_site_kernel_s8g, TS=TS, W0=w0, WPS=WPS,
                              WPO=WPO, MT=mt, NS=NS, KH=kh, KW=kw, PT=pt,
                              PL=pl_, YADD=y is not None,
-                             S8OUT=qo is not None, QLO=qlo)
-    hmap = lambda b, j: (b, jnp.maximum(TS * j - 1, 0), 0, 0)  # noqa: E731
-    tmap = lambda b, j: (b, jnp.minimum(TS * (j + 1), H - 1), 0, 0)  # noqa: E731
+                             S8OUT=s8out, AFF=aff is not None,
+                             QLO=qlo, HALO=halo)
+    hmap, tmap = _s8_row_maps(TS, H, halo)
     in_specs = [
         pl.BlockSpec((kh * kw, C, CO), lambda b, j: (0, 0, 0),
                      memory_space=pltpu.VMEM),
@@ -705,7 +771,7 @@ def site_s8(xq: jnp.ndarray, w: jnp.ndarray, ws: jnp.ndarray,
         in_specs.append(pl.BlockSpec((1, TS, w0, C), lambda b, j: (b, j, 0, 0),
                                      memory_space=pltpu.VMEM))
         args.append(y)
-    odt = jnp.int8 if qo is not None else jnp.bfloat16
+    odt = jnp.int8 if s8out else jnp.bfloat16
     return pl.pallas_call(
         kern,
         grid=(B, NS),
@@ -1206,6 +1272,102 @@ def _pair_d2_weights(wq) -> jnp.ndarray:
         out[dy, 1, 64:, 128:] = w[dy, 1]      # x[2j+1] → out 2j+1 (dx=1)
         out[dy, 2, 0:64, 128:] = w[dy, 2]     # x[2j+2] → out 2j+1 (dx=2)
     return jnp.asarray(out.reshape(9, 128, 256))
+
+
+def res_chain_s8_static(y: jnp.ndarray, p: dict, quant: dict,
+                        static_stats: dict, *, ts: int | None = None,
+                        mt: int = 4) -> jnp.ndarray:
+    """The five Johnson res blocks on end-to-end s8 carries with FROZEN
+    instance norms (the static-norm int8 mode, --quantize int8_static
+    with "res_s8" adopted).
+
+    With static stats every inter-conv scale is a compile-time constant,
+    so the a-site emits the b-site's s8 input directly (the in1 affine +
+    ReLU + quantize fold into the output rows — the bf16 a-raw never
+    exists in HBM) and the b-site consumes s8, applies the frozen in2
+    affine post-round, and folds the residual add. Per block the HBM
+    boundary drops from bf16+bf16+stats to s8+bf16 — the same ~1 GB/block
+    saving measured for the BN-folded .t7 s8 carry (PERF.md round-3).
+
+    Matches the XLA static int8 reference
+    (transformer_net_s2d2.apply(quant=, static_stats=, fused_sites=()))
+    code-for-code: every materialization point rounds through bf16 in the
+    same order, so the s8 carries are bit-identical; the bf16 outputs can
+    differ by isolated 1-ulp f32-FMA-contraction flips (~1 element in 65k
+    per block — tests/test_static_norm.py::test_static_s8_chain_bit_exact).
+
+    Reference math: /root/reference/transformer_net.py:60-99 (res blocks),
+    restructured per models/transformer_net_s2d2.py."""
+    B, H, W0, C = y.shape
+    for i in range(1, 6):
+        rp = p[f"res{i}"]
+        qa_, qb_ = quant[f"r{i}a"], quant[f"r{i}b"]
+        m1, inv1 = (s.astype(jnp.float32) for s in static_stats[f"r{i}in1"])
+        m2, inv2 = (s.astype(jnp.float32) for s in static_stats[f"r{i}in2"])
+        sc1 = rp["in1"]["scale"].astype(jnp.float32)
+        bi1 = rp["in1"]["bias"].astype(jnp.float32)
+        sc2 = rp["in2"]["scale"].astype(jnp.float32)
+        bi2 = rp["in2"]["bias"].astype(jnp.float32)
+        # the b-site input quantize, exactly as the XLA _qc computes it
+        qA = ((inv1 * sc1) * qb_["qin"])[0]            # (C,)
+        qC = ((bi1 - m1 * inv1 * sc1) * qb_["qin"])[0]
+        aq = jnp.full((B, C), qa_["qin"], jnp.float32)
+        cq = jnp.zeros((B, C), jnp.float32)
+        qx = res_site_s8o(y, aq, cq, qa_["w"].reshape(9, C, C), qa_["ws"],
+                          rp["conv1"]["b"].astype(jnp.float32),
+                          qa=qA, qc=qC, lo=-127.0, qlo=0.0, halo="reflect",
+                          ts=ts, mt=mt)
+        # frozen in2 affine, exactly as _apply_in_relu computes it
+        aff = ((inv2 * sc2)[0], (bi2 - m2 * inv2 * sc2)[0])
+        y = site_s8(qx, qb_["w"].reshape(9, C, C), qb_["ws"],
+                    rp["conv2"]["b"].astype(jnp.float32), w0=W0, y=y,
+                    aff=aff, halo="reflect", ts=ts, mt=mt)
+    return y
+
+
+def dec_chain_s8_static(y: jnp.ndarray, p: dict, quant: dict,
+                        static_stats: dict):
+    """deconv1 + deconv2 on an s8 carry with FROZEN norms (static-norm
+    Johnson, "dec_s8"): d1 consumes the res-chain output (bf16, edge
+    halos in the quantize prologue) and emits deconv2's s8 input directly
+    (the frozen in4 affine + ReLU fold into the output quantize — the
+    bf16 d1 raw never exists in HBM); the d2s shuffle + edge-halo re-pad
+    run at s8 (quantize is pointwise, so it commutes with the permutation
+    and the halo copies — same argument as the .t7 dec-s8 carry); d2
+    emits the bf16 raw for the XLA tail with the static in5 stats.
+
+    Returns ``(d2_raw, m5, inv5)`` — the dynamic ``dec_chain`` contract.
+    Reference math: /root/reference/transformer_net.py:40-56
+    (UpsampleConvLayer), restructured per models/transformer_net_s2d2.py."""
+    from .transformer_net_s2d import d2s
+
+    B, H, W0, C = y.shape
+    q1, q2 = quant["d1"], quant["d2"]
+    m4, inv4 = (s.astype(jnp.float32) for s in static_stats["in4"])
+    sc4 = p["in4"]["scale"].astype(jnp.float32)
+    bi4 = p["in4"]["bias"].astype(jnp.float32)
+    # the d2 input quantize, exactly as the XLA _qc computes it at the
+    # 540 grid (phases=1 over 64 ch) — tiled ×4 to d1's phase-major 256
+    qA = jnp.tile(((inv4 * sc4) * q2["qin"])[0], 4)          # (256,)
+    qC = jnp.tile(((bi4 - m4 * inv4 * sc4) * q2["qin"])[0], 4)
+    aq = jnp.full((B, C), q1["qin"], jnp.float32)
+    cq = jnp.zeros((B, C), jnp.float32)
+    qd1 = res_site_s8o(y, aq, cq, q1["w"].reshape(9, C, -1), q1["ws"],
+                       p["d1_b"].astype(jnp.float32), qa=qA, qc=qC,
+                       lo=-127.0, qlo=0.0, halo="edge")
+    co = qd1.shape[-1] // 4                                  # 64
+    qs = d2s(qd1[:, :, 1:W0 + 1], 2, co)                     # s8 @540 grid
+    H2, W2 = 2 * H, 2 * W0
+    WPS2 = _wps(W2)
+    X = jnp.pad(qs, ((0, 0), (0, 0), (1, WPS2 - W2 - 1), (0, 0)))
+    X = X.at[:, :, 0].set(qs[:, :, 0])                       # edge halos
+    X = X.at[:, :, W2 + 1].set(qs[:, :, -1])
+    r2 = site_s8(X, q2["w"].reshape(9, co, -1), q2["ws"],
+                 p["d2_b"].astype(jnp.float32), w0=W2, halo="edge")
+    m5, inv5 = static_stats["in5"]
+    m5 = jnp.broadcast_to(m5.astype(jnp.float32), (B, m5.shape[-1]))
+    inv5 = jnp.broadcast_to(inv5.astype(jnp.float32), (B, inv5.shape[-1]))
+    return r2, m5, inv5
 
 
 def dec_chain(y: jnp.ndarray, p: dict, quant: dict, carry=None,

@@ -422,21 +422,33 @@ def apply(params: dict, x: jnp.ndarray, *, tap=None,
         m, inv = _st("in3", y, 1, 128)
         y = _apply_in_relu(y, m, inv, p["in3"]["scale"], p["in3"]["bias"], 1)
 
-    use_res_i8 = use_dec_i8 = False
+    use_res_i8 = use_res_s8 = use_dec_i8 = use_dec_s8 = False
     res_carry = None
-    if quant is not None and ("res_i8" in fused_sites
-                              or "dec_i8" in fused_sites):
+    if quant is not None and ({"res_i8", "res_s8", "dec_i8", "dec_s8"}
+                              & set(fused_sites)):
         from . import s2d2_sites_i8
-        if "res_i8" in fused_sites:
-            use_res_i8 = (all(f"r{i}{ab}" in quant
-                              for i in range(1, 6) for ab in "ab")
-                          and s2d2_sites_i8.res_supported(y.shape[1],
-                                                          y.shape[2]))
-        if "dec_i8" in fused_sites:
-            use_dec_i8 = ("d1" in quant and "d2" in quant
-                          and s2d2_sites_i8.dec_supported(y.shape[1],
-                                                          y.shape[2]))
-    if use_res_i8:
+        have_r = all(f"r{i}{ab}" in quant
+                     for i in range(1, 6) for ab in "ab")
+        ok_geo = s2d2_sites_i8.res_supported(y.shape[1], y.shape[2])
+        if "res_s8" in fused_sites and static_stats is not None:
+            # s8-carry chain (frozen norms make every scale static);
+            # falls back to res_i8 when stats/geometry don't allow it.
+            use_res_s8 = (have_r and ok_geo
+                          and all(f"r{i}in{j}" in static_stats
+                                  for i in range(1, 6) for j in (1, 2)))
+        if "res_i8" in fused_sites and not use_res_s8:
+            use_res_i8 = have_r and ok_geo
+        have_d = ("d1" in quant and "d2" in quant
+                  and s2d2_sites_i8.dec_supported(y.shape[1], y.shape[2]))
+        if "dec_s8" in fused_sites and static_stats is not None:
+            # d1 emits d2's s8 input (frozen in4 folded); d2s runs at s8
+            use_dec_s8 = (have_d and "in4" in static_stats
+                          and "in5" in static_stats)
+        if "dec_i8" in fused_sites and not use_dec_s8:
+            use_dec_i8 = have_d
+    if use_res_s8:
+        y = s2d2_sites_i8.res_chain_s8_static(y, p, quant, static_stats)
+    elif use_res_i8:
         # all ten res-site convs as Pallas int8 fused kernels: the quantize
         # runs in each kernel's prologue from VMEM (the standalone XLA
         # quantize passes were 56.8 ms/B16 — PERF.md int8 section) and the
@@ -469,7 +481,14 @@ def apply(params: dict, x: jnp.ndarray, *, tap=None,
                 y = _apply_in_relu(r, m2, inv2, rp["in2"]["scale"],
                                    rp["in2"]["bias"], 1, relu=False) + y
 
-    if use_dec_i8:
+    if use_dec_s8:
+        # deconv1+deconv2 on an s8 carry (frozen in4 folded into d1's
+        # output quantize; d2s shuffle + edge re-pad run at s8).
+        from . import s2d2_sites_i8
+        tap("d1", y)
+        y, m, inv = s2d2_sites_i8.dec_chain_s8_static(y, p, quant,
+                                                      static_stats)
+    elif use_dec_i8:
         # deconv1+deconv2 as Pallas int8 fused sites (edge halos + the in4
         # affine in the d2 kernel's quantize prologue; d2s stays XLA).
         from . import s2d2_sites_i8

@@ -111,6 +111,14 @@ def test_decide_multi_batch_requires_win_on_every_batch(tmp_path):
     assert config is None
 
 
+def test_decide_static_s8c_adoption(tmp_path):
+    (tmp_path / "mk35_static.txt").write_text(
+        "quality i8-s8c: MAE 0.00020 max 0.002 (indep MAE 0.00100)\n"
+        + _rows({"i8-static": 130.0, "i8-s8c": 141.0}))
+    _, config = decide(str(tmp_path))
+    assert config == {"sites_static": ["res_i8", "res_s8", "dec_i8"]}
+
+
 def test_apply_writes_json_and_loader_rides_it(tmp_path, monkeypatch, capsys):
     (tmp_path / "mk32_t7_bn.txt").write_text(SAMPLE)
     monkeypatch.setattr(adopt_overrides, "PATH", tmp_path / "i8_adopt.json")

@@ -103,6 +103,51 @@ def test_static_pallas_chain_parity(baked):
     assert d.mean() < 1e-3, (d.mean(), d.max())
 
 
+@pytest.mark.slow
+def test_static_s8_chain_bit_exact(baked):
+    """The s8-carry res chain (fused_sites=("res_s8",) under static_stats:
+    a-sites emit the b-sites' s8 inputs with the frozen in1 affine folded,
+    b-sites apply frozen in2 post-round and fold the residual add) matches
+    the XLA static int8 reference code-for-code: the s8 carries are
+    bit-identical (checked transitively by the y outputs' scale), and the
+    bf16 y outputs differ only by isolated f32-FMA-contraction flips of
+    one bf16 ulp (XLA chooses mul+add vs fma per fusion — measured one
+    element in 65k per block; not controllable from jnp)."""
+    from neuralstyletransferv1_tpu.models import s2d2_sites_i8
+
+    bp = jax.tree.map(lambda a: a.astype(jnp.bfloat16), baked)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.random((2, 32, 256, 3)), jnp.bfloat16)
+    xf = x.astype(jnp.float32)
+    stats = s2d2.calibrate_in_stats(baked, xf[:1])
+    scales = s2d2.calibrate_act_scales(baked, xf[:1], static_stats=stats)
+    quant = s2d2.quantize_net(baked, scales)
+    assert s2d2_sites_i8.res_supported(8, 64)
+
+    s2d2_sites_i8._INTERPRET = True
+    try:
+        y_xla = s2d2.apply(bp, x, quant=quant, static_stats=stats)
+        y_s8 = s2d2.apply(bp, x, quant=quant, static_stats=stats,
+                          fused_sites=("res_s8",))
+        y_s8dec = s2d2.apply(bp, x, quant=quant, static_stats=stats,
+                             fused_sites=("res_s8", "res_i8", "dec_i8"))
+        assert s2d2_sites_i8.dec_supported(8, 64)
+        y_ds8 = s2d2.apply(bp, x, quant=quant, static_stats=stats,
+                           fused_sites=("res_s8", "res_i8", "dec_s8",
+                                        "dec_i8"))
+    finally:
+        s2d2_sites_i8._INTERPRET = False
+    d = np.abs(np.asarray(y_s8, np.float32) - np.asarray(y_xla, np.float32))
+    # ulp-level: a 1-ulp flip mid-chain spreads spatially through the
+    # following 3x3 convs, so gate the mean/max, not the touched fraction
+    assert d.mean() < 1e-5, (d.mean(), d.max())
+    assert d.max() < 2e-2, d.max()
+    d = np.abs(np.asarray(y_s8dec, np.float32) - np.asarray(y_xla, np.float32))
+    assert d.mean() < 1e-3, (d.mean(), d.max())
+    d = np.abs(np.asarray(y_ds8, np.float32) - np.asarray(y_xla, np.float32))
+    assert d.mean() < 1e-3, (d.mean(), d.max())
+
+
 def test_engine_static_flags(tmp_path):
     """--quantize bf16_static / int8_static through the engine CLI: output
     close to the exact run (image mode, batched path; calibration rides
