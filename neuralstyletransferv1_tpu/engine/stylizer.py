@@ -239,7 +239,7 @@ def jit_stylizer(model: StyleModel, *, dtype=jnp.float32, optimize: bool = True,
                    (s2d_params, t7_fast_params, nst_fast_params,
                     reco_fast_params))
 
-    def fast_apply(x, quant=None, static_stats=None):
+    def fast_apply(x, quant=None, static_stats=None, t7_params=None):
         """Fast f=2 forms; x must have H, W divisible by 4."""
         from ..models import transformer_net_s2d2 as tns2d
         from ..ops.resize import resize_bilinear
@@ -273,7 +273,8 @@ def jit_stylizer(model: StyleModel, *, dtype=jnp.float32, optimize: bool = True,
             xin = iop.preprocess(m.io_preset, x)
             return iop.postprocess(
                 m.io_preset,
-                t7_fast_apply(t7_fast_params, xin, quant=quant,
+                t7_fast_apply(t7_params if t7_params is not None
+                              else t7_fast_params, xin, quant=quant,
                               fused_sites=fused))
         if nst_fast_params is not None:
             from ..models import transformer_net_nst_fast as nstf
@@ -297,7 +298,7 @@ def jit_stylizer(model: StyleModel, *, dtype=jnp.float32, optimize: bool = True,
             reconet_fast.apply(reco_fast_params, xin, quant=quant,
                                fused_sites=fused))
 
-    def make_fn(quant=None, static_stats=None):
+    def make_fn(quant=None, static_stats=None, t7_params=None):
         def fn(x01):
             x = x01.astype(dtype)
             H, W = x.shape[1], x.shape[2]
@@ -313,21 +314,69 @@ def jit_stylizer(model: StyleModel, *, dtype=jnp.float32, optimize: bool = True,
                 # frame.
                 xp = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)),
                              mode="reflect")
-                out = fast_apply(xp, quant, static_stats)[:, :H, :W]
+                out = fast_apply(xp, quant, static_stats,
+                                 t7_params)[:, :H, :W]
             else:
-                out = fast_apply(x, quant, static_stats)
+                out = fast_apply(x, quant, static_stats, t7_params)
             return out.astype(jnp.float32)
 
         return fn
 
+    t7_static_ok = False
     if quantize in ("bf16_static", "int8_static") and s2d_params is None:
-        # Static-norm is a Johnson-s2d2 mode today. BN-folded .t7 graphs
-        # have no runtime norms at all, so int8_static degenerates to the
-        # regular int8 path; everything else keeps its exact path.
-        print(f"[stylizer][WARN] --quantize {quantize} is a Johnson-s2d2 "
-              f"static-norm mode; {model.name} ({model.arch}) falls back "
-              f"to {'int8' if quantize == 'int8_static' else 'the exact path'}.")
-        quantize = "int8" if quantize == "int8_static" else None
+        if t7_fast_params is not None:
+            from ..io import t7_fast as t7f
+            t7_static_ok = t7f.has_deferred_norms(t7_fast_params32)
+        if not t7_static_ok:
+            # Static-norm needs runtime norms to freeze. BN-folded .t7
+            # graphs have none (already the static structure), so
+            # int8_static degenerates to the regular int8 path; anything
+            # without a supported fast form keeps its exact path.
+            print(f"[stylizer][WARN] --quantize {quantize}: {model.name} "
+                  f"({model.arch}) has no freezable runtime norms; falls "
+                  f"back to "
+                  f"{'int8' if quantize == 'int8_static' else 'the exact path'}.")
+            quantize = "int8" if quantize == "int8_static" else None
+
+    if t7_static_ok:
+        # STATIC-NORM on an instance-norm .t7 graph: freeze the deferred
+        # norms to first-batch stats and FOLD them into the conv weights
+        # (io/t7_fast.fold_static_in) — the result is BN-folded-form and
+        # rides that path's whole machinery, including the s8-carry int8
+        # chains IN graphs cannot use dynamically.
+        from ..io import t7_fast as t7f
+
+        want_i8 = quantize == "int8_static"
+        state_t: dict = {}
+
+        def call_static_t7(x01):
+            if "fn" not in state_t:
+                xc = x01[:1].astype(jnp.float32)
+                H, W = xc.shape[1], xc.shape[2]
+                ph, pw = (-H) % 4, (-W) % 4
+                if ph or pw:
+                    xc = jnp.pad(xc, ((0, 0), (0, ph), (0, pw), (0, 0)),
+                                 mode="reflect")
+                xin = iop.preprocess(m.io_preset, xc)
+                stats = t7f.calibrate_t7_in_stats(t7_fast_params32, xin)
+                folded32 = t7f.fold_static_in(t7_fast_params32, stats)
+                quant = None
+                if want_i8:
+                    scales = t7f.calibrate_t7_scales(folded32, xin)
+                    quant = t7f.quantize_t7(folded32, scales)
+                folded = folded32
+                if dtype != jnp.float32:
+                    folded = jax.tree.map(
+                        lambda a: a.astype(dtype)
+                        if hasattr(a, "astype") else a, folded32)
+                state_t["fn"] = _jit_batch(
+                    make_fn(quant, t7_params=folded), mesh)
+                print(f"[stylizer] static-norm "
+                      f"{'int8' if want_i8 else 'bf16'} .t7 path folded "
+                      f"for {model.name} ({len(stats)} frozen norms)")
+            return state_t["fn"](x01)
+
+        return call_static_t7
 
     if quantize in ("bf16_static", "int8_static"):
         # STATIC-NORM modes (opt-in quality trade): freeze every instance

@@ -287,9 +287,11 @@ def _fold_bn_phases(wb, b, bn):
     return wb * s4, bb
 
 
-def _defer_norm(y, nrm, phases, c, *, act=True):
+def _defer_norm(y, nrm, phases, c, *, act=True, stats_out=None, site=None):
     """Deferred instance norm + optional ReLU over a block tensor whose
-    channels are ``phases`` phase copies of ``c`` logical channels."""
+    channels are ``phases`` phase copies of ``c`` logical channels.
+    stats_out/site: optional calibration hook recording (mean, inv) —
+    the static-norm fold's input (fold_static_in)."""
     import jax
     import jax.numpy as jnp
 
@@ -298,6 +300,8 @@ def _defer_norm(y, nrm, phases, c, *, act=True):
     mean = jnp.mean(yr, axis=(1, 2, 3))
     var = jnp.mean(jnp.square(yr), axis=(1, 2, 3)) - mean * mean
     inv = jax.lax.rsqrt(var + nrm["eps"])
+    if stats_out is not None:
+        stats_out[site] = (mean, inv)
     sc = nrm["scale"].astype(jnp.float32)
     bi = nrm["bias"].astype(jnp.float32)
     a = jnp.tile(inv * sc, (1, phases))[:, None, None, :]
@@ -570,6 +574,83 @@ def _t7_dec_i8(y, p, quant, c0):
     return jax.nn.relu(r2.astype(jnp.float32) * a2 + b2).astype(dt)
 
 
+def has_deferred_norms(p: dict) -> bool:
+    """True when the fast-form params carry runtime (instance) norms — the
+    graphs the static-norm fold (fold_static_in) applies to."""
+    return (any(p.get(k) is not None for k in _IN_FOLD)
+            or any(rp.get(f"rn{j}") is not None
+                   for rp in p["res"] for j in (1, 2)))
+
+
+def calibrate_t7_in_stats(p: dict, x_cal) -> dict:
+    """Frozen per-norm (mean, inv) from ONE jitted f32 forward — the
+    static-norm .t7 mode's statistics (fold_static_in). Averaged over the
+    calibration batch (shape (1, C))."""
+    import jax
+    import jax.numpy as jnp
+
+    def run(x):
+        so: dict = {}
+        t7_fast_apply(p, x, stats_out=so)
+        return {k: (jnp.mean(mv[0], axis=0, keepdims=True),
+                    jnp.mean(mv[1], axis=0, keepdims=True))
+                for k, mv in so.items()}
+
+    out = jax.jit(run)(x_cal)
+    return {k: (jnp.asarray(m, jnp.float32), jnp.asarray(iv, jnp.float32))
+            for k, (m, iv) in out.items()}
+
+
+#: deferred-norm key -> (conv weight key, bias key, phase-copy count of the
+#: logical channels in the conv's output layout)
+_IN_FOLD = {"n1": ("c1_w", "c1_b", 4), "n2": ("c2_w", "c2_b", 1),
+            "n3": ("c3_w", "c3_b", 1),
+            "n_d1": ("d1_w", "d1_b", 4), "n_d2": ("d2_w", "d2_b", 4)}
+
+
+def fold_static_in(p: dict, stats: dict) -> dict:
+    """Fold FROZEN instance-norm stats into the conv weights — the
+    static-norm .t7 mode (--quantize bf16_static / int8_static on a .t7
+    slot): norm(conv(x)·)·scale+bias with constant (mean, inv) is a
+    per-out-channel affine, exactly like the BN fold (``_fold_bn``), so
+    the returned params are BN-folded-FORM (every deferred norm None) and
+    ride the entire fast machinery — including the s8-carry int8 chains
+    that IN graphs cannot use dynamically. NOT exact vs the dynamic path
+    (IN is per-image); the engine gates quality.
+
+    stats: calibrate_t7_in_stats output keyed n1/n2/n3, r{i}n{1,2},
+    n_d1/n_d2."""
+    import jax.numpy as jnp
+
+    q = dict(p)
+
+    def fold(w, bias, nrm, mv, phases):
+        m, inv = (np.asarray(s, np.float32)[0] for s in mv)
+        a = inv * np.asarray(nrm["scale"], np.float32)
+        c = (np.asarray(nrm["bias"], np.float32) - m * a)
+        a, c = np.tile(a, phases), np.tile(c, phases)
+        w2 = jnp.asarray(np.asarray(w, np.float32) * a)
+        b2 = jnp.asarray(np.asarray(bias, np.float32) * a + c)
+        return w2, b2
+
+    for nk, (wk, bk, ph) in _IN_FOLD.items():
+        if p.get(nk) is not None and nk in stats:
+            q[wk], q[bk] = fold(p[wk], p[bk], p[nk], stats[nk], ph)
+            q[nk] = None
+    res2 = []
+    for i, rp in enumerate(p["res"]):
+        rp2 = dict(rp)
+        for j in (1, 2):
+            if rp.get(f"rn{j}") is not None and f"r{i}n{j}" in stats:
+                rp2[f"w{j}"], rp2[f"b{j}"] = fold(
+                    rp[f"w{j}"], rp[f"b{j}"], rp[f"rn{j}"],
+                    stats[f"r{i}n{j}"], 1)
+                rp2[f"rn{j}"] = None
+        res2.append(rp2)
+    q["res"] = res2
+    return q
+
+
 def calibrate_t7_scales(p: dict, x_cal) -> dict:
     """Per-res-site max|activation| from one jitted f32 forward (x_cal:
     model-space input, e.g. caffe_bgr-preprocessed)."""
@@ -609,7 +690,8 @@ def quantize_t7(p: dict, act_scales: dict) -> dict:
     return q
 
 
-def t7_fast_apply(p: dict, x, *, tap=None, quant=None, fused_sites=()):
+def t7_fast_apply(p: dict, x, *, tap=None, quant=None, fused_sites=(),
+                  stats_out=None):
     """f=2 block-space forward for a recognized .t7 Johnson net (BN folded;
     IN deferred).
 
@@ -637,13 +719,15 @@ def t7_fast_apply(p: dict, x, *, tap=None, quant=None, fused_sites=()):
     if tap is None:
         tap = lambda name, t: None  # noqa: E731
 
-    def na(y, nrm, phases, c, *, act=True):
+    def na(site, y, nrm, phases, c, *, act=True):
         if nrm is None:
             return relu(y) if act else y
-        return _defer_norm(y, nrm, phases, c, act=act)
+        return _defer_norm(y, nrm, phases, c, act=act,
+                           stats_out=stats_out, site=site)
 
     y = s2d(x, 2)
-    y = na(conv2d(y, p["c1_w"], p["c1_b"], padding=2), p["n1"], 4, c0)
+    y = na("n1", conv2d(y, p["c1_w"], p["c1_b"], padding=2), p["n1"],
+           4, c0)
     use_c2_i8 = False
     if quant is not None and "c2" in quant and "c2_i8" in fused_sites:
         from ..models import s2d2_sites_i8 as si8
@@ -672,10 +756,10 @@ def t7_fast_apply(p: dict, x, *, tap=None, quant=None, fused_sites=()):
                 .astype(y.dtype)
     else:
         tap("c2", y)
-        y = na(conv2d(y, p["c2_w"], p["c2_b"],
+        y = na("n2", conv2d(y, p["c2_w"], p["c2_b"],
                       padding=((1, 0), (1, 0))),        # left/top zero halo
                p["n2"], 1, 2 * c0)
-    y = na(conv2d(y, p["c3_w"], p["c3_b"], stride=2, padding=1),
+    y = na("n3", conv2d(y, p["c3_w"], p["c3_b"], stride=2, padding=1),
            p["n3"], 1, 4 * c0)
 
     nres = len(p["res"])
@@ -714,11 +798,11 @@ def t7_fast_apply(p: dict, x, *, tap=None, quant=None, fused_sites=()):
     else:
         for i, rp in enumerate(p["res"]):
             tap(f"r{i}a", y)
-            r = na(conv2d(y, rp["w1"], rp["b1"], padding=1), rp["rn1"], 1,
-                   4 * c0)
+            r = na(f"r{i}n1", conv2d(y, rp["w1"], rp["b1"], padding=1),
+                   rp["rn1"], 1, 4 * c0)
             tap(f"r{i}b", r)
-            r = na(conv2d(r, rp["w2"], rp["b2"], padding=1), rp["rn2"], 1,
-                   4 * c0, act=False)
+            r = na(f"r{i}n2", conv2d(r, rp["w2"], rp["b2"], padding=1),
+                   rp["rn2"], 1, 4 * c0, act=False)
             y = y + r
     use_dec_i8 = False
     if (not use_dec_s8 and quant is not None and "dec_i8" in fused_sites
@@ -740,10 +824,10 @@ def t7_fast_apply(p: dict, x, *, tap=None, quant=None, fused_sites=()):
         tap("d1", y)
         pd = p["d1_pad"]
         y = conv2d(y, p["d1_w"], p["d1_b"], padding=(pd, pd))
-        y = na(d2s(y, 2, 2 * c0), p["n_d1"], 1, 2 * c0)
+        y = na("n_d1", d2s(y, 2, 2 * c0), p["n_d1"], 1, 2 * c0)
         tap("d2", y)
         pd = p["d2_pad"]
-        y = na(conv2d(y, p["d2_w"], p["d2_b"], padding=(pd, pd)),
+        y = na("n_d2", conv2d(y, p["d2_w"], p["d2_b"], padding=(pd, pd)),
                p["n_d2"], 4, c0)
     rows = conv2d(y, p["d3_w"], padding=(2, 2))         # (B, H/2+4, W/2, 60)
     y = sum(rows[:, dy : dy + hb, :, dy * 12 : (dy + 1) * 12]

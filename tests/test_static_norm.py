@@ -148,6 +148,59 @@ def test_static_s8_chain_bit_exact(baked):
     assert d.mean() < 1e-3, (d.mean(), d.max())
 
 
+def _t7_in_layers():
+    from tests.test_t7_fast import _in, _johnson_layers
+    layers = _johnson_layers()
+    layers = [(_in(l["weight"].shape[0]) if l["op"] == "batchnorm" else l)
+              for l in layers]
+    for l in layers:
+        if l["op"] == "concat_table":
+            l["branches"][0][:] = [
+                (_in(b["weight"].shape[0]) if b["op"] == "batchnorm" else b)
+                for b in l["branches"][0]]
+    return layers
+
+
+def test_t7_static_fold_matches_dynamic_on_calib_input():
+    """fold_static_in on a B=1 calibration input reproduces the dynamic
+    deferred-IN output (up to the f32 weight-fold rounding) and yields a
+    BN-folded-form net (no deferred norms left)."""
+    from neuralstyletransferv1_tpu.io import t7_fast
+
+    fp = t7_fast.try_fast_johnson(_t7_in_layers())
+    assert fp is not None and t7_fast.has_deferred_norms(fp)
+    x = jnp.asarray(np.random.default_rng(7).normal(0, 50, (1, 32, 40, 3)),
+                    jnp.float32)
+    stats = t7_fast.calibrate_t7_in_stats(fp, x)
+    folded = t7_fast.fold_static_in(fp, stats)
+    assert not t7_fast.has_deferred_norms(folded)
+    y_dyn = np.asarray(t7_fast.t7_fast_apply(fp, x), np.float32)
+    y_st = np.asarray(t7_fast.t7_fast_apply(folded, x), np.float32)
+    d = np.abs(y_dyn - y_st)
+    scale = np.abs(y_dyn).mean() + 1e-6
+    assert d.mean() / scale < 1e-4, (d.mean(), scale)
+
+
+def test_engine_t7_static_flags():
+    """--quantize bf16_static / int8_static on an instance-norm .t7 slot:
+    the stylizer folds the frozen norms (call_static_t7) and the output
+    stays close to the exact dynamic path on the calibration batch."""
+    from neuralstyletransferv1_tpu.engine import stylizer as st
+
+    model = st.StyleModel("t7", {"layers": _t7_in_layers()}, "caffe_bgr",
+                          "synthetic_t7_in", "torch7")
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.random((2, 32, 64, 3)), jnp.float32)
+    y_ref = np.asarray(st.jit_stylizer(model, dtype=jnp.bfloat16)(x),
+                       np.float32)
+    for q in ("bf16_static", "int8_static"):
+        y = np.asarray(
+            st.jit_stylizer(model, dtype=jnp.bfloat16, quantize=q)(x),
+            np.float32)
+        d = np.abs(y_ref - y)
+        assert d.mean() < 3e-2, (q, d.mean(), d.max())
+
+
 def test_engine_static_flags(tmp_path):
     """--quantize bf16_static / int8_static through the engine CLI: output
     close to the exact run (image mode, batched path; calibration rides
