@@ -37,6 +37,10 @@ DEFAULTS: dict[str, tuple | bool] = {
     "t7": ("res_i8",),
     "nst": ("res_i8",),
     "reco": ("res_i8",),
+    # static-norm (frozen IN/FRN) int8 variants for the NST / ReCoNet
+    # backends; candidates ("dec_i8", NST "c2_i8") await their mk35 rows
+    "nst_static": ("res_i8",),
+    "reco_static": ("res_i8",),
     "pair_d2": False,  # K=128 column-pair d2 form (default = measured K=64)
     "reco_skip": False,  # ReCoNet combine folded into the next a-site
 }

@@ -44,6 +44,9 @@ _I8_QUANT_KEEP = {"d1", "d2"}  # + every r{i}{a,b}; c2/c3 iff head_i8 lands
 _I8_FUSED_T7 = _adopt.sites("t7")
 _I8_FUSED_NST = _adopt.sites("nst")
 _I8_FUSED_RECO = _adopt.sites("reco")
+# static-norm (frozen IN/FRN) int8 variants of the NST/ReCoNet sets
+_I8_FUSED_NST_STATIC = _adopt.sites("nst_static")
+_I8_FUSED_RECO_STATIC = _adopt.sites("reco_static")
 
 
 def _s2d2_site_filter(scales: dict, xc) -> dict:
@@ -281,22 +284,24 @@ def jit_stylizer(model: StyleModel, *, dtype=jnp.float32, optimize: bool = True,
 
             fused = ()
             if quant is not None and jax.default_backend() == "tpu":
-                fused = _I8_FUSED_NST
+                fused = (_I8_FUSED_NST_STATIC if static_stats is not None
+                         else _I8_FUSED_NST)
             xin = iop.preprocess(m.io_preset, x)
             return iop.postprocess(
                 m.io_preset,
                 nstf.apply(nst_fast_params, xin, quant=quant,
-                           fused_sites=fused))
+                           fused_sites=fused, static_stats=static_stats))
         from ..models import reconet_fast
 
         fused = ()
         if quant is not None and jax.default_backend() == "tpu":
-            fused = _I8_FUSED_RECO
+            fused = (_I8_FUSED_RECO_STATIC if static_stats is not None
+                     else _I8_FUSED_RECO)
         xin = iop.preprocess(m.io_preset, x)
         return iop.postprocess(
             m.io_preset,
             reconet_fast.apply(reco_fast_params, xin, quant=quant,
-                               fused_sites=fused))
+                               fused_sites=fused, static_stats=static_stats))
 
     def make_fn(quant=None, static_stats=None, t7_params=None):
         def fn(x01):
@@ -323,7 +328,8 @@ def jit_stylizer(model: StyleModel, *, dtype=jnp.float32, optimize: bool = True,
         return fn
 
     t7_static_ok = False
-    if quantize in ("bf16_static", "int8_static") and s2d_params is None:
+    if (quantize in ("bf16_static", "int8_static") and s2d_params is None
+            and nst_fast_params is None and reco_fast_params is None):
         if t7_fast_params is not None:
             from ..io import t7_fast as t7f
             t7_static_ok = t7f.has_deferred_norms(t7_fast_params32)
@@ -377,6 +383,47 @@ def jit_stylizer(model: StyleModel, *, dtype=jnp.float32, optimize: bool = True,
             return state_t["fn"](x01)
 
         return call_static_t7
+
+    if (quantize in ("bf16_static", "int8_static")
+            and (nst_fast_params is not None or reco_fast_params is not None)):
+        # STATIC-NORM on the NST / ReCoNet fast forms: freeze every IN (or,
+        # for FRN ReCoNets, every nu2) to the job's first-batch statistics
+        # — same trade and same quality gate as the Johnson branch below.
+        # int8_static additionally quantizes the static graph and rides the
+        # backend's fused sites with static affines.
+        if nst_fast_params is not None:
+            from ..models import transformer_net_nst_fast as _smod
+            _sp32 = nst_fast_params32
+        else:
+            from ..models import reconet_fast as _smod
+            _sp32 = reco_fast_params32
+        want_i8 = quantize == "int8_static"
+        state_g: dict = {}
+
+        def call_static_gen(x01):
+            if "fn" not in state_g:
+                xc = x01[:1].astype(jnp.float32)
+                H, W = xc.shape[1], xc.shape[2]
+                ph, pw = (-H) % 4, (-W) % 4
+                if ph or pw:
+                    xc = jnp.pad(xc, ((0, 0), (0, ph), (0, pw), (0, 0)),
+                                 mode="reflect")
+                xin = iop.preprocess(m.io_preset, xc)
+                stats = _smod.calibrate_in_stats(_sp32, xin)
+                quant = None
+                if want_i8:
+                    scales = _smod.calibrate_act_scales(_sp32, xin,
+                                                        static_stats=stats)
+                    quant = _smod.quantize_net(_sp32, scales)
+                state_g["fn"] = _jit_batch(
+                    make_fn(quant, static_stats=stats), mesh)
+                print(f"[stylizer] static-norm "
+                      f"{'int8' if want_i8 else 'bf16'} {model.arch} path "
+                      f"calibrated for {model.name} "
+                      f"({len(stats)} frozen norms)")
+            return state_g["fn"](x01)
+
+        return call_static_gen
 
     if quantize in ("bf16_static", "int8_static"):
         # STATIC-NORM modes (opt-in quality trade): freeze every instance

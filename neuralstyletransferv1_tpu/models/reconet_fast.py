@@ -102,7 +102,16 @@ def _res_i8_stats(sout, n, frn):
     return s1, jax.lax.rsqrt(var + _EPS)
 
 
-def _res_quant_xla(y, p, quant, frn):
+def _frozen(static_stats, site):
+    """Frozen (mean, inv) for ``site`` from the static-norm stats dict
+    (IN mean/inv-std, or FRN zero-mean/rsqrt-nu2), or ``None``."""
+    if static_stats is not None and site in static_stats:
+        ms, invs = static_stats[site]
+        return ms.astype(jnp.float32), invs.astype(jnp.float32)
+    return None
+
+
+def _res_quant_xla(y, p, quant, frn, static_stats=None):
     """XLA int8 res chain — parity reference / CPU fallback (each site
     pays a standalone HBM quantize pass; TPU runs _res_chain_i8). The
     reflect pads commute with the pointwise quantize, so the s8 tensor is
@@ -117,7 +126,7 @@ def _res_quant_xla(y, p, quant, frn):
         ra = (conv2d_i8(reflect_pad_2d(xq, 1), qa["w"]).astype(jnp.float32)
               * qa["ws"]
               + rp["conv1"]["b"].astype(jnp.float32)).astype(y.dtype)
-        m, inv = _stats(ra, 1, C, frn)
+        m, inv = _frozen(static_stats, f"r{i}in1") or _stats(ra, 1, C, frn)
         sc = rp["norm1"]["scale"].astype(jnp.float32)
         bi = rp["norm1"]["bias"].astype(jnp.float32)
         a1 = (inv * sc)[:, None, None, :] * qb["qin"]
@@ -131,7 +140,7 @@ def _res_quant_xla(y, p, quant, frn):
         rb = (conv2d_i8(reflect_pad_2d(rq, 1), qb["w"]).astype(jnp.float32)
               * qb["ws"]
               + rp["conv2"]["b"].astype(jnp.float32)).astype(y.dtype)
-        m2, inv2 = _stats(rb, 1, C, frn)
+        m2, inv2 = _frozen(static_stats, f"r{i}in2") or _stats(rb, 1, C, frn)
         y = _apply(rb, m2, inv2, rp["norm2"], 1, frn, act=False) + y
         if frn:
             y = jnp.maximum(y.astype(jnp.float32),
@@ -142,7 +151,7 @@ def _res_quant_xla(y, p, quant, frn):
     return y
 
 
-def _res_chain_i8(y, p, quant, frn):
+def _res_chain_i8(y, p, quant, frn, static_stats=None):
     """The four res blocks' convs as Pallas fused int8 sites (reflect
     halos; deferred IN or FRN stats ride the kernel epilogue, the TLU
     folds into the b-site's quantize as a per-channel floor). ReCoNet
@@ -155,20 +164,30 @@ def _res_chain_i8(y, p, quant, frn):
     from . import s2d2_sites_i8 as si8
 
     if _adopt_flag("reco_skip", env="RECO_SKIP"):
-        return _res_chain_i8_skip(y, p, quant, frn, si8)
+        return _res_chain_i8_skip(y, p, quant, frn, si8,
+                                  static_stats=static_stats)
 
     B, H, W0, C = y.shape
     dt = y.dtype
     n = float(H * W0)
     ones = jnp.ones((B, C), jnp.float32)
     zeros = jnp.zeros((B, C), jnp.float32)
+
+    def _site_stats(site, sout):
+        fz = _frozen(static_stats, site)
+        if fz is not None:
+            ms, invs = fz
+            return (jnp.broadcast_to(ms, (B, ms.shape[-1])),
+                    jnp.broadcast_to(invs, (B, invs.shape[-1])))
+        return _res_i8_stats(sout, n, frn)
+
     for i, rp in enumerate(p["res"]):
         qa, qb = quant[f"r{i}a"], quant[f"r{i}b"]
         w9a = qa["w"].reshape(9, C, C)
         w9b = qb["w"].reshape(9, C, C)
         r, sout = si8.res_site(y, ones * qa["qin"], zeros, w9a, qa["ws"],
                                rp["conv1"]["b"].astype(jnp.float32), -127.0)
-        m, inv = _res_i8_stats(sout, n, frn)
+        m, inv = _site_stats(f"r{i}in1", sout)
         sc = rp["norm1"]["scale"].astype(jnp.float32)
         bi = rp["norm1"]["bias"].astype(jnp.float32)
         a_eff = (inv * sc) * qb["qin"]
@@ -182,7 +201,7 @@ def _res_chain_i8(y, p, quant, frn):
         rb, sout2 = si8.res_site(r, a_eff, c_eff, w9b, qb["ws"],
                                  rp["conv2"]["b"].astype(jnp.float32), lo,
                                  tau=tau)
-        m2, inv2 = _res_i8_stats(sout2, n, frn)
+        m2, inv2 = _site_stats(f"r{i}in2", sout2)
         sc2 = rp["norm2"]["scale"].astype(jnp.float32)
         bi2 = rp["norm2"]["bias"].astype(jnp.float32)
         y = (rb.astype(jnp.float32) * (inv2 * sc2)[:, None, None, :]
@@ -197,7 +216,7 @@ def _res_chain_i8(y, p, quant, frn):
     return y
 
 
-def _res_chain_i8_skip(y, p, quant, frn, si8):
+def _res_chain_i8_skip(y, p, quant, frn, si8, static_stats=None):
     """RECO_SKIP=1 variant: each block's deferred-norm apply + residual
     add + POST-SKIP activation fold into the next a-site's prologue
     (s2d2_sites_i8.res_site_skip act=); only the last block combines in
@@ -208,6 +227,15 @@ def _res_chain_i8_skip(y, p, quant, frn, si8):
     ones = jnp.ones((B, C), jnp.float32)
     zeros = jnp.zeros((B, C), jnp.float32)
     act = "tau" if frn else "relu"
+
+    def _site_stats(site, sout):
+        fz = _frozen(static_stats, site)
+        if fz is not None:
+            ms, invs = fz
+            return (jnp.broadcast_to(ms, (B, ms.shape[-1])),
+                    jnp.broadcast_to(invs, (B, invs.shape[-1])))
+        return _res_i8_stats(sout, n, frn)
+
     carry = None
     for i, rp in enumerate(p["res"]):
         qa, qb = quant[f"r{i}a"], quant[f"r{i}b"]
@@ -222,7 +250,7 @@ def _res_chain_i8_skip(y, p, quant, frn, si8):
             r, sout, y = si8.res_site_skip(r2p, y, aq, zeros, a2p, c2p,
                                            w9a, qa["ws"], b1, -127.0,
                                            act=act, tau_act=tprev)
-        m, inv = _res_i8_stats(sout, n, frn)
+        m, inv = _site_stats(f"r{i}in1", sout)
         sc = rp["norm1"]["scale"].astype(jnp.float32)
         bi = rp["norm1"]["bias"].astype(jnp.float32)
         a_eff = (inv * sc) * qb["qin"]
@@ -236,7 +264,7 @@ def _res_chain_i8_skip(y, p, quant, frn, si8):
         rb, sout2 = si8.res_site(r, a_eff, c_eff, w9b, qb["ws"],
                                  rp["conv2"]["b"].astype(jnp.float32), lo,
                                  tau=tau)
-        m2, inv2 = _res_i8_stats(sout2, n, frn)
+        m2, inv2 = _site_stats(f"r{i}in2", sout2)
         sc2 = rp["norm2"]["scale"].astype(jnp.float32)
         bi2 = rp["norm2"]["bias"].astype(jnp.float32)
         tact = None
@@ -255,7 +283,7 @@ def _res_chain_i8_skip(y, p, quant, frn, si8):
     return y.astype(dt)
 
 
-def _dec_quant_xla(y, p, quant, frn):
+def _dec_quant_xla(y, p, quant, frn, static_stats=None):
     """XLA int8 deconv1+deconv2 — the parity reference for _dec_i8."""
     from ..ops.conv import conv2d_i8
 
@@ -266,7 +294,7 @@ def _dec_quant_xla(y, p, quant, frn):
     xq = jnp.concatenate([xq[:, :, :1], xq, xq[:, :, -1:]], axis=2)
     r = (conv2d_i8(xq, q1["w"]).astype(jnp.float32) * q1["ws"]
          + p["d1_b"].astype(jnp.float32)).astype(y.dtype)
-    m, inv = _stats(r, 4, 96, frn)
+    m, inv = _frozen(static_stats, "in4") or _stats(r, 4, 96, frn)
     yd = d2s(r, 2, 96)
     sc = p["nd1"]["scale"].astype(jnp.float32)
     bi = p["nd1"]["bias"].astype(jnp.float32)
@@ -281,11 +309,11 @@ def _dec_quant_xla(y, p, quant, frn):
     rq = jnp.concatenate([rq[:, :, :1], rq, rq[:, :, -1:]], axis=2)
     r2 = (conv2d_i8(rq, q2["w"]).astype(jnp.float32) * q2["ws"]
           + p["d2_b"].astype(jnp.float32)).astype(y.dtype)
-    m2, inv2 = _stats(r2, 4, 48, frn)
+    m2, inv2 = _frozen(static_stats, "in5") or _stats(r2, 4, 48, frn)
     return _apply(r2, m2, inv2, p["nd2"], 4, frn)
 
 
-def _dec_i8(y, p, quant, frn):
+def _dec_i8(y, p, quant, frn, static_stats=None):
     """deconv1+deconv2 (nearest-up + conv, edge-block halos) as fused int8
     sites: res_site halo="edge" reproduces _pad_edge_blocks exactly
     (edge-copied halo column + clamped head/tail row maps), deferred
@@ -303,11 +331,17 @@ def _dec_i8(y, p, quant, frn):
     r, sout = si8.res_site(y, ones * q1["qin"], zeros, w1, q1["ws"],
                            p["d1_b"].astype(jnp.float32), -127.0,
                            halo="edge")
-    m, inv = si8._stats_phased(sout, float(H * W0), 4, 96)
-    if frn:
-        m = jnp.zeros_like(m)
-        s2m = sout[:, 1].reshape(B, 4, 96).sum(1) / (4.0 * H * W0)
-        inv = jax.lax.rsqrt(s2m + _EPS)
+    fz = _frozen(static_stats, "in4")
+    if fz is not None:
+        # (1, 96) calibration stats -> (B, 96): a_eff/c_eff feed the d2
+        # kernel's per-batch prologue rows
+        m, inv = (jnp.broadcast_to(s, (B, s.shape[-1])) for s in fz)
+    else:
+        m, inv = si8._stats_phased(sout, float(H * W0), 4, 96)
+        if frn:
+            m = jnp.zeros_like(m)
+            s2m = sout[:, 1].reshape(B, 4, 96).sum(1) / (4.0 * H * W0)
+            inv = jax.lax.rsqrt(s2m + _EPS)
     yd = d2s(r, 2, 96)
     sc = p["nd1"]["scale"].astype(jnp.float32)
     bi = p["nd1"]["bias"].astype(jnp.float32)
@@ -323,11 +357,15 @@ def _dec_i8(y, p, quant, frn):
     r2, sout2 = si8.res_site(yd, a_eff, c_eff, w2, q2["ws"],
                              p["d2_b"].astype(jnp.float32), lo,
                              halo="edge", tau=tau)
-    m2, inv2 = si8._stats_phased(sout2, float(4 * H * W0), 4, 48)
-    if frn:
-        m2 = jnp.zeros_like(m2)
-        s2m2 = sout2[:, 1].reshape(B, 4, 48).sum(1) / (16.0 * H * W0)
-        inv2 = jax.lax.rsqrt(s2m2 + _EPS)
+    fz2 = _frozen(static_stats, "in5")
+    if fz2 is not None:
+        m2, inv2 = fz2
+    else:
+        m2, inv2 = si8._stats_phased(sout2, float(4 * H * W0), 4, 48)
+        if frn:
+            m2 = jnp.zeros_like(m2)
+            s2m2 = sout2[:, 1].reshape(B, 4, 48).sum(1) / (16.0 * H * W0)
+            inv2 = jax.lax.rsqrt(s2m2 + _EPS)
     sc2 = p["nd2"]["scale"].astype(jnp.float32)
     bi2 = p["nd2"]["bias"].astype(jnp.float32)
     v = (r2.astype(jnp.float32)
@@ -340,9 +378,12 @@ def _dec_i8(y, p, quant, frn):
     return v.astype(dt)
 
 
-def calibrate_act_scales(p: dict, x_cal) -> dict:
+def calibrate_act_scales(p: dict, x_cal, static_stats: dict | None = None) -> dict:
     """Per-res-site max|activation| from one jitted f32 forward (x_cal:
-    [-1,1] NHWC). Same contract as transformer_net_s2d2."""
+    [-1,1] NHWC). Same contract as transformer_net_s2d2.
+
+    static_stats: calibrate against the STATIC-NORM graph (the int8_static
+    mode quantizes that graph, so its maxima are the right ones)."""
 
     def run(x):
         vals: dict = {}
@@ -350,11 +391,31 @@ def calibrate_act_scales(p: dict, x_cal) -> dict:
         def tap(site, t):
             vals[site] = jnp.max(jnp.abs(t.astype(jnp.float32)))
 
-        apply(p, x, tap=tap)
+        apply(p, x, tap=tap, static_stats=static_stats)
         return vals
 
     out = jax.jit(run)(x_cal)
     return {k: float(v) for k, v in out.items()}
+
+
+def calibrate_in_stats(p: dict, x_cal) -> dict:
+    """Frozen per-site norm ``(mean, inv)`` from ONE jitted f32 calibration
+    forward — the STATIC-NORM mode's statistics (transformer_net_s2d2
+    contract; x_cal is the PREPROCESSED [-1,1] input). For FRN nets the
+    frozen pair is ``(0, rsqrt(nu2+eps))`` — same affine algebra, so one
+    representation serves both norm families. Stats average over the
+    calibration batch (shape (1, C)) so any runtime batch broadcasts."""
+
+    def run(x):
+        so: dict = {}
+        apply(p, x, stats_out=so)
+        return {k: (jnp.mean(mv[0], axis=0, keepdims=True),
+                    jnp.mean(mv[1], axis=0, keepdims=True))
+                for k, mv in so.items()}
+
+    out = jax.jit(run)(x_cal.astype(jnp.float32))
+    return {k: (jnp.asarray(m, jnp.float32), jnp.asarray(iv, jnp.float32))
+            for k, (m, iv) in out.items()}
 
 
 def quantize_net(p: dict, act_scales: dict) -> dict:
@@ -377,34 +438,53 @@ def quantize_net(p: dict, act_scales: dict) -> dict:
 
 
 def apply(params: dict, x: jnp.ndarray, *, tap=None, quant=None,
-          fused_sites=()) -> jnp.ndarray:
+          fused_sites=(), static_stats: dict | None = None,
+          stats_out: dict | None = None) -> jnp.ndarray:
     """NHWC float in [-1,1] → stylized NHWC in [-1,1]. H, W divisible by 4.
 
     quant: optional quantize_net output — the res chain runs int8 (Pallas
     fused sites when "res_i8" in fused_sites and the geometry supports it,
-    XLA int8 otherwise). tap: calibration hook (site, tensor)."""
+    XLA int8 otherwise). tap: calibration hook (site, tensor).
+
+    static_stats: optional ``{site: (mean, inv)}`` (sites ``in1..in5``,
+    ``r{i}in1``/``r{i}in2`` — calibrate_in_stats) freezing every IN — or,
+    on FRN nets, every FRN's nu2 — to calibration-time statistics: the
+    STATIC-NORM engine modes (``--quantize bf16_static`` / ``int8_static``).
+    The TLU taus are parameters, not statistics, so the activation is
+    untouched. stats_out: optional dict filled with each measured
+    ``(mean, inv)`` — the calibration hook."""
     p = params
     frn = bool(p["frn"])
     b, h, w, _ = x.shape
     hb = h // 2
     if tap is None:
         tap = lambda name, t: None  # noqa: E731
+
+    def _st(site, t, phases, c):
+        fz = _frozen(static_stats, site)
+        if fz is not None:
+            return fz
+        ms, invs = _stats(t, phases, c, frn)
+        if stats_out is not None:
+            stats_out[site] = (ms, invs)
+        return ms, invs
+
     ys = s2d(x, 2)
     if h >= 16 and w >= 16:
         y = _conv1_same_fixed(ys, p["c1_w"], p["c1_b"])
     else:
         y = conv2d(_pad_reflect_f2_4px(ys, 3), p["c1_w"], p["c1_b"])
-    m, inv = _stats(y, 4, 48, frn)
+    m, inv = _st("in1", y, 4, 48)
     y = _pad_stride2_halo(y, 48)
     y = _apply(y, m, inv, p["n1"], 4, frn)
 
     y = conv2d(y, p["c2_w"], p["c2_b"])               # [B, H/2, W/2, 96]
-    m, inv = _stats(y, 1, 96, frn)
+    m, inv = _st("in2", y, 1, 96)
     y = reflect_pad_2d(y, 1)
     y = _apply(y, m, inv, p["n2"], 1, frn)
 
     y = conv2d(y, p["c3_w"], p["c3_b"], stride=2)     # [B, H/4, W/4, 192]
-    m, inv = _stats(y, 1, 192, frn)
+    m, inv = _st("in3", y, 1, 192)
     y = _apply(y, m, inv, p["n3"], 1, frn)
 
     nres = len(p["res"])
@@ -415,22 +495,22 @@ def apply(params: dict, x: jnp.ndarray, *, tap=None, quant=None,
         from . import s2d2_sites_i8 as si8
         use_res_i8 = si8.res_supported(y.shape[1], y.shape[2])
     if use_res_i8:
-        y = _res_chain_i8(y, p, quant, frn)
+        y = _res_chain_i8(y, p, quant, frn, static_stats)
     elif use_q and "res_i8" not in fused_sites:
         # CPU/parity XLA-int8 branch; requested-but-unsupported res_i8
         # falls through to bf16 (XLA-i8 is the measured loss)
-        y = _res_quant_xla(y, p, quant, frn)
+        y = _res_quant_xla(y, p, quant, frn, static_stats)
     else:
         for i, rp in enumerate(p["res"]):
             tap(f"r{i}a", y)
             r = conv2d(reflect_pad_2d(y, 1), rp["conv1"]["w"],
                        rp["conv1"]["b"])
-            m, inv = _stats(r, 1, 192, frn)
+            m, inv = _st(f"r{i}in1", r, 1, 192)
             r = _apply(r, m, inv, rp["norm1"], 1, frn)
             tap(f"r{i}b", r)
             r = conv2d(reflect_pad_2d(r, 1), rp["conv2"]["w"],
                        rp["conv2"]["b"])
-            m, inv = _stats(r, 1, 192, frn)
+            m, inv = _st(f"r{i}in2", r, 1, 192)
             r = _apply(r, m, inv, rp["norm2"], 1, frn, act=False)
             y = y + r
             # post-skip activation (reference: model.py:57-60)
@@ -450,21 +530,21 @@ def apply(params: dict, x: jnp.ndarray, *, tap=None, quant=None,
                                                 2 * y.shape[2]))
         use_dec_xla = not use_dec_i8 and "dec_xla_i8" in fused_sites
     if use_dec_i8:
-        y = _dec_i8(y, p, quant, frn)
+        y = _dec_i8(y, p, quant, frn, static_stats)
     elif use_dec_xla:
-        y = _dec_quant_xla(y, p, quant, frn)
+        y = _dec_quant_xla(y, p, quant, frn, static_stats)
     else:
         tap("d1", y)
         y = _pad_edge_blocks(y)
         y = conv2d(y, p["d1_w"], p["d1_b"])           # [B, H/4, W/4, 384]
-        m, inv = _stats(y, 4, 96, frn)
+        m, inv = _st("in4", y, 4, 96)
         y = d2s(y, 2, 96)                             # [B, H/2, W/2, 96]
         y = _apply(y, m, inv, p["nd1"], 1, frn)
 
         tap("d2", y)
         y = _pad_edge_blocks(y)
         y = conv2d(y, p["d2_w"], p["d2_b"])           # [B, H/2, W/2, 192]
-        m, inv = _stats(y, 4, 48, frn)
+        m, inv = _st("in5", y, 4, 48)
         y = _apply(y, m, inv, p["nd2"], 4, frn)
 
     if hb >= 8 and (w // 2) >= 8:

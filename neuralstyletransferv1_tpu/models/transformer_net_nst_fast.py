@@ -69,7 +69,16 @@ def from_nst_params(p: dict) -> dict:
     return res
 
 
-def _res_quant_xla(y, p, quant):
+def _frozen(static_stats, site):
+    """Frozen (mean, inv) for ``site`` from the static-norm stats dict, or
+    ``None`` when the site is dynamic."""
+    if static_stats is not None and site in static_stats:
+        ms, invs = static_stats[site]
+        return ms.astype(jnp.float32), invs.astype(jnp.float32)
+    return None
+
+
+def _res_quant_xla(y, p, quant, static_stats=None):
     """XLA int8 res chain — the parity reference and CPU fallback (every
     site pays a standalone HBM quantize pass under XLA, the measured int8
     structural loss; TPU runs _res_chain_i8 instead). Matches the exact
@@ -77,8 +86,9 @@ def _res_quant_xla(y, p, quant):
     outputs, ReLU folded into the b-site's quantize clamp floor."""
     from ..ops.conv import conv2d_i8
 
-    def stats_affine(r, nrm, q):
-        m, inv = _in_stats(r, 1, 128)
+    def stats_affine(r, nrm, q, site):
+        fz = _frozen(static_stats, site)
+        m, inv = fz if fz is not None else _in_stats(r, 1, 128)
         sc = nrm["scale"].astype(jnp.float32)
         bi = nrm["bias"].astype(jnp.float32)
         a = (inv * sc)[:, None, None, :]
@@ -95,18 +105,18 @@ def _res_quant_xla(y, p, quant):
         ra = (conv2d_i8(xq, qa["w"], padding=1).astype(jnp.float32)
               * qa["ws"]
               + rp["conv1"]["b"].astype(jnp.float32)).astype(y.dtype)
-        a1, c1 = stats_affine(ra, rp["norm1"], qb)
+        a1, c1 = stats_affine(ra, rp["norm1"], qb, f"r{i}in1")
         rq = jnp.clip(jnp.round(ra.astype(jnp.float32) * a1 + c1),
                       0.0, 127.0).astype(jnp.int8)   # ReLU folds into lo=0
         rb = (conv2d_i8(rq, qb["w"], padding=1).astype(jnp.float32)
               * qb["ws"]
               + rp["conv2"]["b"].astype(jnp.float32)).astype(y.dtype)
-        a2, c2 = stats_affine(rb, rp["norm2"], None)
+        a2, c2 = stats_affine(rb, rp["norm2"], None, f"r{i}in2")
         y = (rb.astype(jnp.float32) * a2 + c2).astype(y.dtype) + y
     return y
 
 
-def _res_chain_i8(y, p, quant):
+def _res_chain_i8(y, p, quant, static_stats=None):
     """The five res blocks as Pallas fused int8 sites (zero halos; each
     residual add folds into the next a-site's prologue). Non-%8 widths
     (e.g. 500 at 1080p on the pad-40 grid) are zero-padded up once — the
@@ -124,6 +134,15 @@ def _res_chain_i8(y, p, quant):
     n = float(H * W0c)
     ones = jnp.ones((B, C), jnp.float32)
     zeros = jnp.zeros((B, C), jnp.float32)
+
+    def _site_stats(site, sout, nn):
+        fz = _frozen(static_stats, site)
+        if fz is not None:
+            ms, invs = fz
+            return (jnp.broadcast_to(ms, (B, ms.shape[-1])),
+                    jnp.broadcast_to(invs, (B, invs.shape[-1])))
+        return si8._stats(sout, nn)
+
     carry = None
     for i in range(1, 6):
         rp = p[f"res{i}"]
@@ -140,7 +159,7 @@ def _res_chain_i8(y, p, quant):
             r, sout, y = si8.res_site_skip(r2p, y, aq, zeros, a2p, c2p,
                                            w9a, qa["ws"], b1, -127.0,
                                            halo="zero", sw=sw)
-        m, inv = si8._stats(sout, n)
+        m, inv = _site_stats(f"r{i}in1", sout, n)
         sc = rp["norm1"]["scale"].astype(jnp.float32)
         bi = rp["norm1"]["bias"].astype(jnp.float32)
         a_eff = (inv * sc) * qb["qin"]
@@ -148,7 +167,7 @@ def _res_chain_i8(y, p, quant):
         r2, sout2 = si8.res_site(r, a_eff, c_eff, w9b, qb["ws"],
                                  rp["conv2"]["b"].astype(jnp.float32), 0.0,
                                  halo="zero", sw=sw)
-        m2, inv2 = si8._stats(sout2, n)
+        m2, inv2 = _site_stats(f"r{i}in2", sout2, n)
         sc2 = rp["norm2"]["scale"].astype(jnp.float32)
         bi2 = rp["norm2"]["bias"].astype(jnp.float32)
         carry = (r2, inv2 * sc2, bi2 - m2 * inv2 * sc2)
@@ -160,7 +179,7 @@ def _res_chain_i8(y, p, quant):
     return y
 
 
-def _dec_quant_xla(y, p, quant):
+def _dec_quant_xla(y, p, quant, static_stats=None):
     """XLA int8 deconv1+deconv2 — the parity reference for _dec_i8."""
     from ..ops.conv import conv2d_i8
 
@@ -170,7 +189,7 @@ def _dec_quant_xla(y, p, quant):
                   -127.0, 127.0).astype(jnp.int8)
     r = (conv2d_i8(xq, q1["w"], padding=(pd, pd)).astype(jnp.float32)
          * q1["ws"] + p["d1_b"].astype(jnp.float32)).astype(y.dtype)
-    m, inv = _in_stats(r, 4, 64)
+    m, inv = _frozen(static_stats, "in4") or _in_stats(r, 4, 64)
     yd = d2s(r, 2, 64)
     sc = p["in_d1"]["scale"].astype(jnp.float32)
     bi = p["in_d1"]["bias"].astype(jnp.float32)
@@ -181,12 +200,12 @@ def _dec_quant_xla(y, p, quant):
     pd2 = tuple(p["d2_pad"])
     r2 = (conv2d_i8(rq, q2["w"], padding=(pd2, pd2)).astype(jnp.float32)
           * q2["ws"] + p["d2_b"].astype(jnp.float32)).astype(y.dtype)
-    m2, inv2 = _in_stats(r2, 4, 32)
+    m2, inv2 = _frozen(static_stats, "in5") or _in_stats(r2, 4, 32)
     return _apply_in_relu(r2, m2, inv2, p["in_d2"]["scale"],
                           p["in_d2"]["bias"], 4)
 
 
-def _dec_i8(y, p, quant):
+def _dec_i8(y, p, quant, static_stats=None):
     """deconv1+deconv2 as fused int8 sites (the t7 structure with
     always-present deferred INs): KHxKW zero-halo block kernels, stats
     from the kernel epilogues, d2s in XLA. Non-%8 widths pad up with sw
@@ -209,12 +228,20 @@ def _dec_i8(y, p, quant):
     ones = jnp.ones((B, C), jnp.float32)
     zeros = jnp.zeros((B, C), jnp.float32)
 
+    def _phased_stats(site, sout, nn, phases, c):
+        fz = _frozen(static_stats, site)
+        if fz is not None:
+            ms, invs = fz
+            return (jnp.broadcast_to(ms, (B, ms.shape[-1])),
+                    jnp.broadcast_to(invs, (B, invs.shape[-1])))
+        return si8._stats_phased(sout, nn, phases, c)
+
     w1 = q1["w"].reshape(kh1 * kh1, C, -1)
     r, sout = si8.res_site(y, ones * q1["qin"], zeros, w1, q1["ws"],
                            p["d1_b"].astype(jnp.float32), -127.0,
                            halo="zero", kh=kh1, kw=kh1, pt=pt1, pl_=pt1,
                            sw=sw)
-    m, inv = si8._stats_phased(sout, n, 4, 64)
+    m, inv = _phased_stats("in4", sout, n, 4, 64)
     yd = d2s(r, 2, 64)
     sc = p["in_d1"]["scale"].astype(jnp.float32)
     bi = p["in_d1"]["bias"].astype(jnp.float32)
@@ -225,7 +252,7 @@ def _dec_i8(y, p, quant):
                              p["d2_b"].astype(jnp.float32), 0.0,
                              halo="zero", kh=kh2, kw=kh2, pt=pt2, pl_=pt2,
                              sw=None if sw is None else 2 * sw)
-    m2, inv2 = si8._stats_phased(sout2, 4.0 * n, 4, 32)
+    m2, inv2 = _phased_stats("in5", sout2, 4.0 * n, 4, 32)
     if sw is not None:
         r2 = r2[:, :, :2 * sw]
     sc2 = p["in_d2"]["scale"].astype(jnp.float32)
@@ -235,10 +262,13 @@ def _dec_i8(y, p, quant):
     return jax.nn.relu(r2.astype(jnp.float32) * a2 + b2).astype(dt)
 
 
-def calibrate_act_scales(p: dict, x_cal) -> dict:
+def calibrate_act_scales(p: dict, x_cal, static_stats: dict | None = None) -> dict:
     """Per-res-site max|activation| from one jitted f32 forward (x_cal:
     raw_01 NHWC, H, W divisible by 4). Same contract as
-    transformer_net_s2d2.calibrate_act_scales."""
+    transformer_net_s2d2.calibrate_act_scales.
+
+    static_stats: calibrate against the STATIC-NORM graph (the int8_static
+    mode quantizes that graph, so its maxima are the right ones)."""
 
     def run(x):
         vals: dict = {}
@@ -246,11 +276,30 @@ def calibrate_act_scales(p: dict, x_cal) -> dict:
         def tap(site, t):
             vals[site] = jnp.max(jnp.abs(t.astype(jnp.float32)))
 
-        apply(p, x, tap=tap)
+        apply(p, x, tap=tap, static_stats=static_stats)
         return vals
 
     out = jax.jit(run)(x_cal)
     return {k: float(v) for k, v in out.items()}
+
+
+def calibrate_in_stats(p: dict, x_cal) -> dict:
+    """Frozen per-site instance-norm ``(mean, inv)`` from ONE jitted f32
+    calibration forward — the STATIC-NORM mode's statistics (same contract
+    as transformer_net_s2d2.calibrate_in_stats; x_cal is the PREPROCESSED
+    raw_01 input). Stats average over the calibration batch (shape (1, C))
+    so any runtime batch broadcasts."""
+
+    def run(x):
+        so: dict = {}
+        apply(p, x, stats_out=so)
+        return {k: (jnp.mean(mv[0], axis=0, keepdims=True),
+                    jnp.mean(mv[1], axis=0, keepdims=True))
+                for k, mv in so.items()}
+
+    out = jax.jit(run)(x_cal.astype(jnp.float32))
+    return {k: (jnp.asarray(m, jnp.float32), jnp.asarray(iv, jnp.float32))
+            for k, (m, iv) in out.items()}
 
 
 def quantize_net(p: dict, act_scales: dict) -> dict:
@@ -273,23 +322,43 @@ def quantize_net(p: dict, act_scales: dict) -> dict:
 
 
 def apply(params: dict, x: jnp.ndarray, *, tap=None, quant=None,
-          fused_sites=()) -> jnp.ndarray:
+          fused_sites=(), static_stats: dict | None = None,
+          stats_out: dict | None = None) -> jnp.ndarray:
     """Forward pass, same contract as transformer_net_nst.apply (raw_01 in,
     cropped to input size). H, W divisible by 4.
 
     quant: optional quantize_net output — the res chain runs int8 (Pallas
     fused sites when "res_i8" in fused_sites and the geometry supports it,
-    XLA int8 otherwise). tap: calibration hook (site, tensor)."""
+    XLA int8 otherwise). tap: calibration hook (site, tensor).
+
+    static_stats: optional ``{site: (mean, inv)}`` (sites ``in1..in5``,
+    ``r{i}in1``/``r{i}in2`` — calibrate_in_stats) freezing every instance
+    norm to calibration-time statistics: the STATIC-NORM engine modes
+    (``--quantize bf16_static`` / ``int8_static``). Because every NST conv
+    is zero-padded and the reference normalizes over the pad region too
+    (reference: transformer_net_nst.py:12-127), freezing is structurally
+    identical to the Johnson s2d2 case. stats_out: optional dict filled
+    with each measured ``(mean, inv)`` — the calibration hook."""
     p = params
     n, h, w, _ = x.shape
     if tap is None:
         tap = lambda name, t: None  # noqa: E731
+
+    def _st(site, t, phases, c):
+        fz = _frozen(static_stats, site)
+        if fz is not None:
+            return fz
+        ms, invs = _in_stats(t, phases, c)
+        if stats_out is not None:
+            stats_out[site] = (ms, invs)
+        return ms, invs
+
     xp = jnp.pad(x, ((0, 0), (_PAD, _PAD), (_PAD, _PAD), (0, 0)),
                  mode="reflect")
     hp = h + 2 * _PAD
     y = s2d(xp, 2)                                # [B, hp/2, wp/2, 12]
     y = conv2d(y, p["c1_w"], p["c1_b"], padding=2)
-    m, inv = _in_stats(y, 4, 32)
+    m, inv = _st("in1", y, 4, 32)
     y = _apply_in_relu(y, m, inv, p["in1"]["scale"], p["in1"]["bias"], 4)
 
     use_c2_i8 = False
@@ -309,7 +378,8 @@ def apply(params: dict, x: jnp.ndarray, *, tap=None, quant=None,
         r, sout = si8.res_site(y, aq, cq, q2["w"].reshape(4, Cin, -1),
                                q2["ws"], p["c2_b"].astype(jnp.float32),
                                -127.0, halo="zero", kh=2, kw=2, pt=1, pl_=1)
-        m, inv = si8._stats(sout, float(Hc * Wc))
+        fz = _frozen(static_stats, "in2")
+        m, inv = fz if fz is not None else si8._stats(sout, float(Hc * Wc))
         sc = p["in2"]["scale"].astype(jnp.float32)
         bi = p["in2"]["bias"].astype(jnp.float32)
         y = jax.nn.relu(
@@ -318,11 +388,11 @@ def apply(params: dict, x: jnp.ndarray, *, tap=None, quant=None,
     else:
         tap("c2", y)
         y = conv2d(y, p["c2_w"], p["c2_b"], padding=((1, 0), (1, 0)))
-        m, inv = _in_stats(y, 1, 64)
+        m, inv = _st("in2", y, 1, 64)
         y = _apply_in_relu(y, m, inv, p["in2"]["scale"], p["in2"]["bias"], 1)
 
     y = conv2d(y, p["c3_w"], p["c3_b"], stride=2, padding=1)
-    m, inv = _in_stats(y, 1, 128)
+    m, inv = _st("in3", y, 1, 128)
     y = _apply_in_relu(y, m, inv, p["in3"]["scale"], p["in3"]["bias"], 1)
 
     use_q = quant is not None and all(
@@ -334,22 +404,22 @@ def apply(params: dict, x: jnp.ndarray, *, tap=None, quant=None,
         use_res_i8 = (si8._pick_ts(y.shape[1]) is not None
                       and y.shape[1] >= 8 and y.shape[2] >= 16)
     if use_res_i8:
-        y = _res_chain_i8(y, p, quant)
+        y = _res_chain_i8(y, p, quant, static_stats)
     elif use_q and "res_i8" not in fused_sites:
         # CPU/parity XLA-int8 branch; requested-but-unsupported res_i8
         # falls through to bf16 (XLA-i8 is the measured loss)
-        y = _res_quant_xla(y, p, quant)
+        y = _res_quant_xla(y, p, quant, static_stats)
     else:
         for i in range(1, 6):
             rp = p[f"res{i}"]
             tap(f"r{i}a", y)
             r = conv2d(y, rp["conv1"]["w"], rp["conv1"]["b"], padding=1)
-            m, inv = _in_stats(r, 1, 128)
+            m, inv = _st(f"r{i}in1", r, 1, 128)
             r = _apply_in_relu(r, m, inv, rp["norm1"]["scale"],
                                rp["norm1"]["bias"], 1)
             tap(f"r{i}b", r)
             r = conv2d(r, rp["conv2"]["w"], rp["conv2"]["b"], padding=1)
-            m, inv = _in_stats(r, 1, 128)
+            m, inv = _st(f"r{i}in2", r, 1, 128)
             r = _apply_in_relu(r, m, inv, rp["norm2"]["scale"],
                                rp["norm2"]["bias"], 1, relu=False)
             y = r + y
@@ -366,21 +436,21 @@ def apply(params: dict, x: jnp.ndarray, *, tap=None, quant=None,
                           and _dec_kform(p["d2_pad"]) is not None)
         use_dec_xla = not use_dec_i8 and "dec_xla_i8" in fused_sites
     if use_dec_i8:
-        y = _dec_i8(y, p, quant)
+        y = _dec_i8(y, p, quant, static_stats)
     elif use_dec_xla:
-        y = _dec_quant_xla(y, p, quant)
+        y = _dec_quant_xla(y, p, quant, static_stats)
     else:
         tap("d1", y)
         pd = p["d1_pad"]
         y = conv2d(y, p["d1_w"], p["d1_b"], padding=(pd, pd))
-        m, inv = _in_stats(y, 4, 64)
+        m, inv = _st("in4", y, 4, 64)
         y = d2s(y, 2, 64)                         # [B, hp/2, wp/2, 64]
         y = _apply_in_relu(y, m, inv, p["in_d1"]["scale"],
                            p["in_d1"]["bias"], 1)
         tap("d2", y)
         pd = p["d2_pad"]
         y = conv2d(y, p["d2_w"], p["d2_b"], padding=(pd, pd))
-        m, inv = _in_stats(y, 4, 32)
+        m, inv = _st("in5", y, 4, 32)
         y = _apply_in_relu(y, m, inv, p["in_d2"]["scale"],
                            p["in_d2"]["bias"], 4)
 

@@ -148,6 +148,115 @@ def test_static_s8_chain_bit_exact(baked):
     assert d.mean() < 1e-3, (d.mean(), d.max())
 
 
+ALL_NST_NORMS = ("in1", "in2", "in3", "in4", "in5") + tuple(
+    f"r{i}in{j}" for i in range(1, 6) for j in (1, 2))
+ALL_RECO_NORMS = ("in1", "in2", "in3", "in4", "in5") + tuple(
+    f"r{i}in{j}" for i in range(4) for j in (1, 2))
+
+
+@pytest.fixture(scope="module")
+def nst_fast():
+    from neuralstyletransferv1_tpu.models import transformer_net_nst as nst
+    from neuralstyletransferv1_tpu.models import transformer_net_nst_fast as nstf
+
+    return nstf.from_nst_params(nst.init(jax.random.key(3)))
+
+
+def test_nst_calibrate_in_stats_covers_all_norms(nst_fast):
+    from neuralstyletransferv1_tpu.models import transformer_net_nst_fast as nstf
+
+    x = jnp.asarray(np.random.default_rng(0).random((1, 32, 48, 3)), jnp.float32)
+    stats = nstf.calibrate_in_stats(nst_fast, x)
+    assert sorted(stats) == sorted(ALL_NST_NORMS)
+    for m, inv in stats.values():
+        assert m.shape[0] == 1 and inv.shape == m.shape
+        assert np.isfinite(np.asarray(m)).all()
+        assert (np.asarray(inv) > 0).all()
+
+
+def test_nst_static_matches_dynamic_on_calibration_input(nst_fast):
+    """B=1 calibration reproduces the dynamic NST output exactly (all NST
+    convs are zero-padded, so the frozen stats are literally the measured
+    ones on this input)."""
+    from neuralstyletransferv1_tpu.models import transformer_net_nst_fast as nstf
+
+    x = jnp.asarray(np.random.default_rng(1).random((1, 48, 64, 3)), jnp.float32)
+    stats = nstf.calibrate_in_stats(nst_fast, x)
+    ref = jax.jit(lambda t: nstf.apply(nst_fast, t))(x)
+    got = jax.jit(lambda t: nstf.apply(nst_fast, t, static_stats=stats))(x)
+    d = np.abs(np.asarray(ref) - np.asarray(got))
+    assert d.mean() < 1e-4, (d.mean(), d.max())
+
+
+def test_nst_static_int8_quality_gate(nst_fast):
+    """int8 + frozen norms stays inside the engine gate on the clipped
+    [0,1] output (random net + random input = the harsh case)."""
+    from neuralstyletransferv1_tpu.models import transformer_net_nst_fast as nstf
+
+    x = jnp.asarray(np.random.default_rng(2).random((2, 32, 64, 3)), jnp.float32)
+    stats = nstf.calibrate_in_stats(nst_fast, x[:1])
+    scales = nstf.calibrate_act_scales(nst_fast, x[:1], static_stats=stats)
+    quant = nstf.quantize_net(nst_fast, scales)
+    ref = jax.jit(lambda t: jnp.clip(
+        nstf.apply(nst_fast, t, static_stats=stats), 0, 1))(x)
+    got = jax.jit(lambda t: jnp.clip(
+        nstf.apply(nst_fast, t, quant=quant, static_stats=stats), 0, 1))(x)
+    mae = np.abs(np.asarray(ref) - np.asarray(got)).mean()
+    assert mae < 1e-2, mae
+
+
+@pytest.mark.parametrize("frn", [False, True])
+def test_reconet_static_matches_dynamic_on_calibration_input(frn):
+    """B=1 calibration reproduces the dynamic ReCoNet output (IN and FRN
+    freezes; FRN's frozen pair is (0, rsqrt(nu2+eps)))."""
+    from neuralstyletransferv1_tpu.models import reconet
+    from neuralstyletransferv1_tpu.models import reconet_fast as recf
+
+    fp = recf.from_reconet_params(reconet.init(jax.random.key(5), frn=frn))
+    x = jnp.asarray(np.random.default_rng(4).random((1, 32, 48, 3)) * 2 - 1,
+                    jnp.float32)
+    stats = recf.calibrate_in_stats(fp, x)
+    assert sorted(stats) == sorted(ALL_RECO_NORMS)
+    ref = jax.jit(lambda t: recf.apply(fp, t))(x)
+    got = jax.jit(lambda t: recf.apply(fp, t, static_stats=stats))(x)
+    d = np.abs(np.asarray(ref) - np.asarray(got))
+    assert d.mean() < 1e-4, (frn, d.mean(), d.max())
+
+    scales = recf.calibrate_act_scales(fp, x, static_stats=stats)
+    quant = recf.quantize_net(fp, scales)
+    gq = jax.jit(lambda t: recf.apply(fp, t, quant=quant,
+                                      static_stats=stats))(x)
+    dq = np.abs(np.asarray(ref) - np.asarray(gq))
+    # tanh output on [-1,1] (3e-2 here == 1.5e-2 on [0,1]); the random
+    # high-gain init is the harsh PTQ case — real checkpoints measure ~10x
+    # tighter, and the engine additionally gates MAE in-run (bench.py)
+    assert dq.mean() < 3e-2, (frn, dq.mean(), dq.max())
+
+
+def test_engine_static_flags_nst_reconet():
+    """--quantize bf16_static / int8_static on NST and ReCoNet slots: the
+    stylizer calibrates on the first batch (call_static_gen) and the
+    output stays close to the exact path on correlated frames (the mode's
+    intended regime)."""
+    from neuralstyletransferv1_tpu.engine import stylizer as st
+
+    rng = np.random.default_rng(11)
+    base = rng.random((32, 64, 3))
+    x = jnp.asarray(
+        np.stack([np.clip(base + rng.normal(0, 0.02, base.shape), 0, 1)
+                  for _ in range(2)]), jnp.float32)
+    for arch in ("nst", "reconet"):
+        model = st.make_random_model(arch, seed=3)
+        y_ref = np.asarray(st.jit_stylizer(model, dtype=jnp.bfloat16)(x),
+                           np.float32)
+        for q in ("bf16_static", "int8_static"):
+            y = np.asarray(
+                st.jit_stylizer(model, dtype=jnp.bfloat16, quantize=q)(x),
+                np.float32)
+            d = np.abs(y_ref - y)
+            assert d.mean() < 3e-2, (arch, q, d.mean(), d.max())
+
+
 def _t7_in_layers():
     from tests.test_t7_fast import _in, _johnson_layers
     layers = _johnson_layers()
