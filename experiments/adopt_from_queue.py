@@ -48,7 +48,8 @@ ORDER = ("res_i8", "res_s8", "dec_s8", "dec_i8", "c2_i8", "head_i8")
 MASKS = {"dec_i8": {"dec_s8"}}
 TARGET_NAME = {"sites": "_I8_FUSED_SITES", "sites_static": "_I8_FUSED_STATIC",
                "t7": "_I8_FUSED_T7", "nst": "_I8_FUSED_NST",
-               "reco": "_I8_FUSED_RECO"}
+               "reco": "_I8_FUSED_RECO", "nst_static": "_I8_FUSED_NST_STATIC",
+               "reco_static": "_I8_FUSED_RECO_STATIC"}
 
 #: harness file -> target tuple, base row, variant rows (token sets), and
 #: quality-line name remaps where the harness prints different names
@@ -85,6 +86,17 @@ FILES = {
     "mk34_reco_frn": dict(
         target="reco", base="pal-i8",
         rows={"pal+dec": frozenset({"dec_i8"})}),
+    # the static-norm rows in the same harness files target the *_STATIC
+    # sets ("file" reuses the stem's output; base = the default static set)
+    "mk33_nst_static": dict(
+        file="mk33_nst", target="nst_static", base="i8-static",
+        rows={"i8-static+dec": frozenset({"dec_i8"})}),
+    "mk34_reco_in_static": dict(
+        file="mk34_reco_in", target="reco_static", base="i8-static",
+        rows={"i8-static+dec": frozenset({"dec_i8"})}),
+    "mk34_reco_frn_static": dict(
+        file="mk34_reco_frn", target="reco_static", base="i8-static",
+        rows={"i8-static+dec": frozenset({"dec_i8"})}),
 }
 
 #: boolean flips measured as same-row comparisons across two files
@@ -125,7 +137,7 @@ def _fmt_tokens(tokens) -> str:
 def _eval_file(stem: str, spec: dict, d: pathlib.Path, lines: list):
     """Evaluate one harness file; returns the chosen token set or None if
     the file didn't run / had no usable rows. Appends report lines."""
-    p = d / f"{stem}.txt"
+    p = d / f"{spec.get('file', stem)}.txt"
     if not p.exists():
         lines.append(f"-- {stem}: (not run)")
         return None
@@ -204,7 +216,8 @@ def decide(out_dir: str):
         chosen_by_file[stem] = _eval_file(stem, spec, d, lines)
 
     config: dict = {}
-    for target in ("sites", "sites_static", "t7", "nst", "reco"):
+    for target in ("sites", "sites_static", "t7", "nst", "reco",
+                   "nst_static", "reco_static"):
         stems = [s for s, sp in FILES.items() if sp["target"] == target]
         ran = [s for s in stems if chosen_by_file.get(s) is not None]
         adopted: set[str] = set()

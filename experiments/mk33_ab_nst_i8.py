@@ -36,9 +36,25 @@ def main():
     scales = nstf.calibrate_act_scales(p32, xc)
     quant = nstf.quantize_net(p32, scales)
     print(f"sites: {sorted(quant)}", flush=True)
+    # static-norm rows (frozen IN; --quantize bf16_static / int8_static)
+    stats = nstf.calibrate_in_stats(p32, xc)
+    scales_s = nstf.calibrate_act_scales(p32, xc, static_stats=stats)
+    quant_s = nstf.quantize_net(p32, scales_s)
 
     def step_bf16(x):
         return jnp.clip(nstf.apply(pb, x), 0.0, 1.0)
+
+    def step_bf16_static(x):
+        return jnp.clip(nstf.apply(pb, x, static_stats=stats), 0.0, 1.0)
+
+    def step_i8_static(x):
+        return jnp.clip(nstf.apply(pb, x, quant=quant_s, static_stats=stats,
+                                   fused_sites=("res_i8",)), 0.0, 1.0)
+
+    def step_i8_static_dec(x):
+        return jnp.clip(nstf.apply(pb, x, quant=quant_s, static_stats=stats,
+                                   fused_sites=("res_i8", "dec_i8")),
+                        0.0, 1.0)
 
     def step_xla_i8(x):
         return jnp.clip(nstf.apply(pb, x, quant=quant), 0.0, 1.0)
@@ -64,6 +80,19 @@ def main():
         d = np.abs(y0 - y)
         print(f"quality {name}: MAE {d.mean():.5f} max {d.max():.4f}",
               flush=True)
+    # static rows measure against dynamic bf16 on sigma-.03 perturbed calib
+    # frames (the intra-video contract) — on xc itself they are exact
+    k1 = jax.random.key(42)
+    xg = jnp.clip(xc.astype(jnp.bfloat16)
+                  + 0.03 * jax.random.normal(k1, (2, H, W, 3), jnp.bfloat16),
+                  0.0, 1.0)
+    yg = np.asarray(jax.jit(step_bf16)(xg), np.float32)
+    for name, fn in (("bf16-static", step_bf16_static),
+                     ("i8-static", step_i8_static),
+                     ("i8-static+dec", step_i8_static_dec)):
+        d = np.abs(yg - np.asarray(jax.jit(fn)(xg), np.float32))
+        print(f"quality {name}: MAE {d.mean():.5f} max {d.max():.4f}",
+              flush=True)
 
     if os.environ.get("BATCHES"):
         batches = tuple(int(b) for b in os.environ["BATCHES"].split(","))
@@ -72,7 +101,10 @@ def main():
     for B in batches:
         for name, fn in (("bf16  ", step_bf16), ("xla-i8", step_xla_i8),
                          ("pal-i8", step_pal_i8), ("pal+dec", step_pal_dec),
-                         ("pal+all", step_pal_all)):
+                         ("pal+all", step_pal_all),
+                         ("bf16-static", step_bf16_static),
+                         ("i8-static", step_i8_static),
+                         ("i8-static+dec", step_i8_static_dec)):
             t = timed_step(fn, B, H, W)
             print(f"[{name} B{B}] {t*1e3:.1f} ms/batch  {B/t:.1f} fps",
                   flush=True)

@@ -36,6 +36,10 @@ def main():
     scales = recf.calibrate_act_scales(p32, xc)
     quant = recf.quantize_net(p32, scales)
     print(f"frn={frn} sites: {sorted(quant)}", flush=True)
+    # static-norm rows (frozen IN / FRN nu2)
+    stats = recf.calibrate_in_stats(p32, xc)
+    scales_s = recf.calibrate_act_scales(p32, xc, static_stats=stats)
+    quant_s = recf.quantize_net(p32, scales_s)
 
     # [-1,1] in/out like the reference wrapper; the clip cost rides all
     def step_bf16(x):
@@ -53,11 +57,36 @@ def main():
                                    fused_sites=("res_i8", "dec_i8")),
                         -1.0, 1.0)
 
+    def step_bf16_static(x):
+        return jnp.clip(recf.apply(pb, x, static_stats=stats), -1.0, 1.0)
+
+    def step_i8_static(x):
+        return jnp.clip(recf.apply(pb, x, quant=quant_s, static_stats=stats,
+                                   fused_sites=("res_i8",)), -1.0, 1.0)
+
+    def step_i8_static_dec(x):
+        return jnp.clip(recf.apply(pb, x, quant=quant_s, static_stats=stats,
+                                   fused_sites=("res_i8", "dec_i8")),
+                        -1.0, 1.0)
+
     y0 = np.asarray(jax.jit(step_bf16)(xc.astype(jnp.bfloat16)), np.float32)
     for name, fn in (("xla-i8", step_xla_i8), ("pal-i8", step_pal_i8),
                      ("pal+dec", step_pal_dec)):
         y = np.asarray(jax.jit(fn)(xc.astype(jnp.bfloat16)), np.float32)
         d = np.abs(y0 - y)
+        print(f"quality {name}: MAE {d.mean():.5f} max {d.max():.4f}",
+              flush=True)
+    # static rows measure against dynamic bf16 on sigma-.03 perturbed calib
+    # frames (the intra-video contract) — on xc itself they are exact
+    xg = jnp.clip(xc.astype(jnp.bfloat16)
+                  + 0.03 * jax.random.normal(jax.random.key(42),
+                                             (2, H, W, 3), jnp.bfloat16),
+                  -1.0, 1.0)
+    yg = np.asarray(jax.jit(step_bf16)(xg), np.float32)
+    for name, fn in (("bf16-static", step_bf16_static),
+                     ("i8-static", step_i8_static),
+                     ("i8-static+dec", step_i8_static_dec)):
+        d = np.abs(yg - np.asarray(jax.jit(fn)(xg), np.float32))
         print(f"quality {name}: MAE {d.mean():.5f} max {d.max():.4f}",
               flush=True)
 
@@ -67,7 +96,10 @@ def main():
         batches = (16,)
     for B in batches:
         for name, fn in (("bf16  ", step_bf16), ("xla-i8", step_xla_i8),
-                         ("pal-i8", step_pal_i8), ("pal+dec", step_pal_dec)):
+                         ("pal-i8", step_pal_i8), ("pal+dec", step_pal_dec),
+                         ("bf16-static", step_bf16_static),
+                         ("i8-static", step_i8_static),
+                         ("i8-static+dec", step_i8_static_dec)):
             t = timed_step(fn, B, H, W)
             print(f"[{name} B{B}] {t*1e3:.1f} ms/batch  {B/t:.1f} fps",
                   flush=True)

@@ -119,6 +119,21 @@ def test_decide_static_s8c_adoption(tmp_path):
     assert config == {"sites_static": ["res_i8", "res_s8", "dec_i8"]}
 
 
+def test_decide_backend_static_rows_target_static_sets(tmp_path):
+    """One mk33/mk34 file feeds two targets: dynamic rows -> nst/reco,
+    static rows -> nst_static/reco_static. A dec win on the static base
+    must flip only the static set (and vice versa)."""
+    (tmp_path / "mk33_nst.txt").write_text(
+        _rows({"pal-i8": 100.0, "pal+dec": 100.5,
+               "i8-static": 120.0, "i8-static+dec": 127.0}))
+    (tmp_path / "mk34_reco_in.txt").write_text(
+        _rows({"pal-i8": 50.0, "pal+dec": 53.0,
+               "i8-static": 60.0, "i8-static+dec": 60.2}))
+    _, config = decide(str(tmp_path))
+    assert config == {"nst_static": ["res_i8", "dec_i8"],
+                      "reco": ["res_i8", "dec_i8"]}
+
+
 def test_apply_writes_json_and_loader_rides_it(tmp_path, monkeypatch, capsys):
     (tmp_path / "mk32_t7_bn.txt").write_text(SAMPLE)
     monkeypatch.setattr(adopt_overrides, "PATH", tmp_path / "i8_adopt.json")
