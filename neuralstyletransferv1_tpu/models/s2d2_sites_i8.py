@@ -502,7 +502,7 @@ def _s8_row_maps(TS, H, halo):
 
 def _site_kernel_s8o(stat_ref, w_ref, dq_ref, head_ref, body_ref, tail_ref,
                      q_ref, xs_ref, *, TS, W0, WPS, LO, QLO, MT=4, NS=None,
-                     HALO="zero"):
+                     HALO="zero", SW=None):
     """Static-scale site with an s8 OUTPUT: quantize prologue (column
     halos per HALO) -> 3x3 s8 conv -> dequant + bias -> bf16 round ->
     STATIC output quantize affine -> s8 out at width WPS with the column
@@ -528,9 +528,9 @@ def _site_kernel_s8o(stat_ref, w_ref, dq_ref, head_ref, body_ref, tail_ref,
     qc = dq_ref[3, :]
 
     if HALO == "zero":
-        xh = _quant_zero(head_ref[0], a, c, LO, WPS)
-        xb = _quant_zero(body_ref[0], a, c, LO, WPS)
-        xt = _quant_zero(tail_ref[0], a, c, LO, WPS)
+        xh = _quant_zero(head_ref[0], a, c, LO, WPS, SW)
+        xb = _quant_zero(body_ref[0], a, c, LO, WPS, SW)
+        xt = _quant_zero(tail_ref[0], a, c, LO, WPS, SW)
         z = jnp.zeros_like(xh)
         xh = jnp.where(j == 0, z, xh)
         xt = jnp.where(j == NS - 1, z, xt)
@@ -557,6 +557,11 @@ def _site_kernel_s8o(stat_ref, w_ref, dq_ref, head_ref, body_ref, tail_ref,
         fv = f.reshape(rows, WPS, CO)[:, 0:W0, :].astype(jnp.bfloat16)
         q = jnp.clip(jnp.round(fv.astype(jnp.float32) * qa + qc),
                      QLO, 127.0).astype(jnp.int8)
+        if SW is not None and SW < W0:
+            # alignment-padding columns emit zero codes so the next site
+            # keeps exact zero-pad semantics at the content edge
+            ci = jax.lax.broadcasted_iota(jnp.int32, q.shape, 1)
+            q = jnp.where(ci < SW, q, jnp.zeros_like(q))
         q_ref[0, r0:r0 + rows] = _s8_col_halo(q, W0, WPS, HALO)
 
 
@@ -570,7 +575,7 @@ def res_site_s8o(x: jnp.ndarray, a: jnp.ndarray, c: jnp.ndarray,
                  w9: jnp.ndarray, ws: jnp.ndarray, bias: jnp.ndarray,
                  qo=None, lo: float = -127.0, qlo: float = 0.0, *,
                  qa=None, qc=None, halo: str = "zero",
-                 ts: int | None = None, mt: int = 4):
+                 sw: int | None = None, ts: int | None = None, mt: int = 4):
     """Static-scale 3x3 site emitting the NEXT site's s8 input directly.
 
     x: (B, H, W0, C) bf16 raw. a, c: (B, C) input quantize affine
@@ -579,9 +584,13 @@ def res_site_s8o(x: jnp.ndarray, a: jnp.ndarray, c: jnp.ndarray,
     BN-folded .t7 form) or per-channel ``qa``/``qc`` (CO,) rows folding a
     FROZEN norm affine (static-norm Johnson: qa = inv·scale·qin,
     qc = (bias − mean·inv·scale)·qin); ``qlo`` is the clamp floor (0.0
-    folds the inter-conv ReLU). Returns (B, H, WPS, CO) s8 with the
-    column halos at [..., 0, :] / [..., W0+1, :] — feed straight to
-    ``res_site_s8i_yadd`` / ``site_s8``."""
+    folds the inter-conv ReLU). ``sw`` (zero halo only): content width
+    < W0 when the caller padded a non-%8 net width up — padding columns
+    are zeroed at quantize AND in the emitted codes (zero-pad semantics
+    carry through the chain; NST static-norm form). Returns
+    (B, H, WPS, CO) s8 with the column halos at [..., 0, :] /
+    [..., W0+1, :] — feed straight to ``res_site_s8i_yadd`` /
+    ``site_s8``."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -596,7 +605,7 @@ def res_site_s8o(x: jnp.ndarray, a: jnp.ndarray, c: jnp.ndarray,
         qc = jnp.zeros((CO,), jnp.float32)
     dq = jnp.stack([ws, bias, qa, qc], axis=0)         # (4, CO)
     kern = functools.partial(_site_kernel_s8o, TS=TS, W0=W0, WPS=WPS,
-                             LO=lo, QLO=qlo, MT=mt, NS=NS, HALO=halo)
+                             LO=lo, QLO=qlo, MT=mt, NS=NS, HALO=halo, SW=sw)
     hmap, tmap = _s8_row_maps(TS, H, halo)
     return pl.pallas_call(
         kern,
@@ -639,7 +648,7 @@ def res_site_s8i_yadd(xq: jnp.ndarray, y: jnp.ndarray, w9: jnp.ndarray,
 def _site_kernel_s8g(w_ref, dq_ref, qh_ref, qb_ref, qt_ref, *refs,
                      TS, W0, WPS, WPO, MT=4, NS=None, KH=3, KW=3,
                      PT=1, PL=1, YADD=False, S8OUT=False, AFF=False,
-                     QLO=0.0, HALO="zero"):
+                     QLO=0.0, HALO="zero", SW=None):
     """Generic static-scale s8-INPUT site (the s8-carry workhorse):
     strips arrive as s8 with the column halos pre-injected
     (``_site_kernel_s8o`` / own output form), so the prologue is a plain
@@ -709,6 +718,12 @@ def _site_kernel_s8g(w_ref, dq_ref, qh_ref, qb_ref, qt_ref, *refs,
         if S8OUT:
             q = jnp.clip(jnp.round(fv.astype(jnp.float32) * qa + qc),
                          QLO, 127.0).astype(jnp.int8)
+            if SW is not None and SW < W0:
+                # keep alignment-padding columns at zero codes (the input
+                # strips already carry zeros there; the conv output does
+                # not — bias/taps leak in — so mask the emit too)
+                ci = jax.lax.broadcasted_iota(jnp.int32, q.shape, 1)
+                q = jnp.where(ci < SW, q, jnp.zeros_like(q))
             o_ref[0, r0:r0 + rows] = _s8_col_halo(q, W0, WPO, HALO)
         else:
             o_ref[0, r0:r0 + rows] = fv
@@ -717,7 +732,8 @@ def _site_kernel_s8g(w_ref, dq_ref, qh_ref, qb_ref, qt_ref, *refs,
 def site_s8(xq: jnp.ndarray, w: jnp.ndarray, ws: jnp.ndarray,
             bias: jnp.ndarray, *, w0: int, y: jnp.ndarray | None = None,
             qo=None, qa=None, qc=None, aff=None, qlo: float = 0.0,
-            halo: str = "zero", kh: int = 3, kw: int = 3,
+            halo: str = "zero", sw: int | None = None,
+            kh: int = 3, kw: int = 3,
             pt: int = 1, pl_: int = 1, ts: int | None = None, mt: int = 4):
     """Static-scale s8-input KHxKW site.
 
@@ -731,7 +747,9 @@ def site_s8(xq: jnp.ndarray, w: jnp.ndarray, ws: jnp.ndarray,
     Output quantize: scalar ``qo`` or per-channel ``qa``/``qc`` (CO,)
     rows — when given the site emits (B, H, _wps(w0), CO) s8 (clamp
     floor qlo; 0.0 folds a trailing ReLU), else the (B, H, w0, CO)
-    bf16 raw."""
+    bf16 raw. ``sw`` (zero halo only): content width < w0 — the emitted
+    s8 codes beyond sw are masked to zero (the input carry already has
+    zeros there), preserving zero-pad semantics through non-%8 chains."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -754,7 +772,7 @@ def site_s8(xq: jnp.ndarray, w: jnp.ndarray, ws: jnp.ndarray,
                              WPO=WPO, MT=mt, NS=NS, KH=kh, KW=kw, PT=pt,
                              PL=pl_, YADD=y is not None,
                              S8OUT=s8out, AFF=aff is not None,
-                             QLO=qlo, HALO=halo)
+                             QLO=qlo, HALO=halo, SW=sw)
     hmap, tmap = _s8_row_maps(TS, H, halo)
     in_specs = [
         pl.BlockSpec((kh * kw, C, CO), lambda b, j: (0, 0, 0),

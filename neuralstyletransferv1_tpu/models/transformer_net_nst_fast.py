@@ -179,6 +179,59 @@ def _res_chain_i8(y, p, quant, static_stats=None):
     return y
 
 
+def _res_chain_s8_static(y, p, quant, static_stats):
+    """The five NST res blocks on end-to-end s8 carries with FROZEN
+    instance norms (--quantize int8_static with "res_s8" adopted for the
+    nst_static set).
+
+    Zero-halo variant of s2d2_sites_i8.res_chain_s8_static: every NST conv
+    is zero-padded (reference: transformer_net_nst.py:12-127), so the
+    carry's column halos are zero codes and non-%8 widths (500 on the
+    1080p pad-40 grid) pad to %8 with the kernels masking BOTH the
+    quantize and the emitted codes beyond ``sw`` — junk never enters a
+    dot. The a-site emits the b-site's s8 input directly (frozen norm1
+    affine + ReLU folded into the output quantize; the bf16 a-raw never
+    exists in HBM); the b-site applies the frozen norm2 affine post-round
+    and folds the residual add. Matches the XLA static int8 reference
+    (_res_quant_xla with static_stats) to bf16 rounding."""
+    from . import s2d2_sites_i8 as si8
+
+    B, H, W0c, C = y.shape
+    dt = y.dtype
+    sw = None
+    if W0c % 8:
+        wp = ((W0c + 7) // 8) * 8
+        y = jnp.pad(y, ((0, 0), (0, 0), (0, wp - W0c), (0, 0)))
+        sw = W0c
+    W0 = y.shape[2]
+    zeros = jnp.zeros((B, C), jnp.float32)
+    for i in range(1, 6):
+        rp = p[f"res{i}"]
+        qa_, qb_ = quant[f"r{i}a"], quant[f"r{i}b"]
+        m1, inv1 = (s.astype(jnp.float32) for s in static_stats[f"r{i}in1"])
+        m2, inv2 = (s.astype(jnp.float32) for s in static_stats[f"r{i}in2"])
+        sc1 = rp["norm1"]["scale"].astype(jnp.float32)
+        bi1 = rp["norm1"]["bias"].astype(jnp.float32)
+        sc2 = rp["norm2"]["scale"].astype(jnp.float32)
+        bi2 = rp["norm2"]["bias"].astype(jnp.float32)
+        # the b-site input quantize, exactly as _res_quant_xla computes it
+        qA = ((inv1 * sc1) * qb_["qin"])[0]            # (C,)
+        qC = ((bi1 - m1 * inv1 * sc1) * qb_["qin"])[0]
+        aq = jnp.full((B, C), qa_["qin"], jnp.float32)
+        qx = si8.res_site_s8o(y, aq, zeros, qa_["w"].reshape(9, C, C),
+                              qa_["ws"],
+                              rp["conv1"]["b"].astype(jnp.float32),
+                              qa=qA, qc=qC, lo=-127.0, qlo=0.0,
+                              halo="zero", sw=sw)
+        aff = ((inv2 * sc2)[0], (bi2 - m2 * inv2 * sc2)[0])
+        y = si8.site_s8(qx, qb_["w"].reshape(9, C, C), qb_["ws"],
+                        rp["conv2"]["b"].astype(jnp.float32), w0=W0, y=y,
+                        aff=aff, halo="zero", sw=sw)
+    if sw is not None:
+        y = y[:, :, :sw]
+    return y.astype(dt)
+
+
 def _dec_quant_xla(y, p, quant, static_stats=None):
     """XLA int8 deconv1+deconv2 — the parity reference for _dec_i8."""
     from ..ops.conv import conv2d_i8
@@ -397,13 +450,23 @@ def apply(params: dict, x: jnp.ndarray, *, tap=None, quant=None,
 
     use_q = quant is not None and all(
         f"r{i}{ab}" in quant for i in range(1, 6) for ab in "ab")
-    use_res_i8 = False
-    if use_q and "res_i8" in fused_sites:
+    use_res_i8 = use_res_s8 = False
+    if use_q and {"res_i8", "res_s8"} & set(fused_sites):
         from . import s2d2_sites_i8 as si8
         # width pads up to %8 in-chain (sw), so only H gates here
-        use_res_i8 = (si8._pick_ts(y.shape[1]) is not None
-                      and y.shape[1] >= 8 and y.shape[2] >= 16)
-    if use_res_i8:
+        ok_geo = (si8._pick_ts(y.shape[1]) is not None
+                  and y.shape[1] >= 8 and y.shape[2] >= 16)
+        if "res_s8" in fused_sites and static_stats is not None:
+            # s8-carry chain (frozen norms make every scale static);
+            # falls back to res_i8 when stats/geometry don't allow it
+            use_res_s8 = (ok_geo
+                          and all(f"r{i}in{j}" in static_stats
+                                  for i in range(1, 6) for j in (1, 2)))
+        if "res_i8" in fused_sites and not use_res_s8:
+            use_res_i8 = ok_geo
+    if use_res_s8:
+        y = _res_chain_s8_static(y, p, quant, static_stats)
+    elif use_res_i8:
         y = _res_chain_i8(y, p, quant, static_stats)
     elif use_q and "res_i8" not in fused_sites:
         # CPU/parity XLA-int8 branch; requested-but-unsupported res_i8

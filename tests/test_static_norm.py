@@ -205,6 +205,65 @@ def test_nst_static_int8_quality_gate(nst_fast):
     assert mae < 1e-2, mae
 
 
+@pytest.mark.parametrize("shape", [
+    (1, 48, 64, 3),
+    pytest.param((1, 48, 48, 3), marks=pytest.mark.slow),
+    pytest.param((2, 32, 64, 3), marks=pytest.mark.slow)])
+def test_nst_s8_static_chain(nst_fast, shape):
+    """The NST s8-carry res chain (fused_sites=("res_s8",) under frozen
+    norms: a-sites emit the b-sites' s8 inputs with the frozen in1 affine
+    folded into the output quantize, b-sites apply frozen in2 post-round
+    and fold the residual add) matches the XLA static int8 reference
+    (_res_quant_xla) to isolated 1-ulp bf16 FMA-contraction flips — the
+    same gate as the Johnson s8 chain. W=64 puts the pad-40 res grid at
+    width 36 (non-%8): the chain pads to 40 with the kernels masking both
+    the quantize and the emitted codes beyond sw=36, the production-1080p
+    geometry (grid width 500→504). W=48 is the aligned control; the B=2
+    case exercises per-batch strips."""
+    from neuralstyletransferv1_tpu.models import s2d2_sites_i8
+    from neuralstyletransferv1_tpu.models import transformer_net_nst_fast as nstf
+
+    pb = jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16)
+        if hasattr(a, "astype") and a.dtype == jnp.float32 else a, nst_fast)
+    x = jnp.asarray(np.random.default_rng(6).random(shape), jnp.float32)
+    stats = nstf.calibrate_in_stats(nst_fast, x[:1])
+    scales = nstf.calibrate_act_scales(nst_fast, x[:1], static_stats=stats)
+    quant = nstf.quantize_net(nst_fast, scales)
+    xb = x.astype(jnp.bfloat16)
+
+    s2d2_sites_i8._INTERPRET = True
+    try:
+        y_xla = nstf.apply(pb, xb, quant=quant, static_stats=stats)
+        y_s8 = nstf.apply(pb, xb, quant=quant, static_stats=stats,
+                          fused_sites=("res_s8",))
+        # res_s8 must NOT engage without static stats (dynamic scales):
+        # ("res_i8", "res_s8") under dynamic stats == the res_i8 chain
+        y_i8d = nstf.apply(pb, xb,
+                           quant=nstf.quantize_net(
+                               nst_fast, nstf.calibrate_act_scales(
+                                   nst_fast, x[:1])),
+                           fused_sites=("res_i8",))
+        y_bothd = nstf.apply(pb, xb,
+                             quant=nstf.quantize_net(
+                                 nst_fast, nstf.calibrate_act_scales(
+                                     nst_fast, x[:1])),
+                             fused_sites=("res_i8", "res_s8"))
+    finally:
+        s2d2_sites_i8._INTERPRET = False
+    ref = np.asarray(y_xla, np.float32)
+    got = np.asarray(y_s8, np.float32)
+    d = np.abs(ref - got)
+    scale = np.abs(ref).mean() + 1e-6
+    # 1-ulp FMA-contraction flips at the per-channel quantize boundaries
+    # flip isolated int8 codes; non-calibration frames land more rounds on
+    # the .5 boundary (measured ~1% of elements, each one output bf16 ulp)
+    assert d.mean() / scale < 2e-4, (d.mean(), d.max(), scale)
+    assert d.max() < 0.1, d.max()
+    assert np.array_equal(np.asarray(y_i8d, np.float32),
+                          np.asarray(y_bothd, np.float32))
+
+
 @pytest.mark.parametrize("frn", [False, True])
 def test_reconet_static_matches_dynamic_on_calibration_input(frn):
     """B=1 calibration reproduces the dynamic ReCoNet output (IN and FRN
