@@ -179,7 +179,7 @@ def _res_chain_i8(y, p, quant, static_stats=None):
     return y
 
 
-def _res_chain_s8_static(y, p, quant, static_stats):
+def _res_chain_s8_static(y, p, quant, static_stats, emit_qo=None):
     """The five NST res blocks on end-to-end s8 carries with FROZEN
     instance norms (--quantize int8_static with "res_s8" adopted for the
     nst_static set).
@@ -193,7 +193,12 @@ def _res_chain_s8_static(y, p, quant, static_stats):
     affine + ReLU folded into the output quantize; the bf16 a-raw never
     exists in HBM); the b-site applies the frozen norm2 affine post-round
     and folds the residual add. Matches the XLA static int8 reference
-    (_res_quant_xla with static_stats) to bf16 rounding."""
+    (_res_quant_xla with static_stats) to bf16 rounding.
+
+    emit_qo: when set (the dec-s8 extension), the LAST b-site also
+    quantizes its combine output at this static scale and the chain
+    returns deconv1's s8 input (B, H, WPS, C) instead of bf16 — the
+    res-chain output never exists in HBM either."""
     from . import s2d2_sites_i8 as si8
 
     B, H, W0c, C = y.shape
@@ -224,12 +229,63 @@ def _res_chain_s8_static(y, p, quant, static_stats):
                               qa=qA, qc=qC, lo=-127.0, qlo=0.0,
                               halo="zero", sw=sw)
         aff = ((inv2 * sc2)[0], (bi2 - m2 * inv2 * sc2)[0])
+        if emit_qo is not None and i == 5:
+            return si8.site_s8(qx, qb_["w"].reshape(9, C, C), qb_["ws"],
+                               rp["conv2"]["b"].astype(jnp.float32), w0=W0,
+                               y=y, aff=aff, qo=emit_qo, qlo=-127.0,
+                               halo="zero", sw=sw)
         y = si8.site_s8(qx, qb_["w"].reshape(9, C, C), qb_["ws"],
                         rp["conv2"]["b"].astype(jnp.float32), w0=W0, y=y,
                         aff=aff, halo="zero", sw=sw)
     if sw is not None:
         y = y[:, :, :sw]
     return y.astype(dt)
+
+
+def _dec_s8_static(xq, p, quant, static_stats, w0c, dt):
+    """deconv1+deconv2 on an s8 carry with FROZEN norms ("dec_s8" under
+    int8_static): deconv1 consumes the res chain's s8 output and emits
+    deconv2's s8 input directly — the frozen in4 affine + ReLU fold into
+    the output quantize (tiled ×4 to the phase-major block channels;
+    quantizing BEFORE the d2s shuffle commutes with the permutation, the
+    .t7 dec-s8 argument) — so neither the res-chain output nor the d1 raw
+    ever exists in HBM as bf16. d2 emits the bf16 raw and the frozen in5
+    affine + ReLU run in XLA. w0c: pre-pad content width of the res grid
+    (non-%8 widths carry masked zero codes beyond sw, so the doubled d2
+    grid's content is 2·sw)."""
+    from ..io.t7_fast import _dec_kform
+    from . import s2d2_sites_i8 as si8
+
+    q1, q2 = quant["d1"], quant["d2"]
+    kh1, pt1 = _dec_kform(p["d1_pad"])
+    kh2, pt2 = _dec_kform(p["d2_pad"])
+    sw = w0c if w0c % 8 else None
+    w0 = ((w0c + 7) // 8) * 8
+    C = 128
+    m4, inv4 = (s.astype(jnp.float32) for s in static_stats["in4"])
+    sc4 = p["in_d1"]["scale"].astype(jnp.float32)
+    bi4 = p["in_d1"]["bias"].astype(jnp.float32)
+    qA = jnp.tile(((inv4 * sc4) * q2["qin"])[0], 4)          # (256,)
+    qC = jnp.tile(((bi4 - m4 * inv4 * sc4) * q2["qin"])[0], 4)
+    w1 = q1["w"].reshape(kh1 * kh1, C, -1)
+    r8 = si8.site_s8(xq, w1, q1["ws"], p["d1_b"].astype(jnp.float32),
+                     w0=w0, qa=qA, qc=qC, qlo=0.0, kh=kh1, kw=kh1,
+                     pt=pt1, pl_=pt1, sw=sw)
+    yd = d2s(r8[:, :, 1:w0 + 1], 2, 64)                      # s8 shuffle
+    w02 = 2 * w0
+    wps2 = si8._wps(w02)
+    yd = jnp.pad(yd, ((0, 0), (0, 0), (1, wps2 - w02 - 1), (0, 0)))
+    w2 = q2["w"].reshape(kh2 * kh2, 64, -1)
+    r2 = si8.site_s8(yd, w2, q2["ws"], p["d2_b"].astype(jnp.float32),
+                     w0=w02, kh=kh2, kw=kh2, pt=pt2, pl_=pt2)
+    if sw is not None:
+        r2 = r2[:, :, :2 * sw]
+    m5, inv5 = (s.astype(jnp.float32) for s in static_stats["in5"])
+    sc5 = p["in_d2"]["scale"].astype(jnp.float32)
+    bi5 = p["in_d2"]["bias"].astype(jnp.float32)
+    a2 = jnp.tile(inv5 * sc5, (1, 4))[:, None, None, :]
+    b2 = jnp.tile(bi5[None] - m5 * inv5 * sc5, (1, 4))[:, None, None, :]
+    return jax.nn.relu(r2.astype(jnp.float32) * a2 + b2).astype(dt)
 
 
 def _dec_quant_xla(y, p, quant, static_stats=None):
@@ -464,7 +520,21 @@ def apply(params: dict, x: jnp.ndarray, *, tap=None, quant=None,
                                   for i in range(1, 6) for j in (1, 2)))
         if "res_i8" in fused_sites and not use_res_s8:
             use_res_i8 = ok_geo
-    if use_res_s8:
+    use_dec_s8 = False
+    if (use_res_s8 and "dec_s8" in fused_sites
+            and "d1" in quant and "d2" in quant):
+        from ..io.t7_fast import _dec_kform
+        from . import s2d2_sites_i8 as si8
+        use_dec_s8 = ("in4" in static_stats and "in5" in static_stats
+                      and si8._pick_ts(2 * y.shape[1]) is not None
+                      and _dec_kform(p["d1_pad"]) is not None
+                      and _dec_kform(p["d2_pad"]) is not None)
+    if use_dec_s8:
+        w0c, dtv = y.shape[2], y.dtype
+        xq = _res_chain_s8_static(y, p, quant, static_stats,
+                                  emit_qo=quant["d1"]["qin"])
+        y = _dec_s8_static(xq, p, quant, static_stats, w0c, dtv)
+    elif use_res_s8:
         y = _res_chain_s8_static(y, p, quant, static_stats)
     elif use_res_i8:
         y = _res_chain_i8(y, p, quant, static_stats)
@@ -488,7 +558,8 @@ def apply(params: dict, x: jnp.ndarray, *, tap=None, quant=None,
             y = r + y
 
     use_dec_i8 = use_dec_xla = False
-    if quant is not None and "d1" in quant and "d2" in quant:
+    if (not use_dec_s8 and quant is not None
+            and "d1" in quant and "d2" in quant):
         if "dec_i8" in fused_sites:
             from ..io.t7_fast import _dec_kform
             from . import s2d2_sites_i8 as si8
@@ -498,7 +569,9 @@ def apply(params: dict, x: jnp.ndarray, *, tap=None, quant=None,
                           and _dec_kform(p["d1_pad"]) is not None
                           and _dec_kform(p["d2_pad"]) is not None)
         use_dec_xla = not use_dec_i8 and "dec_xla_i8" in fused_sites
-    if use_dec_i8:
+    if use_dec_s8:
+        pass  # deconv1/2 already ran on the s8 carry above
+    elif use_dec_i8:
         y = _dec_i8(y, p, quant, static_stats)
     elif use_dec_xla:
         y = _dec_quant_xla(y, p, quant, static_stats)

@@ -237,6 +237,14 @@ def test_nst_s8_static_chain(nst_fast, shape):
         y_xla = nstf.apply(pb, xb, quant=quant, static_stats=stats)
         y_s8 = nstf.apply(pb, xb, quant=quant, static_stats=stats,
                           fused_sites=("res_s8",))
+        # + the dec extension: res chain -> deconv1 -> deconv2 all on s8
+        # carries (the last b-site emits d1's input; d1 emits d2's with
+        # the frozen in4 affine folded; d2s runs at s8). Its reference is
+        # the XLA int8 dec branch.
+        y_xla_dec = nstf.apply(pb, xb, quant=quant, static_stats=stats,
+                               fused_sites=("dec_xla_i8",))
+        y_ds8 = nstf.apply(pb, xb, quant=quant, static_stats=stats,
+                           fused_sites=("res_s8", "dec_s8"))
         # res_s8 must NOT engage without static stats (dynamic scales):
         # ("res_i8", "res_s8") under dynamic stats == the res_i8 chain
         y_i8d = nstf.apply(pb, xb,
@@ -260,6 +268,11 @@ def test_nst_s8_static_chain(nst_fast, shape):
     # the .5 boundary (measured ~1% of elements, each one output bf16 ulp)
     assert d.mean() / scale < 2e-4, (d.mean(), d.max(), scale)
     assert d.max() < 0.1, d.max()
+    dd = np.abs(np.asarray(y_xla_dec, np.float32)
+                - np.asarray(y_ds8, np.float32))
+    dscale = np.abs(np.asarray(y_xla_dec, np.float32)).mean() + 1e-6
+    assert dd.mean() / dscale < 2e-4, (dd.mean(), dd.max(), dscale)
+    assert dd.max() < 0.1, dd.max()
     assert np.array_equal(np.asarray(y_i8d, np.float32),
                           np.asarray(y_bothd, np.float32))
 
