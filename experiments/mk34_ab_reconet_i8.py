@@ -69,6 +69,19 @@ def main():
                                    fused_sites=("res_i8", "dec_i8")),
                         -1.0, 1.0)
 
+    def step_i8_s8c(x):
+        # s8-carry res chain (a-sites emit b-site s8 inputs with the
+        # frozen norm1 affine — and FRN tau floor — folded; reflect halos)
+        return jnp.clip(recf.apply(pb, x, quant=quant_s, static_stats=stats,
+                                   fused_sites=("res_s8", "res_i8")),
+                        -1.0, 1.0)
+
+    def step_i8_s8c_dec(x):
+        return jnp.clip(recf.apply(pb, x, quant=quant_s, static_stats=stats,
+                                   fused_sites=("res_s8", "res_i8",
+                                                "dec_i8")),
+                        -1.0, 1.0)
+
     y0 = np.asarray(jax.jit(step_bf16)(xc.astype(jnp.bfloat16)), np.float32)
     for name, fn in (("xla-i8", step_xla_i8), ("pal-i8", step_pal_i8),
                      ("pal+dec", step_pal_dec)):
@@ -85,7 +98,9 @@ def main():
     yg = np.asarray(jax.jit(step_bf16)(xg), np.float32)
     for name, fn in (("bf16-static", step_bf16_static),
                      ("i8-static", step_i8_static),
-                     ("i8-static+dec", step_i8_static_dec)):
+                     ("i8-static+dec", step_i8_static_dec),
+                     ("i8-s8c", step_i8_s8c),
+                     ("i8-s8c+dec", step_i8_s8c_dec)):
         d = np.abs(yg - np.asarray(jax.jit(fn)(xg), np.float32))
         print(f"quality {name}: MAE {d.mean():.5f} max {d.max():.4f}",
               flush=True)
@@ -99,7 +114,9 @@ def main():
                          ("pal-i8", step_pal_i8), ("pal+dec", step_pal_dec),
                          ("bf16-static", step_bf16_static),
                          ("i8-static", step_i8_static),
-                         ("i8-static+dec", step_i8_static_dec)):
+                         ("i8-static+dec", step_i8_static_dec),
+                         ("i8-s8c", step_i8_s8c),
+                         ("i8-s8c+dec", step_i8_s8c_dec)):
             t = timed_step(fn, B, H, W)
             print(f"[{name} B{B}] {t*1e3:.1f} ms/batch  {B/t:.1f} fps",
                   flush=True)

@@ -37,13 +37,14 @@ run mk32_t7_bn 3000 NORM=bn BATCHES=16,48 python -u experiments/mk32_ab_t7_i8.py
 # 4. t7 instance-norm variant
 run mk32_t7_in 1200 NORM=in BATCHES=16 python -u experiments/mk32_ab_t7_i8.py
 
-# 5. NST int8 (504-pad sw geometry) + static-norm rows (frozen IN)
-run mk33_nst 2100 BATCHES=16 python -u experiments/mk33_ab_nst_i8.py
+# 5. NST int8 (504-pad sw geometry) + static-norm rows (frozen IN),
+#    incl. the s8-carry rows (i8-s8c / i8-s8c+dec / i8-s8c+ds8)
+run mk33_nst 2700 BATCHES=16 python -u experiments/mk33_ab_nst_i8.py
 
-# 6. ReCoNet int8 (IN + FRN) + static-norm rows, then the skip-fold
-#    variant (RECO_SKIP=1)
-run mk34_reco_in 1800 NORM=in BATCHES=16 python -u experiments/mk34_ab_reconet_i8.py
-run mk34_reco_frn 1800 NORM=frn BATCHES=16 python -u experiments/mk34_ab_reconet_i8.py
+# 6. ReCoNet int8 (IN + FRN) + static-norm rows (incl. the s8-carry
+#    i8-s8c rows), then the skip-fold variant (RECO_SKIP=1)
+run mk34_reco_in 2400 NORM=in BATCHES=16 python -u experiments/mk34_ab_reconet_i8.py
+run mk34_reco_frn 2400 NORM=frn BATCHES=16 python -u experiments/mk34_ab_reconet_i8.py
 run mk34_reco_skip 1800 NORM=in RECO_SKIP=1 BATCHES=16 python -u experiments/mk34_ab_reconet_i8.py
 
 # 7. xplane trace of the engine int8 config — attributes the remaining

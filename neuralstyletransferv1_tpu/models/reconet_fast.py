@@ -216,6 +216,57 @@ def _res_chain_i8(y, p, quant, frn, static_stats=None):
     return y
 
 
+def _res_chain_s8_static(y, p, quant, frn, static_stats):
+    """The four res blocks on s8 inter-conv carries with FROZEN norms
+    ("res_s8" under --quantize int8_static): the a-site emits the
+    b-site's s8 input directly — the frozen norm1 affine (and, on FRN
+    nets, the TLU's per-channel tau·qin pre-round floor) folds into the
+    emit quantize, so the bf16 a-raw never exists in HBM; the b-site
+    applies the frozen norm2 affine post-round and folds the residual
+    add. The post-skip activation stays XLA — ReCoNet activates AFTER
+    the add (reference: model.py:57-60). Reflect halos ride the carry
+    (quantize is pointwise, so the carry's halo columns ARE the reflect
+    codes). Matches _res_quant_xla under static_stats to bf16 rounding."""
+    from . import s2d2_sites_i8 as si8
+
+    B, H, W0, C = y.shape
+    dt = y.dtype
+    for i, rp in enumerate(p["res"]):
+        qa_, qb_ = quant[f"r{i}a"], quant[f"r{i}b"]
+        m1, inv1 = (s.astype(jnp.float32) for s in static_stats[f"r{i}in1"])
+        m2, inv2 = (s.astype(jnp.float32) for s in static_stats[f"r{i}in2"])
+        sc1 = rp["norm1"]["scale"].astype(jnp.float32)
+        bi1 = rp["norm1"]["bias"].astype(jnp.float32)
+        sc2 = rp["norm2"]["scale"].astype(jnp.float32)
+        bi2 = rp["norm2"]["bias"].astype(jnp.float32)
+        # the b-site input quantize, exactly as _res_quant_xla computes it
+        qA = ((inv1 * sc1) * qb_["qin"])[0]            # (C,)
+        qC = ((bi1 - m1 * inv1 * sc1) * qb_["qin"])[0]
+        tau = None
+        qlo = 0.0
+        if frn:
+            qlo = -127.0
+            tau = rp["norm1"]["tau"].astype(jnp.float32) * qb_["qin"]
+        aq = jnp.full((B, C), qa_["qin"], jnp.float32)
+        cq = jnp.zeros((B, C), jnp.float32)
+        qx = si8.res_site_s8o(y, aq, cq, qa_["w"].reshape(9, C, C),
+                              qa_["ws"],
+                              rp["conv1"]["b"].astype(jnp.float32),
+                              qa=qA, qc=qC, lo=-127.0, qlo=qlo, tau=tau,
+                              halo="reflect")
+        aff = ((inv2 * sc2)[0], (bi2 - m2 * inv2 * sc2)[0])
+        y = si8.site_s8(qx, qb_["w"].reshape(9, C, C), qb_["ws"],
+                        rp["conv2"]["b"].astype(jnp.float32), w0=W0, y=y,
+                        aff=aff, halo="reflect")
+        if frn:
+            y = jnp.maximum(y.astype(jnp.float32),
+                            rp["act"]["tau"].astype(jnp.float32)) \
+                .astype(dt)
+        else:
+            y = jax.nn.relu(y).astype(dt)
+    return y
+
+
 def _res_chain_i8_skip(y, p, quant, frn, si8, static_stats=None):
     """RECO_SKIP=1 variant: each block's deferred-norm apply + residual
     add + POST-SKIP activation fold into the next a-site's prologue
@@ -490,13 +541,23 @@ def apply(params: dict, x: jnp.ndarray, *, tap=None, quant=None,
     nres = len(p["res"])
     use_q = quant is not None and all(
         f"r{i}{ab}" in quant for i in range(nres) for ab in "ab")
-    use_res_i8 = False
-    if use_q and "res_i8" in fused_sites:
+    use_res_i8 = use_res_s8 = False
+    if use_q and {"res_i8", "res_s8"} & set(fused_sites):
         from . import s2d2_sites_i8 as si8
-        use_res_i8 = si8.res_supported(y.shape[1], y.shape[2])
-    if use_res_i8:
+        ok_geo = si8.res_supported(y.shape[1], y.shape[2])
+        if "res_s8" in fused_sites and static_stats is not None:
+            # s8-carry chain (frozen norms make every scale static);
+            # falls back to res_i8 when stats/geometry don't allow it
+            use_res_s8 = ok_geo and all(
+                f"r{i}in{j}" in static_stats
+                for i in range(nres) for j in (1, 2))
+        if "res_i8" in fused_sites and not use_res_s8:
+            use_res_i8 = ok_geo
+    if use_res_s8:
+        y = _res_chain_s8_static(y, p, quant, frn, static_stats)
+    elif use_res_i8:
         y = _res_chain_i8(y, p, quant, frn, static_stats)
-    elif use_q and "res_i8" not in fused_sites:
+    elif use_q and not ({"res_i8", "res_s8"} & set(fused_sites)):
         # CPU/parity XLA-int8 branch; requested-but-unsupported res_i8
         # falls through to bf16 (XLA-i8 is the measured loss)
         y = _res_quant_xla(y, p, quant, frn, static_stats)

@@ -502,7 +502,7 @@ def _s8_row_maps(TS, H, halo):
 
 def _site_kernel_s8o(stat_ref, w_ref, dq_ref, head_ref, body_ref, tail_ref,
                      q_ref, xs_ref, *, TS, W0, WPS, LO, QLO, MT=4, NS=None,
-                     HALO="zero", SW=None):
+                     HALO="zero", SW=None, TAU=False):
     """Static-scale site with an s8 OUTPUT: quantize prologue (column
     halos per HALO) -> 3x3 s8 conv -> dequant + bias -> bf16 round ->
     STATIC output quantize affine -> s8 out at width WPS with the column
@@ -555,8 +555,12 @@ def _site_kernel_s8o(stat_ref, w_ref, dq_ref, head_ref, body_ref, tail_ref,
                 acc = p if acc is None else acc + p
         f = acc.astype(jnp.float32) * ws + bi
         fv = f.reshape(rows, WPS, CO)[:, 0:W0, :].astype(jnp.bfloat16)
-        q = jnp.clip(jnp.round(fv.astype(jnp.float32) * qa + qc),
-                     QLO, 127.0).astype(jnp.int8)
+        v = fv.astype(jnp.float32) * qa + qc
+        if TAU:
+            # per-channel TLU floor BEFORE the round (FRN ReCoNet: the
+            # XLA reference maxes v with tau·qin, then rounds)
+            v = jnp.maximum(v, dq_ref[4, :])
+        q = jnp.clip(jnp.round(v), QLO, 127.0).astype(jnp.int8)
         if SW is not None and SW < W0:
             # alignment-padding columns emit zero codes so the next site
             # keeps exact zero-pad semantics at the content edge
@@ -574,7 +578,7 @@ def _wps(w0: int) -> int:
 def res_site_s8o(x: jnp.ndarray, a: jnp.ndarray, c: jnp.ndarray,
                  w9: jnp.ndarray, ws: jnp.ndarray, bias: jnp.ndarray,
                  qo=None, lo: float = -127.0, qlo: float = 0.0, *,
-                 qa=None, qc=None, halo: str = "zero",
+                 qa=None, qc=None, tau=None, halo: str = "zero",
                  sw: int | None = None, ts: int | None = None, mt: int = 4):
     """Static-scale 3x3 site emitting the NEXT site's s8 input directly.
 
@@ -584,7 +588,9 @@ def res_site_s8o(x: jnp.ndarray, a: jnp.ndarray, c: jnp.ndarray,
     BN-folded .t7 form) or per-channel ``qa``/``qc`` (CO,) rows folding a
     FROZEN norm affine (static-norm Johnson: qa = inv·scale·qin,
     qc = (bias − mean·inv·scale)·qin); ``qlo`` is the clamp floor (0.0
-    folds the inter-conv ReLU). ``sw`` (zero halo only): content width
+    folds the inter-conv ReLU). ``tau``: optional per-channel (CO,)
+    pre-round floor (FRN ReCoNet's TLU, already scaled by qin — pair
+    with qlo=-127). ``sw`` (zero halo only): content width
     < W0 when the caller padded a non-%8 net width up — padding columns
     are zeroed at quantize AND in the emitted codes (zero-pad semantics
     carry through the chain; NST static-norm form). Returns
@@ -603,9 +609,13 @@ def res_site_s8o(x: jnp.ndarray, a: jnp.ndarray, c: jnp.ndarray,
     if qa is None:
         qa = jnp.full((CO,), qo, jnp.float32)
         qc = jnp.zeros((CO,), jnp.float32)
-    dq = jnp.stack([ws, bias, qa, qc], axis=0)         # (4, CO)
+    rows_dq = [ws, bias, qa, qc]
+    if tau is not None:
+        rows_dq.append(tau)
+    dq = jnp.stack(rows_dq, axis=0)                    # (4..5, CO)
     kern = functools.partial(_site_kernel_s8o, TS=TS, W0=W0, WPS=WPS,
-                             LO=lo, QLO=qlo, MT=mt, NS=NS, HALO=halo, SW=sw)
+                             LO=lo, QLO=qlo, MT=mt, NS=NS, HALO=halo, SW=sw,
+                             TAU=tau is not None)
     hmap, tmap = _s8_row_maps(TS, H, halo)
     return pl.pallas_call(
         kern,
@@ -615,7 +625,7 @@ def res_site_s8o(x: jnp.ndarray, a: jnp.ndarray, c: jnp.ndarray,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((9, C, CO), lambda b, j: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, CO), lambda b, j: (0, 0),
+            pl.BlockSpec((dq.shape[0], CO), lambda b, j: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, W0, C), hmap, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TS, W0, C), lambda b, j: (b, j, 0, 0),

@@ -305,6 +305,51 @@ def test_reconet_static_matches_dynamic_on_calibration_input(frn):
     assert dq.mean() < 3e-2, (frn, dq.mean(), dq.max())
 
 
+@pytest.mark.parametrize("frn", [False,
+                                 pytest.param(True, marks=pytest.mark.slow)])
+def test_reconet_s8_static_chain(frn):
+    """The ReCoNet s8-carry res chain (fused_sites=("res_s8",) under
+    frozen norms: reflect halos ride the carry; on FRN nets the TLU folds
+    into the a-site's emit quantize as a per-channel pre-round floor, and
+    the post-skip activation stays XLA) matches the XLA static int8
+    reference to isolated 1-ulp bf16 FMA-contraction flips."""
+    from neuralstyletransferv1_tpu.models import reconet
+    from neuralstyletransferv1_tpu.models import reconet_fast as recf
+    from neuralstyletransferv1_tpu.models import s2d2_sites_i8
+
+    fp = recf.from_reconet_params(reconet.init(jax.random.key(5), frn=frn))
+    pb = jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16)
+        if hasattr(a, "astype") and a.dtype == jnp.float32 else a, fp)
+    x = jnp.asarray(np.random.default_rng(8).random((1, 64, 64, 3)) * 2 - 1,
+                    jnp.float32)
+    stats = recf.calibrate_in_stats(fp, x)
+    scales = recf.calibrate_act_scales(fp, x, static_stats=stats)
+    quant = recf.quantize_net(fp, scales)
+    xb = x.astype(jnp.bfloat16)
+
+    s2d2_sites_i8._INTERPRET = True
+    try:
+        y_xla = recf.apply(pb, xb, quant=quant, static_stats=stats)
+        y_s8 = recf.apply(pb, xb, quant=quant, static_stats=stats,
+                          fused_sites=("res_s8",))
+        # without static stats, res_s8 must fall back to the res_i8 chain
+        qd = recf.quantize_net(fp, recf.calibrate_act_scales(fp, x))
+        y_i8d = recf.apply(pb, xb, quant=qd, fused_sites=("res_i8",))
+        y_bothd = recf.apply(pb, xb, quant=qd,
+                             fused_sites=("res_i8", "res_s8"))
+    finally:
+        s2d2_sites_i8._INTERPRET = False
+    ref = np.asarray(y_xla, np.float32)
+    got = np.asarray(y_s8, np.float32)
+    d = np.abs(ref - got)
+    scale = np.abs(ref).mean() + 1e-6
+    assert d.mean() / scale < 2e-4, (frn, d.mean(), d.max(), scale)
+    assert d.max() < 0.1, (frn, d.max())
+    assert np.array_equal(np.asarray(y_i8d, np.float32),
+                          np.asarray(y_bothd, np.float32))
+
+
 def test_engine_static_flags_nst_reconet():
     """--quantize bf16_static / int8_static on NST and ReCoNet slots: the
     stylizer calibrates on the first batch (call_static_gen) and the
