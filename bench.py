@@ -180,33 +180,47 @@ def _static_norm(extras, bparams, bparams32):
     y_dyn = jax.jit(lambda x: jnp.clip(s2d.apply(bparams, x), 0.0, 1.0))
 
     best = (0.0, 1.0, None)
-    for name, want_i8 in (("bf16_static", False), ("int8_static", True)):
-        quant = None
-        fused = ()
-        if want_i8:
-            scales = s2d.calibrate_act_scales(bparams32, xc,
-                                              static_stats=stats)
-            scales = _s2d2_site_filter(scales, xc)
-            quant = s2d.quantize_net(bparams32, scales)
-            fused = _I8_FUSED_STATIC
+    # candidates: (extras key, headline config tag, fused-site set or None
+    # for bf16). The s8c row measures the mk35-candidate s8-carry chains
+    # (res_s8/dec_s8) even when no adoption window ran — bench's in-run
+    # pick IS an in-net A/B under the same protocol, so the headline may
+    # ride it without a constant flip.
+    cands = [("bf16_static", "bf16-static-norm", None),
+             ("int8_static", "int8-static-norm", _I8_FUSED_STATIC),
+             ("int8_static_s8c", "int8-static-s8c",
+              ("res_s8", "res_i8", "dec_s8", "dec_i8"))]
+    if set(_I8_FUSED_STATIC) >= {"res_s8", "dec_s8"}:
+        cands.pop()  # already the adopted set — nothing extra to measure
+    quant_s = None
+    for name, tag, fused in cands:
+        try:
+            if fused is not None and quant_s is None:
+                scales = s2d.calibrate_act_scales(bparams32, xc,
+                                                  static_stats=stats)
+                scales = _s2d2_site_filter(scales, xc)
+                quant_s = s2d.quantize_net(bparams32, scales)
+            quant = None if fused is None else quant_s
 
-        def step(x, q=quant, f=fused):
-            return jnp.clip(s2d.apply(bparams, x, quant=q, fused_sites=f,
-                                      static_stats=stats), 0.0, 1.0)
+            def step(x, q=quant, f=() if fused is None else fused):
+                return jnp.clip(s2d.apply(bparams, x, quant=q,
+                                          fused_sites=f,
+                                          static_stats=stats), 0.0, 1.0)
 
-        st = jax.jit(step)
-        mae = float(jnp.mean(jnp.abs(y_dyn(xg).astype(jnp.float32)
-                                     - st(xg).astype(jnp.float32))))
-        mae_i = float(jnp.mean(jnp.abs(y_dyn(xi).astype(jnp.float32)
-                                       - st(xi).astype(jnp.float32))))
-        fps = _fps(step, lambda s: _rand_img(s, BATCH, H, W), BATCH,
-                   chain=CHAIN, repeats=REPEATS)
-        extras[f"{name}_fps_1080"] = fps
-        extras[f"{name}_mae_vs_bf16"] = mae
-        extras[f"{name}_mae_indep"] = mae_i
-        _log(f"{name} {fps:.1f} fps (MAE {mae:.2e}, indep {mae_i:.2e})")
-        if mae <= 1e-2 and fps > best[0]:
-            best = (fps, mae, f"{'int8' if want_i8 else 'bf16'}-static-norm")
+            st = jax.jit(step)
+            mae = float(jnp.mean(jnp.abs(y_dyn(xg).astype(jnp.float32)
+                                         - st(xg).astype(jnp.float32))))
+            mae_i = float(jnp.mean(jnp.abs(y_dyn(xi).astype(jnp.float32)
+                                           - st(xi).astype(jnp.float32))))
+            fps = _fps(step, lambda s: _rand_img(s, BATCH, H, W), BATCH,
+                       chain=CHAIN, repeats=REPEATS)
+            extras[f"{name}_fps_1080"] = fps
+            extras[f"{name}_mae_vs_bf16"] = mae
+            extras[f"{name}_mae_indep"] = mae_i
+            _log(f"{name} {fps:.1f} fps (MAE {mae:.2e}, indep {mae_i:.2e})")
+            if mae <= 1e-2 and fps > best[0]:
+                best = (fps, mae, tag)
+        except Exception as e:  # a candidate must not kill the section
+            _log(f"static candidate {name} FAILED: {type(e).__name__}: {e}")
     return best
 
 
