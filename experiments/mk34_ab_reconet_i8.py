@@ -82,6 +82,14 @@ def main():
                                                 "dec_i8")),
                         -1.0, 1.0)
 
+    def step_i8_s8c_ds8(x):
+        # + deconv1/2 on the s8 carry (frozen in4 + activation folded
+        # into d1's emit quantize; d2s at s8, edge halos)
+        return jnp.clip(recf.apply(pb, x, quant=quant_s, static_stats=stats,
+                                   fused_sites=("res_s8", "res_i8",
+                                                "dec_s8", "dec_i8")),
+                        -1.0, 1.0)
+
     y0 = np.asarray(jax.jit(step_bf16)(xc.astype(jnp.bfloat16)), np.float32)
     for name, fn in (("xla-i8", step_xla_i8), ("pal-i8", step_pal_i8),
                      ("pal+dec", step_pal_dec)):
@@ -100,7 +108,8 @@ def main():
                      ("i8-static", step_i8_static),
                      ("i8-static+dec", step_i8_static_dec),
                      ("i8-s8c", step_i8_s8c),
-                     ("i8-s8c+dec", step_i8_s8c_dec)):
+                     ("i8-s8c+dec", step_i8_s8c_dec),
+                     ("i8-s8c+ds8", step_i8_s8c_ds8)):
         d = np.abs(yg - np.asarray(jax.jit(fn)(xg), np.float32))
         print(f"quality {name}: MAE {d.mean():.5f} max {d.max():.4f}",
               flush=True)
@@ -116,7 +125,8 @@ def main():
                          ("i8-static", step_i8_static),
                          ("i8-static+dec", step_i8_static_dec),
                          ("i8-s8c", step_i8_s8c),
-                         ("i8-s8c+dec", step_i8_s8c_dec)):
+                         ("i8-s8c+dec", step_i8_s8c_dec),
+                         ("i8-s8c+ds8", step_i8_s8c_ds8)):
             t = timed_step(fn, B, H, W)
             print(f"[{name} B{B}] {t*1e3:.1f} ms/batch  {B/t:.1f} fps",
                   flush=True)

@@ -267,6 +267,58 @@ def _res_chain_s8_static(y, p, quant, frn, static_stats):
     return y
 
 
+def _dec_s8_static(y, p, quant, frn, static_stats, dt):
+    """deconv1+deconv2 on an s8 carry with FROZEN norms ("dec_s8" under
+    int8_static): d1 consumes the res-chain output (bf16, edge-block
+    halos in the quantize prologue — _pad_edge_blocks' geometry) and
+    emits d2's s8 input directly: the frozen in4 affine + activation
+    fold into the emit quantize (tiled ×4 to the phase-major block
+    channels; FRN's nd1 TLU rides the per-channel pre-round floor row),
+    so the bf16 d1 raw never exists in HBM. The d2s shuffle + edge-halo
+    re-pad run at s8; d2 emits the bf16 raw and the frozen in5 tail runs
+    in XLA. Matches _dec_quant_xla under static_stats to bf16 rounding
+    (quantize commutes with the d2s permutation)."""
+    from . import s2d2_sites_i8 as si8
+    from .transformer_net_s2d import d2s
+
+    B, H, W0, C = y.shape
+    q1, q2 = quant["d1"], quant["d2"]
+    m4, inv4 = (s.astype(jnp.float32) for s in static_stats["in4"])
+    sc4 = p["nd1"]["scale"].astype(jnp.float32)
+    bi4 = p["nd1"]["bias"].astype(jnp.float32)
+    qA = jnp.tile(((inv4 * sc4) * q2["qin"])[0], 4)          # (384,)
+    qC = jnp.tile(((bi4 - m4 * inv4 * sc4) * q2["qin"])[0], 4)
+    tau = None
+    qlo = 0.0
+    if frn:
+        qlo = -127.0
+        tau = jnp.tile(p["nd1"]["tau"].astype(jnp.float32) * q2["qin"], 4)
+    aq = jnp.full((B, C), q1["qin"], jnp.float32)
+    cq = jnp.zeros((B, C), jnp.float32)
+    qd1 = si8.res_site_s8o(y, aq, cq, q1["w"].reshape(9, C, -1), q1["ws"],
+                           p["d1_b"].astype(jnp.float32), qa=qA, qc=qC,
+                           tau=tau, lo=-127.0, qlo=qlo, halo="edge")
+    qs = d2s(qd1[:, :, 1:W0 + 1], 2, 96)                     # s8 shuffle
+    w02 = 2 * W0
+    wps2 = si8._wps(w02)
+    X = jnp.pad(qs, ((0, 0), (0, 0), (1, wps2 - w02 - 1), (0, 0)))
+    X = X.at[:, :, 0].set(qs[:, :, 0])                       # edge halos
+    X = X.at[:, :, w02 + 1].set(qs[:, :, -1])
+    r2 = si8.site_s8(X, q2["w"].reshape(9, 96, -1), q2["ws"],
+                     p["d2_b"].astype(jnp.float32), w0=w02, halo="edge")
+    m5, inv5 = (s.astype(jnp.float32) for s in static_stats["in5"])
+    sc2 = p["nd2"]["scale"].astype(jnp.float32)
+    bi2 = p["nd2"]["bias"].astype(jnp.float32)
+    v = (r2.astype(jnp.float32)
+         * jnp.tile(inv5 * sc2, (1, 4))[:, None, None, :]
+         + jnp.tile(bi2[None] - m5 * inv5 * sc2, (1, 4))[:, None, None, :])
+    if frn:
+        v = jnp.maximum(v, jnp.tile(p["nd2"]["tau"].astype(jnp.float32), 4))
+    else:
+        v = jax.nn.relu(v)
+    return v.astype(dt)
+
+
 def _res_chain_i8_skip(y, p, quant, frn, si8, static_stats=None):
     """RECO_SKIP=1 variant: each block's deferred-norm apply + residual
     add + POST-SKIP activation fold into the next a-site's prologue
@@ -582,15 +634,24 @@ def apply(params: dict, x: jnp.ndarray, *, tap=None, quant=None,
             else:
                 y = jax.nn.relu(y)
 
-    use_dec_i8 = use_dec_xla = False
+    use_dec_s8 = use_dec_i8 = use_dec_xla = False
     if quant is not None and "d1" in quant and "d2" in quant:
-        if "dec_i8" in fused_sites:
+        if ("dec_s8" in fused_sites and static_stats is not None
+                and "in4" in static_stats and "in5" in static_stats):
+            from . import s2d2_sites_i8 as si8
+            use_dec_s8 = (si8.res_supported(y.shape[1], y.shape[2])
+                          and si8.res_supported(2 * y.shape[1],
+                                                2 * y.shape[2]))
+        if "dec_i8" in fused_sites and not use_dec_s8:
             from . import s2d2_sites_i8 as si8
             use_dec_i8 = (si8.res_supported(y.shape[1], y.shape[2])
                           and si8.res_supported(2 * y.shape[1],
                                                 2 * y.shape[2]))
-        use_dec_xla = not use_dec_i8 and "dec_xla_i8" in fused_sites
-    if use_dec_i8:
+        use_dec_xla = (not use_dec_s8 and not use_dec_i8
+                       and "dec_xla_i8" in fused_sites)
+    if use_dec_s8:
+        y = _dec_s8_static(y, p, quant, frn, static_stats, y.dtype)
+    elif use_dec_i8:
         y = _dec_i8(y, p, quant, frn, static_stats)
     elif use_dec_xla:
         y = _dec_quant_xla(y, p, quant, frn, static_stats)

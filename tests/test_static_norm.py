@@ -333,6 +333,13 @@ def test_reconet_s8_static_chain(frn):
         y_xla = recf.apply(pb, xb, quant=quant, static_stats=stats)
         y_s8 = recf.apply(pb, xb, quant=quant, static_stats=stats,
                           fused_sites=("res_s8",))
+        # + the dec extension (edge halos; frozen in4 affine — and FRN
+        # nd1 tau floor — folded into d1's emit quantize; d2s at s8) vs
+        # the XLA int8 dec branch
+        y_xla_dec = recf.apply(pb, xb, quant=quant, static_stats=stats,
+                               fused_sites=("dec_xla_i8",))
+        y_ds8 = recf.apply(pb, xb, quant=quant, static_stats=stats,
+                           fused_sites=("res_s8", "dec_s8"))
         # without static stats, res_s8 must fall back to the res_i8 chain
         qd = recf.quantize_net(fp, recf.calibrate_act_scales(fp, x))
         y_i8d = recf.apply(pb, xb, quant=qd, fused_sites=("res_i8",))
@@ -346,6 +353,11 @@ def test_reconet_s8_static_chain(frn):
     scale = np.abs(ref).mean() + 1e-6
     assert d.mean() / scale < 2e-4, (frn, d.mean(), d.max(), scale)
     assert d.max() < 0.1, (frn, d.max())
+    dd = np.abs(np.asarray(y_xla_dec, np.float32)
+                - np.asarray(y_ds8, np.float32))
+    dscale = np.abs(np.asarray(y_xla_dec, np.float32)).mean() + 1e-6
+    assert dd.mean() / dscale < 2e-4, (frn, dd.mean(), dd.max(), dscale)
+    assert dd.max() < 0.1, (frn, dd.max())
     assert np.array_equal(np.asarray(y_i8d, np.float32),
                           np.asarray(y_bothd, np.float32))
 
