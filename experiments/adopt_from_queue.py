@@ -61,7 +61,8 @@ FILES = {
     "mk35_static": dict(
         target="sites_static", base="i8-static",
         rows={"i8-s8c": frozenset({"res_s8"}),
-              "i8-s8c+ds8": frozenset({"res_s8", "dec_s8"})}),
+              "i8-s8c+ds8": frozenset({"res_s8", "dec_s8"}),
+              "i8-s8c+head": frozenset({"res_s8", "dec_s8", "head_i8"})}),
     "mk32_t7_bn": dict(
         target="t7", base="pal-i8",
         rows={

@@ -39,9 +39,13 @@ def main():
              s2d2.quantize_net(bp32, scales).items()
              if k.startswith("r") or k in ("d1", "d2")}
     scales_s = s2d2.calibrate_act_scales(bp32, xc, static_stats=stats)
-    quant_s = {k: v for k, v in
-               s2d2.quantize_net(bp32, scales_s).items()
+    quant_s_full = s2d2.quantize_net(bp32, scales_s)
+    quant_s = {k: v for k, v in quant_s_full.items()
                if k.startswith("r") or k in ("d1", "d2")}
+    # + c2/c3 for the head rows (pair-packed head sites under frozen
+    # in2/in3 — the static head_chain)
+    quant_sh = {k: v for k, v in quant_s_full.items()
+                if k.startswith("r") or k in ("c2", "c3", "d1", "d2")}
 
     def step_bf16(x):
         return jnp.clip(s2d2.apply(bp, x), 0.0, 1.0)
@@ -74,9 +78,19 @@ def main():
                                                 "dec_s8", "dec_i8")),
                         0.0, 1.0)
 
+    def step_i8_s8c_head(x):
+        # + the pair-packed int8 head under frozen in2/in3 (static
+        # head_chain): the whole c2..d2 region is Pallas
+        return jnp.clip(s2d2.apply(bp, x, quant=quant_sh, static_stats=stats,
+                                   fused_sites=("head_i8", "res_s8",
+                                                "res_i8", "dec_s8",
+                                                "dec_i8")),
+                        0.0, 1.0)
+
     variants = [("bf16-static", step_bf16_static),
                 ("i8-pal+dec", step_i8), ("i8-static", step_i8_static),
-                ("i8-s8c", step_i8_s8c), ("i8-s8c+ds8", step_i8_s8c_ds8)]
+                ("i8-s8c", step_i8_s8c), ("i8-s8c+ds8", step_i8_s8c_ds8),
+                ("i8-s8c+head", step_i8_s8c_head)]
 
     k1, k2 = jax.random.split(jax.random.key(42))
     xg = jnp.clip(xc.astype(jnp.bfloat16)

@@ -49,13 +49,17 @@ _I8_FUSED_NST_STATIC = _adopt.sites("nst_static")
 _I8_FUSED_RECO_STATIC = _adopt.sites("reco_static")
 
 
-def _s2d2_site_filter(scales: dict, xc) -> dict:
+def _s2d2_site_filter(scales: dict, xc, sites=None) -> dict:
     """Quantize only the s2d2 sites that ride Pallas fused kernels (res
     chain + deconv1/2): XLA-int8 pays a standalone HBM quantize pass per
     site — a measured LOSS (PERF.md int8 section) — so anything without an
-    adopted kernel stays bf16 (conv1, c2, c3, d3)."""
+    adopted kernel stays bf16 (conv1, c2, c3, d3). ``sites`` is the fused
+    set in effect (defaults to the dynamic engine set; the static-norm
+    path passes _I8_FUSED_STATIC)."""
+    if sites is None:
+        sites = _I8_FUSED_SITES
     keep = set(_I8_QUANT_KEEP)
-    if "head_i8" in _I8_FUSED_SITES:
+    if "head_i8" in sites:
         from ..models import s2d2_sites_i8 as _si8
         if _si8.head_supported(xc.shape[1] // 2, xc.shape[2] // 2):
             keep |= {"c2", "c3"}
@@ -454,7 +458,8 @@ def jit_stylizer(model: StyleModel, *, dtype=jnp.float32, optimize: bool = True,
                     scales = tns2d.calibrate_act_scales(
                         s2d_params32, xc, sites=tns2d.QUANT_SITES_PALLAS,
                         static_stats=stats)
-                    scales = _s2d2_site_filter(scales, xc)
+                    scales = _s2d2_site_filter(scales, xc,
+                                               sites=_I8_FUSED_STATIC)
                     quant = tns2d.quantize_net(s2d_params32, scales)
                 state_s["fn"] = _jit_batch(
                     make_fn(quant, static_stats=stats), mesh)

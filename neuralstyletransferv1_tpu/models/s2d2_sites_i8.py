@@ -1221,17 +1221,29 @@ def head_supported(h2: int, w2: int) -> bool:
 
 
 def head_chain(y1: jnp.ndarray, m1: jnp.ndarray, inv1: jnp.ndarray,
-               p: dict, quant: dict):
+               p: dict, quant: dict, static_stats: dict | None = None):
     """conv2 + conv3 as pair-packed fused int8 sites.
 
     y1: (B, H2, W2, 128) conv1 raw output (540 grid, 4 phases × 32).
     m1, inv1: its in1 stats per (B, 32). Returns ``(y3_raw, m3, inv3)``:
     the raw conv3 output on the 270 grid plus its in3 stats — the caller
     applies in3 exactly like after the XLA c3 (_apply_in_relu phases=1).
-    """
+
+    static_stats: frozen ``in2``/``in3`` stats (the static-norm modes) —
+    replaces the kernel-epilogue reductions so the head quantizes against
+    the same frozen graph its scales were calibrated on."""
     B, H2, W2, _ = y1.shape
     q2, q3 = quant["c2"], quant["c3"]
     yp = y1.reshape(B, H2, W2 // 2, 256)              # pair view (lane fold)
+
+    def _fz(site):
+        if static_stats is not None and site in static_stats:
+            ms, invs = static_stats[site]
+            return (jnp.broadcast_to(ms.astype(jnp.float32),
+                                     (B, ms.shape[-1])),
+                    jnp.broadcast_to(invs.astype(jnp.float32),
+                                     (B, invs.shape[-1])))
+        return None
 
     sc = p["in2"]["scale"].astype(jnp.float32)
     sc1 = p["in1"]["scale"].astype(jnp.float32)
@@ -1241,15 +1253,18 @@ def head_chain(y1: jnp.ndarray, m1: jnp.ndarray, inv1: jnp.ndarray,
     r2, sout = c2p_site(yp, a1, c1, _pair_c2_weights(q2["w"]),
                         jnp.tile(q2["ws"], 2),
                         jnp.tile(p["c2_b"].astype(jnp.float32), 2))
-    m2, inv2 = _stats_phased(sout, float(H2 * (W2 // 2)), 2,
-                             r2.shape[-1] // 2)
+    fz2 = _fz("in2")
+    m2, inv2 = fz2 if fz2 is not None else _stats_phased(
+        sout, float(H2 * (W2 // 2)), 2, r2.shape[-1] // 2)
 
     bi2 = p["in2"]["bias"].astype(jnp.float32)
     a2 = jnp.tile((inv2 * sc) * q3["qin"], (1, 2))
     c2 = jnp.tile((bi2 - m2 * inv2 * sc) * q3["qin"], (1, 2))
     y3, sout3 = c3p_site(r2, a2, c2, _pair_c3_weights(q3["w"]),
                          q3["ws"], p["c3_b"].astype(jnp.float32))
-    m3, inv3 = _stats(sout3, float(y3.shape[1] * y3.shape[2]))
+    fz3 = _fz("in3")
+    m3, inv3 = fz3 if fz3 is not None else _stats(
+        sout3, float(y3.shape[1] * y3.shape[2]))
     return y3, m3, inv3
 
 

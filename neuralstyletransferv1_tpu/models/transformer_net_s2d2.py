@@ -385,7 +385,8 @@ def apply(params: dict, x: jnp.ndarray, *, tap=None,
         # even/odd-row pair dots at full MXU depth (K=128/256) — the XLA
         # strided conv ran at ~46 TF/s (round-2c trace).
         tap("c2", y)
-        y, m, inv = s2d2_sites_i8.head_chain(y, m, inv, p, quant)
+        y, m, inv = s2d2_sites_i8.head_chain(y, m, inv, p, quant,
+                                             static_stats=static_stats)
         y = _apply_in_relu(y, m, inv, p["in3"]["scale"], p["in3"]["bias"], 1)
     elif use_head:
         # fused c2+c3: Pallas sites + strip fixup kill the in1/in2 apply

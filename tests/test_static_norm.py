@@ -305,6 +305,34 @@ def test_reconet_static_matches_dynamic_on_calibration_input(frn):
     assert dq.mean() < 3e-2, (frn, dq.mean(), dq.max())
 
 
+def test_head_i8_static(baked):
+    """fused_sites=("head_i8",) under frozen norms: the pair-packed int8
+    c2+c3 sites take their in2/in3 stats from static_stats (not the
+    kernel epilogues), matching the XLA int8 head evaluated on the same
+    frozen graph."""
+    from neuralstyletransferv1_tpu.models import s2d2_sites_i8
+
+    bp = jax.tree.map(lambda a: a.astype(jnp.bfloat16), baked)
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.random((2, 32, 256, 3)), jnp.bfloat16)
+    xf = x.astype(jnp.float32)
+    stats = s2d2.calibrate_in_stats(baked, xf[:1])
+    scales = s2d2.calibrate_act_scales(baked, xf[:1], static_stats=stats)
+    quant = s2d2.quantize_net(baked, {k: scales[k] for k in ("c2", "c3")})
+    assert s2d2_sites_i8.head_supported(16, 128)
+
+    s2d2_sites_i8._INTERPRET = True
+    try:
+        y_xla = s2d2.apply(bp, x, quant=quant, static_stats=stats)
+        y_pal = s2d2.apply(bp, x, quant=quant, static_stats=stats,
+                           fused_sites=("head_i8",))
+    finally:
+        s2d2_sites_i8._INTERPRET = False
+    assert y_pal.shape == y_xla.shape
+    d = np.abs(np.asarray(y_xla, np.float32) - np.asarray(y_pal, np.float32))
+    assert d.mean() < 1e-3, (d.mean(), d.max())
+
+
 @pytest.mark.parametrize("frn", [False,
                                  pytest.param(True, marks=pytest.mark.slow)])
 def test_reconet_s8_static_chain(frn):
