@@ -15,19 +15,23 @@ run() { # name timeout cmd...
   tail -n 12 "$OUT/$name.txt"
 }
 
-# 1. head_i8 adoption A/B (fused head variant vs engine set) @B16
+# Ordered by expected headline impact — a short relay window should land
+# the biggest decisions first (adopt_from_queue copes with missing files).
+
+# 1. static-norm modes (frozen IN stats): bf16_static + int8_static +
+#    s8-carry chains (+head) vs dynamic bf16 / int8 pal+dec @B16+B48 —
+#    the quality-gated headline candidates (bench.py picks the fastest
+#    config whose MAE gate holds).
+run mk35_static 2400 BATCHES=16,48 python -u experiments/mk35_ab_static.py
+
+# 2. head_i8 adoption A/B (fused head variant vs engine set) @B16
 run mk24_head 1500 ONLY_SITES="res,c2,c3,d1,d2" BATCHES=16 \
     python -u experiments/mk24_ab_int8.py
 
-# 2. pair-d2 ON (K=128 column-pair form) vs the default K=64 d2s form —
-#    compare the i8-pal+dec rows of this run and run 1
+# 2b. pair-d2 ON (K=128 column-pair form) vs the default K=64 d2s form —
+#    compare the i8-pal+dec rows of this run and run 2
 run mk24_paird2_on 1200 PAIR_D2=1 ONLY_SITES="res,d1,d2" BATCHES=16 \
     python -u experiments/mk24_ab_int8.py
-
-# 2b. static-norm modes (frozen IN stats): bf16_static + int8_static vs
-#     dynamic bf16 / int8 pal+dec @B16+B48 — the quality-gated headline
-#     candidates (bench.py picks the fastest config whose MAE gate holds).
-run mk35_static 1800 BATCHES=16,48 python -u experiments/mk35_ab_static.py
 
 # 3. t7 int8 (BN-folded — the eccv16 shape; fastest backend, 163 bf16).
 #    Includes the s8-carry variants (res_site_s8o/s8i_yadd) and the dec-s8
