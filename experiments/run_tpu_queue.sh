@@ -7,13 +7,26 @@ OUT=${1:-/tmp/tpu_queue}
 mkdir -p "$OUT"
 cd /root/repo
 
+probe() { # is the relay still answering? (cheap; guards each step so a
+          # mid-window relay death aborts in minutes, not 6h of timeouts)
+  timeout 180 python -c \
+    "import jax, jax.numpy as jnp; print(float(jnp.ones((8,8)).sum()))" \
+    > /dev/null 2>&1
+}
+
 run() { # name timeout cmd...
   local name=$1 to=$2; shift 2
+  if ! probe; then
+    echo "=== RELAY LOST before $name — aborting queue (rerun next window) ==="
+    touch "$OUT/ABORTED"
+    exit 75
+  fi
   echo "=== $name ==="
   timeout "$to" env "$@" > "$OUT/$name.txt" 2>&1
   echo "rc=$? -> $OUT/$name.txt"
   tail -n 12 "$OUT/$name.txt"
 }
+rm -f "$OUT/ABORTED"
 
 # Ordered by expected headline impact — a short relay window should land
 # the biggest decisions first (adopt_from_queue copes with missing files).

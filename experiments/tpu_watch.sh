@@ -20,6 +20,13 @@ while true; do
   if timeout 180 python -c "import jax; d=jax.devices(); import jax.numpy as jnp; print(float(jnp.ones((8,8)).sum()), d)" >> "$LOG" 2>&1; then
     echo "[watch] RELAY UP $(date -u +%H:%M:%S) — running queue" >> "$LOG"
     bash experiments/run_tpu_queue.sh "$OUT" >> "$LOG" 2>&1
+    if [ -f "$OUT/ABORTED" ]; then
+      # relay died mid-window: skip adoption (partial data), keep probing —
+      # the queue reruns (and overwrites) everything next window
+      echo "[watch] queue ABORTED mid-window $(date -u +%H:%M:%S); rearming" >> "$LOG"
+      sleep 300
+      continue
+    fi
     echo "[watch] QUEUE DONE $(date -u +%H:%M:%S) — adoption:" >> "$LOG"
     python experiments/adopt_from_queue.py "$OUT" --apply >> "$LOG" 2>&1
     if [ -f "$ADOPT" ]; then
