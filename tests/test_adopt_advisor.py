@@ -119,6 +119,33 @@ def test_decide_static_s8c_adoption(tmp_path):
     assert config == {"sites_static": ["res_i8", "res_s8", "dec_i8"]}
 
 
+def test_decide_static_head_adoption(tmp_path):
+    """The mk35 i8-s8c+head row flips sites_static to the full-Pallas set
+    (head_i8 + s8 carries) when it is the best gated winner."""
+    (tmp_path / "mk35_static.txt").write_text(
+        "quality i8-s8c+head: MAE 0.00030 max 0.003 (indep MAE 0.00200)\n"
+        + _rows({"i8-static": 130.0, "i8-s8c": 141.0, "i8-s8c+head": 150.0}))
+    _, config = decide(str(tmp_path))
+    assert config == {"sites_static": ["res_i8", "res_s8", "dec_s8",
+                                      "dec_i8", "head_i8"]}
+
+
+def test_decide_backend_s8c_rows(tmp_path):
+    """mk33/mk34 i8-s8c rows flip the *_static sets to the s8-carry
+    chains; the ds8 variant carries dec_s8 too."""
+    (tmp_path / "mk33_nst.txt").write_text(
+        "quality i8-s8c+ds8: MAE 0.00040 max 0.004\n"
+        + _rows({"pal-i8": 100.0, "i8-static": 120.0,
+                 "i8-s8c": 126.0, "i8-s8c+ds8": 130.0}))
+    (tmp_path / "mk34_reco_in.txt").write_text(
+        "quality i8-s8c: MAE 0.00050 max 0.005\n"
+        + _rows({"pal-i8": 50.0, "i8-static": 60.0, "i8-s8c": 63.0}))
+    _, config = decide(str(tmp_path))
+    assert config == {
+        "nst_static": ["res_i8", "res_s8", "dec_s8", "dec_i8"],
+        "reco_static": ["res_i8", "res_s8"]}
+
+
 def test_decide_backend_static_rows_target_static_sets(tmp_path):
     """One mk33/mk34 file feeds two targets: dynamic rows -> nst/reco,
     static rows -> nst_static/reco_static. A dec win on the static base
