@@ -197,7 +197,8 @@ def _static_norm(extras, bparams, bparams32):
             if fused is not None and quant_s is None:
                 scales = s2d.calibrate_act_scales(bparams32, xc,
                                                   static_stats=stats)
-                scales = _s2d2_site_filter(scales, xc)
+                scales = _s2d2_site_filter(scales, xc,
+                                           sites=_I8_FUSED_STATIC)
                 quant_s = s2d.quantize_net(bparams32, scales)
             quant = None if fused is None else quant_s
 
