@@ -67,6 +67,38 @@ def test_batched_matches_perframe(small_video, tmp_path):
         assert mae < 2.0, (i, mae)  # mp4 re-encode noise floor
 
 
+def test_batched_static_quantize_close(small_video, tmp_path):
+    """--quantize int8_static through the batched VIDEO path with flow
+    EMA + motion blend: lazy first-batch calibration must compose with
+    the temporal chain (static stats frozen once, then every batch rides
+    the frozen graph). Gate: close to the exact bf16 batched run — the
+    video's frames are correlated (a rolling base), the mode's contract."""
+    cv2 = pytest.importorskip("cv2")
+    a = tmp_path / "a.mp4"
+    b = tmp_path / "b.mp4"
+    _run(small_video, a, tmp_path / "_w1", ["--frame_batch", "3"])
+    _run(small_video, b, tmp_path / "_w2",
+         ["--frame_batch", "3", "--quantize", "int8_static"])
+
+    def frames(p):
+        cap = cv2.VideoCapture(str(p))
+        out = []
+        while True:
+            ok, fr = cap.read()
+            if not ok:
+                break
+            out.append(fr.astype(np.float32))
+        return out
+
+    fa, fb = frames(a), frames(b)
+    assert len(fa) == len(fb) and len(fa) > 0
+    for i, (x, y) in enumerate(zip(fa, fb)):
+        mae = np.abs(x - y).mean()
+        # int8 + frozen-norm drift on top of the mp4 noise floor (quality
+        # budget is 1e-2 on [0,1] = 2.55/255 + re-encode noise)
+        assert mae < 5.0, (i, mae)
+
+
 def test_batched_matches_perframe_lab_inference_res(small_video, tmp_path):
     """--blend_models_lab / --inference_res / --flow_downscale must behave
     identically batched and per-frame (VERDICT round 1, Weak #2)."""
