@@ -600,6 +600,8 @@ def res_site_s8o(x: jnp.ndarray, a: jnp.ndarray, c: jnp.ndarray,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    assert sw is None or halo == "zero", \
+        "sw content-width masking is zero-halo only"
     B, H, W0, C = x.shape
     CO = w9.shape[2]
     TS = ts if ts is not None else _pick_ts(H)
@@ -765,6 +767,8 @@ def site_s8(xq: jnp.ndarray, w: jnp.ndarray, ws: jnp.ndarray,
 
     B, H, WPS, C = xq.shape
     CO = w.shape[2]
+    assert sw is None or halo == "zero", \
+        "sw content-width masking is zero-halo only"
     TS = ts if ts is not None else _pick_ts(H)
     NS = H // TS
     s8out = qo is not None or qa is not None

@@ -538,9 +538,9 @@ def apply(params: dict, x: jnp.ndarray, *, tap=None, quant=None,
         y = _res_chain_s8_static(y, p, quant, static_stats)
     elif use_res_i8:
         y = _res_chain_i8(y, p, quant, static_stats)
-    elif use_q and "res_i8" not in fused_sites:
-        # CPU/parity XLA-int8 branch; requested-but-unsupported res_i8
-        # falls through to bf16 (XLA-i8 is the measured loss)
+    elif use_q and not ({"res_i8", "res_s8"} & set(fused_sites)):
+        # CPU/parity XLA-int8 branch; a requested-but-unsupported fused
+        # chain falls through to bf16 (XLA-i8 is the measured loss)
         y = _res_quant_xla(y, p, quant, static_stats)
     else:
         for i in range(1, 6):
