@@ -399,6 +399,65 @@ def _backend_int8_fps():
         out["t7_int8_decs8_fps_1080"] = _fps(
             t7_ds8_step, lambda s: _rand_img(s, B, H, W), B)
         _log(f"t7 int8 dec-s8 {out['t7_int8_decs8_fps_1080']:.1f} fps")
+
+    # NST / ReCoNet int8_static s8-carry candidates (mk33/mk34 i8-s8c+ds8
+    # rows) — guarded so the round-end bench records them even when no
+    # interactive relay window ran the queue.
+    from neuralstyletransferv1_tpu.engine import stylizer as st
+    s8_sites = ("res_s8", "res_i8", "dec_s8", "dec_i8")
+    try:
+        from neuralstyletransferv1_tpu.models import (
+            transformer_net_nst_fast as nstf)
+
+        mn = st.make_random_model("nst", seed=1)
+        pn32 = nstf.from_nst_params(mn.params)
+        pnb = jax.tree.map(lambda a: a.astype(jnp.bfloat16)
+                           if hasattr(a, "astype") else a, pn32)
+        xc1 = iop.preprocess("raw_01", jax.random.uniform(
+            jax.random.key(7), (1, H, W, 3), jnp.float32))
+        stats_n = nstf.calibrate_in_stats(pn32, xc1)
+        qn = {k: v for k, v in nstf.quantize_net(
+            pn32, nstf.calibrate_act_scales(
+                pn32, xc1, static_stats=stats_n)).items()
+            if k.startswith("r") or k in ("d1", "d2")}
+
+        def nst_s8_step(x01):
+            y = nstf.apply(pnb, iop.preprocess("raw_01", x01), quant=qn,
+                           static_stats=stats_n, fused_sites=s8_sites)
+            return jnp.clip(iop.postprocess("raw_01", y), 0.0, 1.0)
+
+        out["nst_int8_static_s8_fps_1080"] = _fps(
+            nst_s8_step, lambda s: _rand_img(s, B, H, W), B)
+        _log(f"nst int8-static s8 "
+             f"{out['nst_int8_static_s8_fps_1080']:.1f} fps")
+    except Exception as e:
+        _log(f"nst int8-static s8 FAILED: {type(e).__name__}: {e}")
+    try:
+        from neuralstyletransferv1_tpu.models import reconet_fast as recf
+
+        mr = st.make_random_model("reconet", seed=1)
+        pr32 = recf.from_reconet_params(mr.params)
+        prb = jax.tree.map(
+            lambda a: a.astype(jnp.bfloat16)
+            if hasattr(a, "astype") and a.dtype != jnp.bool_ else a, pr32)
+        xc1 = iop.preprocess("imagenet_01", jax.random.uniform(
+            jax.random.key(7), (1, H, W, 3), jnp.float32))
+        stats_r = recf.calibrate_in_stats(pr32, xc1)
+        qr = recf.quantize_net(pr32, recf.calibrate_act_scales(
+            pr32, xc1, static_stats=stats_r))
+
+        def reco_s8_step(x01):
+            y = recf.apply(prb, iop.preprocess("imagenet_01", x01),
+                           quant=qr, static_stats=stats_r,
+                           fused_sites=s8_sites)
+            return jnp.clip(iop.postprocess("imagenet_01", y), 0.0, 1.0)
+
+        out["reconet_int8_static_s8_fps_1080"] = _fps(
+            reco_s8_step, lambda s: _rand_img(s, B, H, W), B)
+        _log(f"reconet int8-static s8 "
+             f"{out['reconet_int8_static_s8_fps_1080']:.1f} fps")
+    except Exception as e:
+        _log(f"reconet int8-static s8 FAILED: {type(e).__name__}: {e}")
     return out
 
 
