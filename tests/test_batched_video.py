@@ -184,6 +184,56 @@ def test_batched_mesh_matches_single_device(small_video, tmp_path):
         assert mae < 2.0, (i, mae)
 
 
+def test_batched_mesh_static_quantize(small_video, tmp_path):
+    """--mesh_devices + --quantize int8_static: the lazy first-batch
+    static calibration must compose with the sharded stylize (stats are
+    computed eagerly on the first batch, then every shard rides the same
+    frozen graph). Same-batch-size single-device run is the reference;
+    calibration content is identical so outputs match up to the mesh
+    reduction order."""
+    cv2 = pytest.importorskip("cv2")
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >=2 devices")
+    from neuralstyletransferv1_tpu.engine.pipeline import main
+
+    ckpt = Path(__file__).resolve().parent.parent / "_testdata" / "test_johnson.pth"
+    if not ckpt.exists():
+        pytest.skip("synthetic checkpoint missing")
+
+    def run(out, tmp, extra):
+        rc = main([
+            "--input_video", str(small_video), "--output_video", str(out),
+            "--model", str(ckpt), "--io_preset", "raw_255",
+            "--no-smooth_lightness", "--blend", "0.9", "--fps", "8",
+            "--work_dir", str(tmp), "--frame_batch", "4",
+            "--quantize", "int8_static",
+        ] + extra)
+        assert rc == 0
+
+    a = tmp_path / "a.mp4"
+    b = tmp_path / "b.mp4"
+    run(a, tmp_path / "_w1", [])
+    run(b, tmp_path / "_w2", ["--mesh_devices", "2"])
+
+    def frames(p):
+        cap = cv2.VideoCapture(str(p))
+        out = []
+        while True:
+            ok, fr = cap.read()
+            if not ok:
+                break
+            out.append(fr.astype(np.float32))
+        return out
+
+    fa, fb = frames(a), frames(b)
+    assert len(fa) == len(fb) and len(fa) > 0
+    for i, (x, y) in enumerate(zip(fa, fb)):
+        mae = np.abs(x - y).mean()
+        assert mae < 2.0, (i, mae)
+
+
 @pytest.mark.slow
 def test_batched_mesh_flow_close_to_single_device(small_video, tmp_path):
     """--mesh_devices WITH the full temporal chain on (flow EMA + motion
