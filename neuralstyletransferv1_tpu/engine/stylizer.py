@@ -311,7 +311,15 @@ def jit_stylizer(model: StyleModel, *, dtype=jnp.float32, optimize: bool = True,
         def fn(x01):
             x = x01.astype(dtype)
             H, W = x.shape[1], x.shape[2]
-            ph, pw = (-H) % 4, (-W) % 4
+            mh, mw = 4, 4
+            if quant is not None and H >= 32 and W >= 64:
+                # int8 fused sites gate on w4 % 8 (and an even h4): pad to
+                # %32/%8 so odd resolutions keep the fused path instead of
+                # silently falling back to bf16. Same pad-and-crop
+                # tradeoff as the %4 case — the interior is lossless, the
+                # crop discards the synthetic border band.
+                mh, mw = 8, 32
+            ph, pw = (-H) % mh, (-W) % mw
             if not has_fast or H < 8 or W < 8:
                 out = stylize(m.arch, m.params, m.io_preset, x)
             elif ph or pw:

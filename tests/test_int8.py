@@ -657,6 +657,16 @@ def test_engine_quantize_odd_shape():
     d = np.abs(y_ref - y_i8)
     assert d.mean() < 3e-2, (d.mean(), d.max())
 
+    # larger odd resolution: the quantize path pads to %8/%32 (h4 even,
+    # w4 % 8) so the fused-site gates hold on TPU instead of silently
+    # falling back to bf16; output crops back exactly
+    x2 = jnp.asarray(rng.random((1, 100, 132, 3)), jnp.float32)
+    y2r = np.asarray(f_ref(x2), np.float32)
+    y2q = np.asarray(f_i8(x2), np.float32)
+    assert y2q.shape == y2r.shape == (1, 100, 132, 3)
+    d2 = np.abs(y2r - y2q)
+    assert d2.mean() < 3e-2, (d2.mean(), d2.max())
+
 
 @pytest.mark.parametrize("deconv_k,norm", [(3, "bn"), (4, "bn"), (3, "in")])
 def test_t7_dec_i8_parity(deconv_k, norm):
