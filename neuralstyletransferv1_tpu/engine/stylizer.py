@@ -63,6 +63,10 @@ def _s2d2_site_filter(scales: dict, xc, sites=None) -> dict:
         from ..models import s2d2_sites_i8 as _si8
         if _si8.head_supported(xc.shape[1] // 2, xc.shape[2] // 2):
             keep |= {"c2", "c3"}
+    if "tail_s8" in sites:
+        from ..models import s2d2_sites_i8 as _si8
+        if _si8.d3s8_supported(xc.shape[1] // 2, xc.shape[2] // 2):
+            keep |= {"d3"}
     return {k: v for k, v in scales.items()
             if k.startswith("r") or k in keep}
 

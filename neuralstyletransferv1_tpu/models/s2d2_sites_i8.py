@@ -475,7 +475,11 @@ def res_site_skip(r2: jnp.ndarray, yp: jnp.ndarray, a: jnp.ndarray,
 
 def _s8_col_halo(q, W0, WP, halo):
     """Inject the carry layout's column halos into an s8 (rows, W0, CO)
-    strip: X[0] / X[W0+1] are the halo columns, zeros beyond."""
+    strip: X[0] / X[W0+1] are the halo columns, zeros beyond. halo
+    "zero2" is the 5-tap carry layout (content at columns 2..W0+1, zero
+    pads beyond — the deconv3 tail site's input form)."""
+    if halo == "zero2":
+        return jnp.pad(q, ((0, 0), (2, WP - W0 - 2), (0, 0)))
     X = jnp.pad(q, ((0, 0), (1, WP - W0 - 1), (0, 0)))
     if halo == "zero":
         return X
@@ -575,6 +579,12 @@ def _wps(w0: int) -> int:
     return ((w0 + 2 + 31) // 32) * 32
 
 
+def _wps2(w0: int) -> int:
+    """5-tap (\"zero2\") s8 carry width: content + 2 zero columns per side
+    rounded up to the int8 tile (the deconv3 tail site's input form)."""
+    return ((w0 + 4 + 31) // 32) * 32
+
+
 def res_site_s8o(x: jnp.ndarray, a: jnp.ndarray, c: jnp.ndarray,
                  w9: jnp.ndarray, ws: jnp.ndarray, bias: jnp.ndarray,
                  qo=None, lo: float = -127.0, qlo: float = 0.0, *,
@@ -660,7 +670,8 @@ def res_site_s8i_yadd(xq: jnp.ndarray, y: jnp.ndarray, w9: jnp.ndarray,
 def _site_kernel_s8g(w_ref, dq_ref, qh_ref, qb_ref, qt_ref, *refs,
                      TS, W0, WPS, WPO, MT=4, NS=None, KH=3, KW=3,
                      PT=1, PL=1, YADD=False, S8OUT=False, AFF=False,
-                     QLO=0.0, HALO="zero", SW=None):
+                     YAFF=False, QLO=0.0, HALO="zero", HALO_OUT=None,
+                     SW=None):
     """Generic static-scale s8-INPUT site (the s8-carry workhorse):
     strips arrive as s8 with the column halos pre-injected
     (``_site_kernel_s8o`` / own output form), so the prologue is a plain
@@ -674,12 +685,19 @@ def _site_kernel_s8g(w_ref, dq_ref, qh_ref, qb_ref, qt_ref, *refs,
       AFF:   frozen norm affine  fv = bf16(f32(fv)·aa + ac)  (static-norm
              Johnson in2; applied after the raw's bf16 round, before YADD)
       YADD:  fold a residual add  y_new = bf16(f32(fv) + f32(y))
+      YAFF:  the residual operand arrives RAW and a frozen affine + ReLU
+             apply to it first: y_act = bf16(max(f32(y)·ya + yc, 0)) —
+             the fused-head handoff, where the activated res input never
+             exists in HBM (rows [ya, yc] appended to dq)
       S8OUT: STATIC output quantize q = clip(round(f32(fv)·qa + qc),
              QLO, 127), emitted at width WPO with the column halos
              injected — the next s8 site's input. Only valid when every
              intervening norm is a compile-time constant.
     Default epilogue (S8OUT=False) emits the bf16 raw at width W0.
-    dq rows: [ws, bias] + ([aa, ac] if AFF) + ([qa, qc] if S8OUT)."""
+    dq rows: [ws, bias] + ([aa, ac] if AFF) + ([qa, qc] if S8OUT).
+    HALO_OUT: emitted-column-halo type when it differs from the input
+    rows' (the Johnson res->dec bridge: reflect res carry in, edge dec
+    carry out; "zero2" = the deconv3 tail layout)."""
     from jax.experimental import pallas as pl
 
     if YADD:
@@ -697,6 +715,9 @@ def _site_kernel_s8g(w_ref, dq_ref, qh_ref, qb_ref, qt_ref, *refs,
         row += 2
     if S8OUT:
         qa, qc = dq_ref[row, :], dq_ref[row + 1, :]
+        row += 2
+    if YAFF:
+        ya, yc = dq_ref[row, :], dq_ref[row + 1, :]
 
     xh = qh_ref[0].reshape(WPS, C)
     xt = qt_ref[0].reshape(WPS, C)
@@ -724,9 +745,11 @@ def _site_kernel_s8g(w_ref, dq_ref, qh_ref, qb_ref, qt_ref, *refs,
         if AFF:
             fv = (fv.astype(jnp.float32) * aa + ac).astype(jnp.bfloat16)
         if YADD:
-            fv = (fv.astype(jnp.float32)
-                  + yb_ref[0, r0:r0 + rows].astype(jnp.float32)).astype(
-                      jnp.bfloat16)
+            yv = yb_ref[0, r0:r0 + rows].astype(jnp.float32)
+            if YAFF:
+                yv = jnp.maximum(yv * ya + yc, 0.0).astype(
+                    jnp.bfloat16).astype(jnp.float32)
+            fv = (fv.astype(jnp.float32) + yv).astype(jnp.bfloat16)
         if S8OUT:
             q = jnp.clip(jnp.round(fv.astype(jnp.float32) * qa + qc),
                          QLO, 127.0).astype(jnp.int8)
@@ -736,16 +759,18 @@ def _site_kernel_s8g(w_ref, dq_ref, qh_ref, qb_ref, qt_ref, *refs,
                 # not — bias/taps leak in — so mask the emit too)
                 ci = jax.lax.broadcasted_iota(jnp.int32, q.shape, 1)
                 q = jnp.where(ci < SW, q, jnp.zeros_like(q))
-            o_ref[0, r0:r0 + rows] = _s8_col_halo(q, W0, WPO, HALO)
+            o_ref[0, r0:r0 + rows] = _s8_col_halo(
+                q, W0, WPO, HALO if HALO_OUT is None else HALO_OUT)
         else:
             o_ref[0, r0:r0 + rows] = fv
 
 
 def site_s8(xq: jnp.ndarray, w: jnp.ndarray, ws: jnp.ndarray,
             bias: jnp.ndarray, *, w0: int, y: jnp.ndarray | None = None,
-            qo=None, qa=None, qc=None, aff=None, qlo: float = 0.0,
-            halo: str = "zero", sw: int | None = None,
-            kh: int = 3, kw: int = 3,
+            qo=None, qa=None, qc=None, aff=None, yaff=None,
+            qlo: float = 0.0,
+            halo: str = "zero", halo_out: str | None = None,
+            sw: int | None = None, kh: int = 3, kw: int = 3,
             pt: int = 1, pl_: int = 1, ts: int | None = None, mt: int = 4):
     """Static-scale s8-input KHxKW site.
 
@@ -759,7 +784,10 @@ def site_s8(xq: jnp.ndarray, w: jnp.ndarray, ws: jnp.ndarray,
     Output quantize: scalar ``qo`` or per-channel ``qa``/``qc`` (CO,)
     rows — when given the site emits (B, H, _wps(w0), CO) s8 (clamp
     floor qlo; 0.0 folds a trailing ReLU), else the (B, H, w0, CO)
-    bf16 raw. ``sw`` (zero halo only): content width < w0 — the emitted
+    bf16 raw. ``halo_out``: emitted-column-halo type when it differs
+    from the input carry's (Johnson res->dec bridge: reflect in, edge
+    out; "zero2" emits the 5-tap deconv3-tail layout at _wps2(w0)).
+    ``sw`` (zero halo only): content width < w0 — the emitted
     s8 codes beyond sw are masked to zero (the input carry already has
     zeros there), preserving zero-pad semantics through non-%8 chains."""
     from jax.experimental import pallas as pl
@@ -772,7 +800,9 @@ def site_s8(xq: jnp.ndarray, w: jnp.ndarray, ws: jnp.ndarray,
     TS = ts if ts is not None else _pick_ts(H)
     NS = H // TS
     s8out = qo is not None or qa is not None
-    WPO = _wps(w0) if s8out else w0
+    WPO = w0
+    if s8out:
+        WPO = _wps2(w0) if halo_out == "zero2" else _wps(w0)
     rows = [ws, bias]
     if aff is not None:
         rows.extend([aff[0], aff[1]])
@@ -781,12 +811,18 @@ def site_s8(xq: jnp.ndarray, w: jnp.ndarray, ws: jnp.ndarray,
             qa = jnp.full((CO,), qo, jnp.float32)
             qc = jnp.zeros((CO,), jnp.float32)
         rows.extend([qa, qc])
-    dq = jnp.stack(rows, axis=0)                       # (2..6, CO)
+    if yaff is not None:
+        # frozen affine + ReLU applied to the RAW residual operand
+        # ((C,)-shaped rows; C == CO for every YAFF caller)
+        rows.extend([jnp.reshape(yaff[0].astype(jnp.float32), (-1,)),
+                     jnp.reshape(yaff[1].astype(jnp.float32), (-1,))])
+    dq = jnp.stack(rows, axis=0)                       # (2..8, CO)
     kern = functools.partial(_site_kernel_s8g, TS=TS, W0=w0, WPS=WPS,
                              WPO=WPO, MT=mt, NS=NS, KH=kh, KW=kw, PT=pt,
                              PL=pl_, YADD=y is not None,
                              S8OUT=s8out, AFF=aff is not None,
-                             QLO=qlo, HALO=halo, SW=sw)
+                             YAFF=yaff is not None,
+                             QLO=qlo, HALO=halo, HALO_OUT=halo_out, SW=sw)
     hmap, tmap = _s8_row_maps(TS, H, halo)
     in_specs = [
         pl.BlockSpec((kh * kw, C, CO), lambda b, j: (0, 0, 0),
@@ -898,6 +934,139 @@ def d3_rows_site(y: jnp.ndarray, a: jnp.ndarray, c: jnp.ndarray,
 
 def d3_supported(h2: int, w2: int) -> bool:
     return h2 >= 8 and w2 >= 16 and w2 % 8 == 0 and _pick_ts(h2) is not None
+
+
+def _d3s8_kernel(w_ref, sel_ref, dq_ref, b_ref, h2_ref, h1_ref, body_ref,
+                 t1_ref, t2_ref, o_ref, xs_ref, ks_ref, *,
+                 TS, W2, WPD, MT=4, NS=None):
+    """s8-carry deconv3 tail site (the static-norm "tail_s8" form).
+
+    Input strips are the next-site carry emitted by the d2 site with
+    halo_out="zero2" (content at columns 2..W2+1, zero columns beyond —
+    the 1x5 conv's zero-SAME pads). Phase 1 runs the tap-packed 1x5 s8
+    rows conv (i32 acc on the MXU, per-channel dequant, bf16 round —
+    bit-matching the XLA reference's materialized K rows) for the tile's
+    TS rows PLUS two halo rows each side into a VMEM scratch; phase 2
+    collapses the five shifted dy-slices with 0/1 selection dots (exact
+    value pass-through; f32 accumulation in the same dy order as the
+    reference's f32 adds), adds the deconv3 bias, and emits the final
+    (TS, W2, 12) bf16 block. Image-border rows are zero (the top/bottom
+    output rows are strip-fixed by the caller, exactly like the XLA
+    zero-SAME branch in transformer_net_s2d2.apply).
+
+    Reference math: /root/reference/transformer_net.py:52-56 (deconv3),
+    tap-packed per models/transformer_net_s2d2._scatter_k9_f2."""
+    from jax.experimental import pallas as pl
+
+    j = pl.program_id(1)
+    C = w_ref.shape[1]
+    ws = dq_ref[0, :]
+    z = jnp.zeros((WPD, C), jnp.int8)
+    xs_ref[0:WPD] = jnp.where(j == 0, z, h2_ref[0].reshape(WPD, C))
+    xs_ref[WPD:2 * WPD] = jnp.where(j == 0, z, h1_ref[0].reshape(WPD, C))
+    xs_ref[2 * WPD:(TS + 2) * WPD] = body_ref[0].reshape(TS * WPD, C)
+    xs_ref[(TS + 2) * WPD:(TS + 3) * WPD] = jnp.where(
+        j == NS - 1, z, t1_ref[0].reshape(WPD, C))
+    xs_ref[(TS + 3) * WPD:(TS + 4) * WPD] = jnp.where(
+        j == NS - 1, z, t2_ref[0].reshape(WPD, C))
+    xs_ref[(TS + 4) * WPD:] = jnp.zeros((32, C), jnp.int8)
+
+    # phase 1: K rows (tile + 2-row halos) -> bf16 scratch
+    for r0, rows in _tiles(TS + 4, MT):
+        m0 = r0 * WPD
+        MTn = rows * WPD
+        acc = None
+        for dx in range(5):
+            p = jnp.dot(xs_ref[m0 + dx:m0 + dx + MTn, :], w_ref[dx],
+                        preferred_element_type=jnp.int32)
+            acc = p if acc is None else acc + p
+        ks_ref[m0:m0 + MTn] = (acc.astype(jnp.float32) * ws).astype(
+            jnp.bfloat16)
+
+    # phase 2: the five shifted dy-slices collapse via selection dots
+    for r0, rows in _tiles(TS, MT):
+        MTn = rows * WPD
+        acc = None
+        for dy in range(5):
+            s = (r0 + dy) * WPD
+            p = jnp.dot(ks_ref[s:s + MTn, :], sel_ref[dy],
+                        preferred_element_type=jnp.float32)
+            acc = p if acc is None else acc + p
+        v = acc + b_ref[0, :]
+        o_ref[0, r0:r0 + rows] = (
+            v.reshape(rows, WPD, 12)[:, 0:W2, :].astype(jnp.bfloat16))
+
+
+def d3s8_supported(h2: int, w2: int) -> bool:
+    return h2 >= 8 and w2 >= 16 and w2 % 8 == 0 and _pick_ts(h2) is not None
+
+
+def d3_s8_site(xq: jnp.ndarray, w5: jnp.ndarray, ws: jnp.ndarray,
+               bias: jnp.ndarray, *, w0: int,
+               ts: int | None = None, mt: int = 4) -> jnp.ndarray:
+    """The complete tap-packed deconv3 on an s8 carry, dy-sum in-kernel.
+
+    xq: (B, H2, _wps2(w0), 128) s8, content at columns 2..w0+1 (the
+    "zero2" layout from site_s8(halo_out="zero2") — the d2 site folds the
+    frozen in5 affine + ReLU into its emit quantize). w5: (5, 128, 60) s8
+    tap-packed rows weight; ws: (60,) f32 dequant; bias: (12,) f32
+    applied post-sum. Returns (B, H2, w0, 12) bf16 — the deconv3 output
+    with zero-SAME borders (the caller strip-fixes the 2-px frame).
+    Unlike the bf16-dynamic d3_rows_site (a measured in-net regression —
+    PERF.md round-3), neither the 60-lane K tensor nor the bf16 d2 raw
+    ever exists in HBM."""
+    import numpy as np
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, H, WPD, C = xq.shape
+    CO = w5.shape[2]
+    assert WPD == _wps2(w0), (WPD, w0)
+    TS = ts if ts is not None else _pick_ts(H)
+    NS = H // TS
+    sel = np.zeros((5, CO, 12), np.float32)
+    for dy in range(5):
+        sel[dy, dy * 12:(dy + 1) * 12] = np.eye(12)
+    sel = jnp.asarray(sel, jnp.bfloat16)
+    dq = ws[None, :].astype(jnp.float32)               # (1, CO)
+    bi = bias[None, :].astype(jnp.float32)             # (1, 12)
+    h2m = lambda b, j: (b, jnp.maximum(TS * j - 2, 0), 0, 0)  # noqa: E731
+    h1m = lambda b, j: (b, jnp.maximum(TS * j - 1, 0), 0, 0)  # noqa: E731
+    t1m = lambda b, j: (b, jnp.minimum(TS * (j + 1), H - 1), 0, 0)  # noqa: E731
+    t2m = lambda b, j: (b, jnp.minimum(TS * (j + 1) + 1, H - 1), 0, 0)  # noqa: E731
+    kern = functools.partial(_d3s8_kernel, TS=TS, W2=w0, WPD=WPD, MT=mt,
+                             NS=NS)
+    return pl.pallas_call(
+        kern,
+        grid=(B, NS),
+        in_specs=[
+            pl.BlockSpec((5, C, CO), lambda b, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((5, CO, 12), lambda b, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, CO), lambda b, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 12), lambda b, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, WPD, C), h2m, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, WPD, C), h1m, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TS, WPD, C), lambda b, j: (b, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, WPD, C), t1m, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, WPD, C), t2m, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, TS, w0, 12), lambda b, j: (b, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((B, H, w0, 12), jnp.bfloat16)],
+        scratch_shapes=[
+            pltpu.VMEM(((TS + 4) * WPD + 32, C), jnp.int8),
+            pltpu.VMEM(((TS + 4) * WPD, CO), jnp.bfloat16),
+        ],
+        interpret=_INTERPRET,
+        compiler_params=None if _INTERPRET else _params(),
+    )(w5, sel, dq, bi, xq, xq, xq, xq, xq)[0]
 
 
 def _stats(sout, n, eps=1e-5):
@@ -1322,8 +1491,8 @@ def _pair_d2_weights(wq) -> jnp.ndarray:
 
 
 def res_chain_s8_static(y: jnp.ndarray, p: dict, quant: dict,
-                        static_stats: dict, *, ts: int | None = None,
-                        mt: int = 4) -> jnp.ndarray:
+                        static_stats: dict, *, in_aff=None, emit_qo=None,
+                        ts: int | None = None, mt: int = 4) -> jnp.ndarray:
     """The five Johnson res blocks on end-to-end s8 carries with FROZEN
     instance norms (the static-norm int8 mode, --quantize int8_static
     with "res_s8" adopted).
@@ -1343,6 +1512,17 @@ def res_chain_s8_static(y: jnp.ndarray, p: dict, quant: dict,
     differ by isolated 1-ulp f32-FMA-contraction flips (~1 element in 65k
     per block — tests/test_static_norm.py::test_static_s8_chain_bit_exact).
 
+    in_aff: optional ``(a3, c3)`` frozen in3 affine rows ((1|B, C) f32) —
+    the fused head's deferred apply folds into the FIRST a-site's input
+    quantize (ReLU -> clamp floor 0), killing the standalone XLA apply
+    pass between the head and res Pallas kernels.
+
+    emit_qo: when set (the dec-s8 bridge), the LAST b-site also
+    quantizes its combine output at this static scale and the chain
+    returns deconv1's s8 input (B, H, WPS, C) with EDGE column halos
+    (halo_out — d1's pad semantics) instead of bf16: the res-chain
+    output never exists in HBM (the .t7/NST "ds8" structure).
+
     Reference math: /root/reference/transformer_net.py:60-99 (res blocks),
     restructured per models/transformer_net_s2d2.py."""
     B, H, W0, C = y.shape
@@ -1358,38 +1538,74 @@ def res_chain_s8_static(y: jnp.ndarray, p: dict, quant: dict,
         # the b-site input quantize, exactly as the XLA _qc computes it
         qA = ((inv1 * sc1) * qb_["qin"])[0]            # (C,)
         qC = ((bi1 - m1 * inv1 * sc1) * qb_["qin"])[0]
-        aq = jnp.full((B, C), qa_["qin"], jnp.float32)
-        cq = jnp.zeros((B, C), jnp.float32)
+        if i == 1 and in_aff is not None:
+            # fused-head handoff: the frozen in3 affine + ReLU fold into
+            # this quantize (q = clip(round(raw·a3·qin + c3·qin), 0, 127))
+            aq = jnp.broadcast_to(
+                (in_aff[0] * qa_["qin"]).astype(jnp.float32), (B, C))
+            cq = jnp.broadcast_to(
+                (in_aff[1] * qa_["qin"]).astype(jnp.float32), (B, C))
+            lo1 = 0.0
+        else:
+            aq = jnp.full((B, C), qa_["qin"], jnp.float32)
+            cq = jnp.zeros((B, C), jnp.float32)
+            lo1 = -127.0
         qx = res_site_s8o(y, aq, cq, qa_["w"].reshape(9, C, C), qa_["ws"],
                           rp["conv1"]["b"].astype(jnp.float32),
-                          qa=qA, qc=qC, lo=-127.0, qlo=0.0, halo="reflect",
+                          qa=qA, qc=qC, lo=lo1, qlo=0.0, halo="reflect",
                           ts=ts, mt=mt)
         # frozen in2 affine, exactly as _apply_in_relu computes it
         aff = ((inv2 * sc2)[0], (bi2 - m2 * inv2 * sc2)[0])
+        # block 1 under the fused-head handoff: the residual operand is
+        # the RAW head output — the frozen in3 affine + ReLU apply to it
+        # in the b-site's epilogue (yaff), so the activated tensor never
+        # exists in HBM either
+        yaff = None
+        if i == 1 and in_aff is not None:
+            yaff = (in_aff[0][0] if in_aff[0].ndim == 2 else in_aff[0],
+                    in_aff[1][0] if in_aff[1].ndim == 2 else in_aff[1])
+        if i == 5 and emit_qo is not None:
+            return site_s8(qx, qb_["w"].reshape(9, C, C), qb_["ws"],
+                           rp["conv2"]["b"].astype(jnp.float32), w0=W0,
+                           y=y, aff=aff, yaff=yaff, qo=emit_qo, qlo=-127.0,
+                           halo="reflect", halo_out="edge", ts=ts, mt=mt)
         y = site_s8(qx, qb_["w"].reshape(9, C, C), qb_["ws"],
                     rp["conv2"]["b"].astype(jnp.float32), w0=W0, y=y,
-                    aff=aff, halo="reflect", ts=ts, mt=mt)
+                    aff=aff, yaff=yaff, halo="reflect", ts=ts, mt=mt)
     return y
 
 
 def dec_chain_s8_static(y: jnp.ndarray, p: dict, quant: dict,
-                        static_stats: dict):
+                        static_stats: dict, *, w0: int | None = None,
+                        tail: bool = False):
     """deconv1 + deconv2 on an s8 carry with FROZEN norms (static-norm
-    Johnson, "dec_s8"): d1 consumes the res-chain output (bf16, edge
-    halos in the quantize prologue) and emits deconv2's s8 input directly
-    (the frozen in4 affine + ReLU fold into the output quantize — the
-    bf16 d1 raw never exists in HBM); the d2s shuffle + edge-halo re-pad
-    run at s8 (quantize is pointwise, so it commutes with the permutation
-    and the halo copies — same argument as the .t7 dec-s8 carry); d2
-    emits the bf16 raw for the XLA tail with the static in5 stats.
+    Johnson, "dec_s8"): d1 consumes the res-chain output (bf16 with edge
+    halos built in the quantize prologue — or, when ``y`` is already s8,
+    the BRIDGED carry emitted by ``res_chain_s8_static(emit_qo=...)``)
+    and emits deconv2's s8 input directly (the frozen in4 affine + ReLU
+    fold into the output quantize — the bf16 d1 raw never exists in
+    HBM); the d2s shuffle + edge-halo re-pad run at s8 (quantize is
+    pointwise, so it commutes with the permutation and the halo copies —
+    same argument as the .t7 dec-s8 carry); d2 emits the bf16 raw for
+    the XLA tail with the static in5 stats.
 
-    Returns ``(d2_raw, m5, inv5)`` — the dynamic ``dec_chain`` contract.
+    w0: content width of the res grid — required when ``y`` is the s8
+    bridge carry (its padded width is not invertible).
+    tail: run the "tail_s8" extension instead of emitting the d2 raw —
+    d2 emits deconv3's s8 input (frozen in5 + ReLU folded, "zero2"
+    layout) and the fused d3 site + border strip fixups produce the
+    final 12-lane tensor; returns ``y12`` (B, 2H, 2W0, 12) bf16 (the
+    caller d2s's it to pixels). Requires ``quant["d3"]``.
+
+    Returns ``(d2_raw, m5, inv5)`` — the dynamic ``dec_chain`` contract —
+    or ``y12`` when ``tail``.
     Reference math: /root/reference/transformer_net.py:40-56
     (UpsampleConvLayer), restructured per models/transformer_net_s2d2.py."""
     from .transformer_net_s2d import d2s
 
-    B, H, W0, C = y.shape
     q1, q2 = quant["d1"], quant["d2"]
+    B, H = y.shape[0], y.shape[1]
+    C = 128
     m4, inv4 = (s.astype(jnp.float32) for s in static_stats["in4"])
     sc4 = p["in4"]["scale"].astype(jnp.float32)
     bi4 = p["in4"]["bias"].astype(jnp.float32)
@@ -1397,11 +1613,19 @@ def dec_chain_s8_static(y: jnp.ndarray, p: dict, quant: dict,
     # 540 grid (phases=1 over 64 ch) — tiled ×4 to d1's phase-major 256
     qA = jnp.tile(((inv4 * sc4) * q2["qin"])[0], 4)          # (256,)
     qC = jnp.tile(((bi4 - m4 * inv4 * sc4) * q2["qin"])[0], 4)
-    aq = jnp.full((B, C), q1["qin"], jnp.float32)
-    cq = jnp.zeros((B, C), jnp.float32)
-    qd1 = res_site_s8o(y, aq, cq, q1["w"].reshape(9, C, -1), q1["ws"],
-                       p["d1_b"].astype(jnp.float32), qa=qA, qc=qC,
-                       lo=-127.0, qlo=0.0, halo="edge")
+    if y.dtype == jnp.int8:
+        assert w0 is not None, "bridged s8 carry needs the content width"
+        W0 = w0
+        qd1 = site_s8(y, q1["w"].reshape(9, C, -1), q1["ws"],
+                      p["d1_b"].astype(jnp.float32), w0=W0,
+                      qa=qA, qc=qC, qlo=0.0, halo="edge")
+    else:
+        W0 = y.shape[2]
+        aq = jnp.full((B, C), q1["qin"], jnp.float32)
+        cq = jnp.zeros((B, C), jnp.float32)
+        qd1 = res_site_s8o(y, aq, cq, q1["w"].reshape(9, C, -1), q1["ws"],
+                           p["d1_b"].astype(jnp.float32), qa=qA, qc=qC,
+                           lo=-127.0, qlo=0.0, halo="edge")
     co = qd1.shape[-1] // 4                                  # 64
     qs = d2s(qd1[:, :, 1:W0 + 1], 2, co)                     # s8 @540 grid
     H2, W2 = 2 * H, 2 * W0
@@ -1409,12 +1633,113 @@ def dec_chain_s8_static(y: jnp.ndarray, p: dict, quant: dict,
     X = jnp.pad(qs, ((0, 0), (0, 0), (1, WPS2 - W2 - 1), (0, 0)))
     X = X.at[:, :, 0].set(qs[:, :, 0])                       # edge halos
     X = X.at[:, :, W2 + 1].set(qs[:, :, -1])
+    if tail:
+        return _tail_s8(X, p, quant, static_stats, w2=W2)
     r2 = site_s8(X, q2["w"].reshape(9, co, -1), q2["ws"],
                  p["d2_b"].astype(jnp.float32), w0=W2, halo="edge")
     m5, inv5 = static_stats["in5"]
     m5 = jnp.broadcast_to(m5.astype(jnp.float32), (B, m5.shape[-1]))
     inv5 = jnp.broadcast_to(inv5.astype(jnp.float32), (B, inv5.shape[-1]))
     return r2, m5, inv5
+
+
+def _in5_emit_affine(p: dict, quant: dict, static_stats: dict):
+    """deconv3's input quantize rows: the frozen in5 affine folded with
+    d3's qin, tiled ×4 to d2's phase-major 128 channels (ReLU folds into
+    the emit clamp's zero floor)."""
+    q3 = quant["d3"]
+    m5, inv5 = (s.astype(jnp.float32) for s in static_stats["in5"])
+    sc5 = p["in5"]["scale"].astype(jnp.float32)
+    bi5 = p["in5"]["bias"].astype(jnp.float32)
+    qa5 = jnp.tile(((inv5 * sc5) * q3["qin"])[0], 4)         # (128,)
+    qc5 = jnp.tile(((bi5 - m5 * inv5 * sc5) * q3["qin"])[0], 4)
+    return qa5, qc5
+
+
+def _d3_strip_i8(qsl: jnp.ndarray, q3: dict, bias: jnp.ndarray):
+    """Border-strip deconv3 on s8 CODES with true phase-permuted reflect
+    halos: quantize is pointwise, so the reflect gather commutes with it
+    and the strip runs entirely on the emitted codes. Mirrors the bf16
+    zero-SAME branch's ``_d3_strip`` (transformer_net_s2d2.apply) — i8
+    conv is integer-exact, so fused path and XLA reference share this."""
+    from ..ops.conv import conv2d_i8
+    from .transformer_net_s2d2 import _pad_reflect_f2_4px
+
+    ps = _pad_reflect_f2_4px(qsl, 32)                  # s8 reflect halos
+    rs = conv2d_i8(ps, q3["w"])                        # VALID 1×5 → 60 lanes
+    rs = (rs.astype(jnp.float32) * q3["ws"]).astype(jnp.bfloat16)
+    n = rs.shape[1] - 4
+    y = sum(rs[:, dy:dy + n, :, dy * 12:(dy + 1) * 12].astype(jnp.float32)
+            for dy in range(5))
+    return (y + bias.astype(jnp.float32)).astype(jnp.bfloat16)
+
+
+def _tail_strips_fix(y12: jnp.ndarray, qd3: jnp.ndarray, q3: dict,
+                     bias: jnp.ndarray, w2: int):
+    """Replace the 2-px zero-SAME border frame with the exact reflect
+    strips (recomputed from the emitted s8 codes)."""
+    qc_ = qd3[:, :, 2:w2 + 2]                          # content codes
+    top = _d3_strip_i8(qc_[:, :4], q3, bias)[:, :2]
+    bot = _d3_strip_i8(qc_[:, -4:], q3, bias)[:, -2:]
+    lef = _d3_strip_i8(qc_[:, :, :4], q3, bias)[:, :, :2]
+    rig = _d3_strip_i8(qc_[:, :, -4:], q3, bias)[:, :, -2:]
+    y12 = y12.at[:, :2].set(top)
+    y12 = y12.at[:, -2:].set(bot)
+    y12 = y12.at[:, :, :2].set(lef)
+    y12 = y12.at[:, :, -2:].set(rig)
+    return y12
+
+
+def _tail_s8(X: jnp.ndarray, p: dict, quant: dict, static_stats: dict, *,
+             w2: int) -> jnp.ndarray:
+    """deconv2 + deconv3 on the s8 carry ("tail_s8"): d2 emits deconv3's
+    s8 input directly (frozen in5 affine + ReLU folded into the emit
+    quantize, "zero2" zero-SAME column layout — the 2.1 GB/B16 bf16 d2
+    raw never exists in HBM), the fused d3 site runs the tap-packed 1×5
+    i8 conv with the dy-sum collapsed in VMEM (the 60-lane K tensor and
+    its 5-slice-add pass die too), and the 2-px border frame is
+    strip-fixed from the codes. X: d2's s8 input at the 540 grid (edge
+    halos). Returns (B, H2, w2, 12) bf16 — d2s to pixels is the caller's.
+
+    Parity contract: ``tail_s8_xla`` (the pure-XLA reference) matches to
+    isolated 1-ulp bf16 flips; see tests/test_static_norm.py."""
+    q2, q3 = quant["d2"], quant["d3"]
+    co = X.shape[-1]                                   # 64
+    qa5, qc5 = _in5_emit_affine(p, quant, static_stats)
+    qd3 = site_s8(X, q2["w"].reshape(9, co, -1), q2["ws"],
+                  p["d2_b"].astype(jnp.float32), w0=w2,
+                  qa=qa5, qc=qc5, qlo=0.0, halo="edge", halo_out="zero2")
+    y12 = d3_s8_site(qd3, q3["w"].reshape(5, 128, -1), q3["ws"],
+                     p["d3_b"].astype(jnp.float32), w0=w2)
+    return _tail_strips_fix(y12, qd3, q3, p["d3_b"], w2)
+
+
+def tail_s8_xla(X: jnp.ndarray, p: dict, quant: dict, static_stats: dict,
+                *, w2: int) -> jnp.ndarray:
+    """Pure-XLA reference for ``_tail_s8`` — the parity contract the
+    fused kernels are tested against (integer convs are exact, so the
+    two differ only by isolated 1-ulp bf16 FMA-contraction flips)."""
+    from ..ops.conv import conv2d_i8
+
+    q2, q3 = quant["d2"], quant["d3"]
+    H2 = X.shape[1]
+    # d2: edge row pads + VALID 3×3 over the carry (columns 0..w2+1
+    # include the edge column halos)
+    Xr = jnp.concatenate([X[:, :1], X, X[:, -1:]], axis=1)[:, :, :w2 + 2]
+    r2 = (conv2d_i8(Xr, q2["w"]).astype(jnp.float32) * q2["ws"]
+          + p["d2_b"].astype(jnp.float32)).astype(jnp.bfloat16)
+    qa5, qc5 = _in5_emit_affine(p, quant, static_stats)
+    qd3c = jnp.clip(jnp.round(r2.astype(jnp.float32) * qa5 + qc5),
+                    0.0, 127.0).astype(jnp.int8)       # (B, H2, w2, 128)
+    # d3 interior: zero-SAME (zero row/column pads), K rows bf16
+    K = conv2d_i8(jnp.pad(qd3c, ((0, 0), (0, 0), (2, 2), (0, 0))), q3["w"])
+    K = (K.astype(jnp.float32) * q3["ws"]).astype(jnp.bfloat16)
+    Kp = jnp.pad(K, ((0, 0), (2, 2), (0, 0), (0, 0)))
+    y12 = sum(Kp[:, dy:dy + H2, :, dy * 12:(dy + 1) * 12].astype(jnp.float32)
+              for dy in range(5))
+    y12 = (y12 + p["d3_b"].astype(jnp.float32)).astype(jnp.bfloat16)
+    qd3 = jnp.pad(qd3c, ((0, 0), (0, 0), (2, _wps2(w2) - w2 - 2), (0, 0)))
+    return _tail_strips_fix(y12, qd3, q3, p["d3_b"], w2)
 
 
 def dec_chain(y: jnp.ndarray, p: dict, quant: dict, carry=None,

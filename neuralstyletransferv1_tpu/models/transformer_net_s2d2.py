@@ -278,9 +278,10 @@ def apply(params: dict, x: jnp.ndarray, *, tap=None,
     affine becomes a compile-time constant that XLA folds into the conv
     epilogues — the same structure that makes BN-folded .t7 graphs the
     fastest backend. NOT exact vs the reference (IN is per-image by
-    definition); quality is gated at the engine/bench level. The fused
-    "head"/"head_i8" sites compute stats internally and are ignored
-    under static_stats (the XLA head runs instead).
+    definition); quality is gated at the engine/bench level. The bf16
+    "head"/"tail" sites compute stats internally and are ignored under
+    static_stats (the XLA head runs instead); "head_i8" rides the frozen
+    in2/in3 stats (head_chain(static_stats=...)).
 
     stats_out: optional dict the forward fills with each computed
     ``(mean, inv)`` under its site name — the calibration hook.
@@ -291,9 +292,14 @@ def apply(params: dict, x: jnp.ndarray, *, tap=None,
     if tap is None:
         tap = lambda name, t: None  # noqa: E731
     if static_stats is not None:
-        # stats kernels need dynamic stats; static mode keeps the XLA head
-        fused_sites = tuple(s for s in fused_sites
-                            if s not in ("head", "head_i8", "tail"))
+        # the bf16 "head"/"tail" sites compute stats internally and cannot
+        # take frozen ones — static mode runs the XLA forms instead.
+        # "head_i8" CAN ride static stats (head_chain(static_stats=...))
+        # when the in2/in3 freezes exist; drop it only when they don't.
+        drop = {"head", "tail"}
+        if not ("in2" in static_stats and "in3" in static_stats):
+            drop.add("head_i8")
+        fused_sites = tuple(s for s in fused_sites if s not in drop)
 
     def _st(site, t, phases, c):
         """Deferred-IN stats: frozen when static, measured (and optionally
@@ -378,6 +384,7 @@ def apply(params: dict, x: jnp.ndarray, *, tap=None,
     if "head" in fused_sites and "c3_wb" in p:
         from . import s2d2_sites
         use_head = s2d2_sites.head_supported(h // 2, w // 2)
+    pend3 = None
     if use_head_i8:
         # conv2 + conv3 as pair-packed Pallas int8 sites: the in1/in2
         # applies fold into the kernels' quantize prologues, the phase
@@ -387,7 +394,14 @@ def apply(params: dict, x: jnp.ndarray, *, tap=None,
         tap("c2", y)
         y, m, inv = s2d2_sites_i8.head_chain(y, m, inv, p, quant,
                                              static_stats=static_stats)
-        y = _apply_in_relu(y, m, inv, p["in3"]["scale"], p["in3"]["bias"], 1)
+        if static_stats is not None:
+            # defer the in3 apply: when the static s8 res chain follows,
+            # the frozen affine folds into its first quantize prologue
+            # instead of a standalone HBM pass between two Pallas kernels
+            pend3 = (m, inv)
+        else:
+            y = _apply_in_relu(y, m, inv, p["in3"]["scale"],
+                               p["in3"]["bias"], 1)
     elif use_head:
         # fused c2+c3: Pallas sites + strip fixup kill the in1/in2 apply
         # passes and XLA's strided conv3.
@@ -447,8 +461,29 @@ def apply(params: dict, x: jnp.ndarray, *, tap=None,
                           and "in5" in static_stats)
         if "dec_i8" in fused_sites and not use_dec_s8:
             use_dec_i8 = have_d
+    use_tail_s8 = False
+    if use_dec_s8 and "tail_s8" in fused_sites and "d3" in quant:
+        # d2 emits deconv3's s8 input and the fused d3 site + strip
+        # fixups replace the whole XLA tail (frozen in5 folded)
+        use_tail_s8 = s2d2_sites_i8.d3s8_supported(2 * y.shape[1],
+                                                   2 * y.shape[2])
+    in_aff = None
+    if pend3 is not None:
+        m3p, inv3p = pend3
+        sc3p = p["in3"]["scale"].astype(jnp.float32)
+        bi3p = p["in3"]["bias"].astype(jnp.float32)
+        if use_res_s8:
+            in_aff = (inv3p * sc3p, bi3p - m3p * inv3p * sc3p)
+        else:
+            y = _apply_in_relu(y, m3p, inv3p, p["in3"]["scale"],
+                               p["in3"]["bias"], 1)
+    w0res = y.shape[2]
     if use_res_s8:
-        y = s2d2_sites_i8.res_chain_s8_static(y, p, quant, static_stats)
+        # bridge when the s8 dec chain follows: the last b-site emits
+        # d1's s8 input directly (edge column halos)
+        y = s2d2_sites_i8.res_chain_s8_static(
+            y, p, quant, static_stats, in_aff=in_aff,
+            emit_qo=quant["d1"]["qin"] if use_dec_s8 else None)
     elif use_res_i8:
         # all ten res-site convs as Pallas int8 fused kernels: the quantize
         # runs in each kernel's prologue from VMEM (the standalone XLA
@@ -484,11 +519,18 @@ def apply(params: dict, x: jnp.ndarray, *, tap=None,
 
     if use_dec_s8:
         # deconv1+deconv2 on an s8 carry (frozen in4 folded into d1's
-        # output quantize; d2s shuffle + edge re-pad run at s8).
+        # output quantize; d2s shuffle + edge re-pad run at s8). When
+        # the res chain bridged, y is already d1's s8 input.
         from . import s2d2_sites_i8
         tap("d1", y)
+        if use_tail_s8:
+            y12 = s2d2_sites_i8.dec_chain_s8_static(y, p, quant,
+                                                    static_stats,
+                                                    w0=w0res, tail=True)
+            return d2s(y12, 2, 3)
         y, m, inv = s2d2_sites_i8.dec_chain_s8_static(y, p, quant,
-                                                      static_stats)
+                                                      static_stats,
+                                                      w0=w0res)
     elif use_dec_i8:
         # deconv1+deconv2 as Pallas int8 fused sites (edge halos + the in4
         # affine in the d2 kernel's quantize prologue; d2s stays XLA).
@@ -589,9 +631,10 @@ def apply(params: dict, x: jnp.ndarray, *, tap=None,
             # XLA int8 d3 is catastrophic (the 60-lane i32 conv output
             # refuses to fuse with the slice-add consumers — s32 OOM at
             # B48; PERF.md), so "d3" in quant ONLY runs through the Pallas
-            # site: when the caller asked for d3_i8 but the geometry is
-            # unsupported, fall back to bf16, not XLA-i8.
-            d3_site = "d3" if "d3_i8" not in fused_sites else "_d3_bf16"
+            # sites: when the caller asked for d3_i8/tail_s8 but the
+            # geometry is unsupported, fall back to bf16, not XLA-i8.
+            d3_site = ("d3" if not ({"d3_i8", "tail_s8"} & set(fused_sites))
+                       else "_d3_bf16")
             rows = _qc(d3_site, ya, p["d3_w"], padding=(2, 2))
         y = sum(rows[:, dy : dy + hb, :, dy * 12 : (dy + 1) * 12]
                 for dy in range(5))

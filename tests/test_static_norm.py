@@ -148,6 +148,121 @@ def test_static_s8_chain_bit_exact(baked):
     assert d.mean() < 1e-3, (d.mean(), d.max())
 
 
+@pytest.mark.slow
+def test_tail_s8_matches_xla_reference(baked):
+    """The fused s8 tail (d2 emits deconv3's s8 input with the frozen in5
+    affine + ReLU folded, "zero2" zero-SAME layout; the d3 site collapses
+    the tap-packed dy-sum in VMEM; borders strip-fixed from the codes)
+    matches the pure-XLA reference ``tail_s8_xla`` to isolated 1-ulp bf16
+    FMA-contraction flips — integer convs are exact, so any structural
+    error (halo, layout, affine order) would blow the gate."""
+    from neuralstyletransferv1_tpu.models import s2d2_sites_i8 as si8
+
+    rng = np.random.default_rng(7)
+    B, H2, W2, co = 2, 16, 128, 64
+    WPS2 = si8._wps(W2)
+    qs = jnp.asarray(rng.integers(-127, 128, (B, H2, W2, co)), jnp.int8)
+    X = jnp.pad(qs, ((0, 0), (0, 0), (1, WPS2 - W2 - 1), (0, 0)))
+    X = X.at[:, :, 0].set(qs[:, :, 0])
+    X = X.at[:, :, W2 + 1].set(qs[:, :, -1])
+
+    x = jnp.asarray(rng.random((1, 32, 256, 3)), jnp.float32)
+    stats = s2d2.calibrate_in_stats(baked, x)
+    scales = s2d2.calibrate_act_scales(baked, x,
+                                       sites=s2d2.QUANT_SITES_PALLAS,
+                                       static_stats=stats)
+    quant = s2d2.quantize_net(baked, scales)
+    assert si8.d3s8_supported(H2, W2)
+
+    si8._INTERPRET = True
+    try:
+        y_pal = si8._tail_s8(X, baked, quant, stats, w2=W2)
+        y_ref = si8.tail_s8_xla(X, baked, quant, stats, w2=W2)
+    finally:
+        si8._INTERPRET = False
+    assert y_pal.shape == (B, H2, W2, 12)
+    d = np.abs(np.asarray(y_pal, np.float32) - np.asarray(y_ref, np.float32))
+    assert d.mean() < 1e-4, (d.mean(), d.max())
+    assert d.max() < 2e-2, d.max()
+
+
+@pytest.mark.slow
+def test_tail_s8_through_apply(baked):
+    """fused_sites with "tail_s8": the whole res->dec->d3 region runs on
+    s8 carries and apply returns the d2s of the fused tail. Gated against
+    the bf16-d3 static int8 path at quality level (the delta IS d3's
+    quantization error) plus a did-it-run guard."""
+    from neuralstyletransferv1_tpu.models import s2d2_sites_i8 as si8
+
+    bp = jax.tree.map(lambda a: a.astype(jnp.bfloat16), baked)
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.random((2, 32, 256, 3)), jnp.bfloat16)
+    xf = x.astype(jnp.float32)
+    stats = s2d2.calibrate_in_stats(baked, xf[:1])
+    scales = s2d2.calibrate_act_scales(baked, xf[:1],
+                                       sites=s2d2.QUANT_SITES_PALLAS,
+                                       static_stats=stats)
+    quant = s2d2.quantize_net(baked, scales)
+    quant_nod3 = {k: v for k, v in quant.items() if k != "d3"}
+
+    calls = []
+    real_site = si8.d3_s8_site
+
+    def counting_site(*a, **kw):
+        calls.append(1)
+        return real_site(*a, **kw)
+
+    si8._INTERPRET = True
+    si8.d3_s8_site = counting_site
+    try:
+        y_ref = s2d2.apply(bp, x, quant=quant_nod3, static_stats=stats,
+                           fused_sites=("res_s8", "res_i8",
+                                        "dec_s8", "dec_i8"))
+        y_tail = s2d2.apply(bp, x, quant=quant, static_stats=stats,
+                            fused_sites=("res_s8", "res_i8", "dec_s8",
+                                         "dec_i8", "tail_s8"))
+    finally:
+        si8._INTERPRET = False
+        si8.d3_s8_site = real_site
+    assert calls == [1], calls
+    assert y_tail.shape == y_ref.shape
+    d = np.abs(np.asarray(y_tail, np.float32) - np.asarray(y_ref, np.float32))
+    assert d.mean() < 1e-3, (d.mean(), d.max())
+
+
+@pytest.mark.slow
+def test_head_s8_handoff(baked):
+    """head_i8 + res_s8 under frozen norms: the deferred in3 apply folds
+    into the first a-site's quantize (in_aff) and block 1's residual gets
+    the affine + ReLU in the b-site epilogue (yaff) — no standalone XLA
+    pass between the head and res Pallas kernels. Matches the XLA static
+    int8 reference to accumulated 1-ulp flips."""
+    from neuralstyletransferv1_tpu.models import s2d2_sites_i8 as si8
+
+    bp = jax.tree.map(lambda a: a.astype(jnp.bfloat16), baked)
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.random((2, 32, 256, 3)), jnp.bfloat16)
+    xf = x.astype(jnp.float32)
+    stats = s2d2.calibrate_in_stats(baked, xf[:1])
+    scales = s2d2.calibrate_act_scales(baked, xf[:1],
+                                       sites=s2d2.QUANT_SITES_PALLAS,
+                                       static_stats=stats)
+    quant = {k: v for k, v in s2d2.quantize_net(baked, scales).items()
+             if k != "d3"}
+    assert si8.head_supported(16, 128)
+
+    si8._INTERPRET = True
+    try:
+        y_xla = s2d2.apply(bp, x, quant=quant, static_stats=stats)
+        y_pal = s2d2.apply(bp, x, quant=quant, static_stats=stats,
+                           fused_sites=("head_i8", "res_s8", "res_i8",
+                                        "dec_s8", "dec_i8"))
+    finally:
+        si8._INTERPRET = False
+    d = np.abs(np.asarray(y_pal, np.float32) - np.asarray(y_xla, np.float32))
+    assert d.mean() < 2e-3, (d.mean(), d.max())
+
+
 ALL_NST_NORMS = ("in1", "in2", "in3", "in4", "in5") + tuple(
     f"r{i}in{j}" for i in range(1, 6) for j in (1, 2))
 ALL_RECO_NORMS = ("in1", "in2", "in3", "in4", "in5") + tuple(
@@ -321,13 +436,26 @@ def test_head_i8_static(baked):
     quant = s2d2.quantize_net(baked, {k: scales[k] for k in ("c2", "c3")})
     assert s2d2_sites_i8.head_supported(16, 128)
 
+    # guard against a vacuous pass: the fused head must actually run (it
+    # was silently stripped under static_stats once — both sides then ran
+    # the identical XLA head and the comparison proved nothing)
+    calls = []
+    real_head_chain = s2d2_sites_i8.head_chain
+
+    def counting_head_chain(*a, **kw):
+        calls.append(kw.get("static_stats") is not None)
+        return real_head_chain(*a, **kw)
+
     s2d2_sites_i8._INTERPRET = True
+    s2d2_sites_i8.head_chain = counting_head_chain
     try:
         y_xla = s2d2.apply(bp, x, quant=quant, static_stats=stats)
         y_pal = s2d2.apply(bp, x, quant=quant, static_stats=stats,
                            fused_sites=("head_i8",))
     finally:
         s2d2_sites_i8._INTERPRET = False
+        s2d2_sites_i8.head_chain = real_head_chain
+    assert calls == [True], calls
     assert y_pal.shape == y_xla.shape
     d = np.abs(np.asarray(y_xla, np.float32) - np.asarray(y_pal, np.float32))
     assert d.mean() < 1e-3, (d.mean(), d.max())
