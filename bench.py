@@ -181,26 +181,29 @@ def _static_norm(extras, bparams, bparams32):
 
     best = (0.0, 1.0, None)
     # candidates: (extras key, headline config tag, fused-site set or None
-    # for bf16). The s8c row measures the mk35-candidate s8-carry chains
-    # (res_s8/dec_s8) even when no adoption window ran — bench's in-run
-    # pick IS an in-net A/B under the same protocol, so the headline may
-    # ride it without a constant flip.
+    # for bf16). The s8c/tail rows measure the mk35-candidate s8-carry
+    # chains (res_s8/dec_s8/tail_s8) even when no adoption window ran —
+    # bench's in-run pick IS an in-net A/B under the same protocol, so
+    # the headline may ride them without a constant flip.
     cands = [("bf16_static", "bf16-static-norm", None),
-             ("int8_static", "int8-static-norm", _I8_FUSED_STATIC),
-             ("int8_static_s8c", "int8-static-s8c",
-              ("res_s8", "res_i8", "dec_s8", "dec_i8"))]
-    if set(_I8_FUSED_STATIC) >= {"res_s8", "dec_s8"}:
-        cands.pop()  # already the adopted set — nothing extra to measure
-    quant_s = None
+             ("int8_static", "int8-static-norm", _I8_FUSED_STATIC)]
+    if not set(_I8_FUSED_STATIC) >= {"res_s8", "dec_s8"}:
+        cands.append(("int8_static_s8c", "int8-static-s8c",
+                      ("res_s8", "res_i8", "dec_s8", "dec_i8")))
+    if "tail_s8" not in _I8_FUSED_STATIC:
+        cands.append(("int8_static_s8c_tail", "int8-static-s8c-tail",
+                      ("res_s8", "res_i8", "dec_s8", "dec_i8", "tail_s8")))
+    scales_s = None
     for name, tag, fused in cands:
         try:
-            if fused is not None and quant_s is None:
-                scales = s2d.calibrate_act_scales(bparams32, xc,
-                                                  static_stats=stats)
-                scales = _s2d2_site_filter(scales, xc,
-                                           sites=_I8_FUSED_STATIC)
-                quant_s = s2d.quantize_net(bparams32, scales)
-            quant = None if fused is None else quant_s
+            quant = None
+            if fused is not None:
+                if scales_s is None:
+                    scales_s = s2d.calibrate_act_scales(
+                        bparams32, xc, sites=s2d.QUANT_SITES_PALLAS,
+                        static_stats=stats)
+                scales = _s2d2_site_filter(scales_s, xc, sites=fused)
+                quant = s2d.quantize_net(bparams32, scales)
 
             def step(x, q=quant, f=() if fused is None else fused):
                 return jnp.clip(s2d.apply(bparams, x, quant=q,

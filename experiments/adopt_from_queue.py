@@ -43,7 +43,8 @@ MAE_GATE = 5e-2        # harness model-space quality gate
 BENCH_MARGIN = 0.99    # post-adoption headline must stay within 1%
 
 #: canonical token order for printing / the written tuples
-ORDER = ("res_i8", "res_s8", "dec_s8", "dec_i8", "c2_i8", "head_i8")
+ORDER = ("res_i8", "res_s8", "dec_s8", "dec_i8", "c2_i8", "head_i8",
+         "tail_s8")
 #: token -> carry tokens that mask it at runtime (no veto where masked)
 MASKS = {"dec_i8": {"dec_s8"}}
 TARGET_NAME = {"sites": "_I8_FUSED_SITES", "sites_static": "_I8_FUSED_STATIC",
@@ -62,7 +63,10 @@ FILES = {
         target="sites_static", base="i8-static",
         rows={"i8-s8c": frozenset({"res_s8"}),
               "i8-s8c+ds8": frozenset({"res_s8", "dec_s8"}),
-              "i8-s8c+head": frozenset({"res_s8", "dec_s8", "head_i8"})}),
+              "i8-s8c+head": frozenset({"res_s8", "dec_s8", "head_i8"}),
+              "i8-s8c+tail": frozenset({"res_s8", "dec_s8", "tail_s8"}),
+              "i8-s8c+full": frozenset({"res_s8", "dec_s8", "head_i8",
+                                        "tail_s8"})}),
     "mk32_t7_bn": dict(
         target="t7", base="pal-i8",
         rows={

@@ -6,6 +6,7 @@ Quality lines report MAE on noise-perturbed variants of the calibration
 frame (the mode's intra-video contract, sigma 0.03) AND on an independent
 random frame (harsh: random-gain nets amplify IN drift ~10x/block)."""
 
+import os
 import sys
 
 import numpy as np
@@ -19,7 +20,7 @@ from neuralstyletransferv1_tpu import config
 from neuralstyletransferv1_tpu.models import transformer_net
 from neuralstyletransferv1_tpu.models import transformer_net_s2d2 as s2d2
 
-H, W = 1080, 1920
+H, W = (int(s) for s in os.environ.get("SHAPE", "1080,1920").split(","))
 
 
 def main():
@@ -27,6 +28,10 @@ def main():
 
     config.set_conv_precision("default")
     print("device:", jax.devices()[0], flush=True)
+    if jax.devices()[0].platform == "cpu":
+        # CPU smoke runs (SHAPE=64,512): Pallas only has interpret mode
+        from neuralstyletransferv1_tpu.models import s2d2_sites, s2d2_sites_i8
+        s2d2_sites._INTERPRET = s2d2_sites_i8._INTERPRET = True
     params = transformer_net.init(jax.random.key(0))
     bp32 = s2d2.bake_io_affine(s2d2.from_johnson_params(params),
                                "imagenet_255")
@@ -46,6 +51,12 @@ def main():
     # in2/in3 — the static head_chain)
     quant_sh = {k: v for k, v in quant_s_full.items()
                 if k.startswith("r") or k in ("c2", "c3", "d1", "d2")}
+    # + d3 for the tail rows (d2 emits deconv3's s8 input, fused d3 site)
+    quant_st = {k: v for k, v in quant_s_full.items()
+                if k.startswith("r") or k in ("d1", "d2", "d3")}
+    quant_sf = {k: v for k, v in quant_s_full.items()
+                if k.startswith("r")
+                or k in ("c2", "c3", "d1", "d2", "d3")}
 
     def step_bf16(x):
         return jnp.clip(s2d2.apply(bp, x), 0.0, 1.0)
@@ -87,10 +98,30 @@ def main():
                                                 "dec_i8")),
                         0.0, 1.0)
 
+    def step_i8_s8c_tail(x):
+        # + the fused s8 deconv3 tail (d2 emits d3's s8 input, frozen
+        # in5 folded; the bf16 d2 raw and the 60-lane K tensor never
+        # exist in HBM)
+        return jnp.clip(s2d2.apply(bp, x, quant=quant_st, static_stats=stats,
+                                   fused_sites=("res_s8", "res_i8",
+                                                "dec_s8", "dec_i8",
+                                                "tail_s8")),
+                        0.0, 1.0)
+
+    def step_i8_s8c_full(x):
+        # head + tail: everything from c2 to d3 rides Pallas s8 carries
+        return jnp.clip(s2d2.apply(bp, x, quant=quant_sf, static_stats=stats,
+                                   fused_sites=("head_i8", "res_s8",
+                                                "res_i8", "dec_s8",
+                                                "dec_i8", "tail_s8")),
+                        0.0, 1.0)
+
     variants = [("bf16-static", step_bf16_static),
                 ("i8-pal+dec", step_i8), ("i8-static", step_i8_static),
                 ("i8-s8c", step_i8_s8c), ("i8-s8c+ds8", step_i8_s8c_ds8),
-                ("i8-s8c+head", step_i8_s8c_head)]
+                ("i8-s8c+head", step_i8_s8c_head),
+                ("i8-s8c+tail", step_i8_s8c_tail),
+                ("i8-s8c+full", step_i8_s8c_full)]
 
     k1, k2 = jax.random.split(jax.random.key(42))
     xg = jnp.clip(xc.astype(jnp.bfloat16)
