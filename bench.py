@@ -403,6 +403,25 @@ def _backend_int8_fps():
             t7_ds8_step, lambda s: _rand_img(s, B, H, W), B)
         _log(f"t7 int8 dec-s8 {out['t7_int8_decs8_fps_1080']:.1f} fps")
 
+    if "tail_s8" not in _I8_FUSED_T7:
+        # Third pending candidate (mk32 tail rows): carry extended through
+        # the 9x9 output conv — the bf16 d2 raw and the 60-lane K tensor
+        # never exist in HBM (fused d3_s8_site dy-sum in VMEM).
+        tail_sites = tuple(
+            s for s in _I8_FUSED_T7
+            if s not in ("res_i8", "dec_i8")) + ("res_s8", "dec_s8",
+                                                 "tail_s8")
+
+        def t7_tail_step(x01):
+            y = t7_fast.t7_fast_apply(
+                p7, iop.preprocess("caffe_bgr", x01), quant=quant,
+                fused_sites=tail_sites)
+            return jnp.clip(iop.postprocess("caffe_bgr", y), 0.0, 1.0)
+
+        out["t7_int8_tails8_fps_1080"] = _fps(
+            t7_tail_step, lambda s: _rand_img(s, B, H, W), B)
+        _log(f"t7 int8 tail-s8 {out['t7_int8_tails8_fps_1080']:.1f} fps")
+
     # NST / ReCoNet int8_static s8-carry candidates (mk33/mk34 i8-s8c+ds8
     # rows) — guarded so the round-end bench records them even when no
     # interactive relay window ran the queue.

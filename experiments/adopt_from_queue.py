@@ -76,6 +76,7 @@ FILES = {
             "s8c+all": frozenset({"res_s8", "dec_i8", "c2_i8"}),
             "s8c+ds8": frozenset({"res_s8", "dec_s8"}),
             "s8c+ds8c2": frozenset({"res_s8", "dec_s8", "c2_i8"}),
+            "s8c+tail": frozenset({"res_s8", "dec_s8", "tail_s8"}),
         }),
     "mk32_t7_in": dict(
         target="t7", base="pal-i8",

@@ -139,16 +139,23 @@ def main():
             fpb, pre(x), quant=quant,
             fused_sites=("res_s8", "dec_s8", "c2_i8")))
 
+    def step_s8c_tail(x):
+        return post(t7_fast.t7_fast_apply(
+            fpb, pre(x), quant=quant,
+            fused_sites=("res_s8", "dec_s8", "tail_s8")))
+
     variants = [("xla-i8", step_xla_i8), ("pal-i8", step_pal_i8),
                 ("pal+dec", step_pal_dec), ("pal+all", step_pal_all)]
     if norm == "bn":
         # s8-carry chain (static scales only): a-sites emit s8 directly,
         # b-sites fold the skip — half the interior boundary bytes.
         # ds8 extends the carry through deconv1/deconv2 (the res-chain and
-        # deconv1 outputs never exist in HBM as bf16).
+        # deconv1 outputs never exist in HBM as bf16); tail extends it
+        # through the 9x9 output conv (fused d3_s8_site dy-sum in VMEM).
         variants += [("s8c+dec", step_s8c), ("s8c+all", step_s8c_all),
                      ("s8c+ds8", step_s8c_ds8),
-                     ("s8c+ds8c2", step_s8c_ds8_c2)]
+                     ("s8c+ds8c2", step_s8c_ds8_c2),
+                     ("s8c+tail", step_s8c_tail)]
     y0 = np.asarray(jax.jit(step_bf16)(xc.astype(jnp.bfloat16)), np.float32)
     for name, fn in variants:
         y = np.asarray(jax.jit(fn)(xc.astype(jnp.bfloat16)), np.float32)

@@ -448,7 +448,7 @@ def _t7_res_chain_i8_s8c(y, res, quant, emit_qo=None):
     return y.astype(dt)
 
 
-def _t7_dec_i8_s8(xq, p, quant, c0, w0, dt):
+def _t7_dec_i8_s8(xq, p, quant, c0, w0, dt, tail=False):
     """deconv1+deconv2 on an s8 carry (BN-folded graphs only — every
     scale static): deconv1 consumes the res chain's s8 output and emits
     deconv2's s8 input directly (the ReLU between them folds into the
@@ -456,7 +456,15 @@ def _t7_dec_i8_s8(xq, p, quant, c0, w0, dt):
     quantizing BEFORE the shuffle is bit-exact vs the XLA reference
     which quantizes after), the d2s shuffle and its halo re-pad run on
     s8 (half the copy bytes), and deconv2 emits the bf16 raw for the
-    XLA tail. Kills the two largest dec-boundary bf16 round trips."""
+    XLA tail. Kills the two largest dec-boundary bf16 round trips.
+
+    tail: "tail_s8" — deconv2 instead emits the 9x9 output conv's s8
+    input directly (post-d2 ReLU folded into the emit clamp floor,
+    "zero2" zero-SAME column layout — t7 graphs zero-pad, so the layout
+    IS the true semantics and no border fixup exists) and the fused
+    d3_s8_site collapses the tap-packed 1x5 conv + dy-sum in VMEM;
+    returns the (B, H/2, W/2, 12) bf16 pre-d2s tensor. Neither the bf16
+    d2 raw nor the 60-lane K tensor ever exists in HBM."""
     import jax
     import jax.numpy as jnp
 
@@ -476,6 +484,13 @@ def _t7_dec_i8_s8(xq, p, quant, c0, w0, dt):
     wps2 = si8._wps(w02)
     yd = jnp.pad(yd, ((0, 0), (0, 0), (1, wps2 - w02 - 1), (0, 0)))
     w2 = q2["w"].reshape(kh2 * kh2, 2 * c0, -1)
+    if tail:
+        q3 = quant["d3"]
+        qd3 = si8.site_s8(yd, w2, q2["ws"], p["d2_b"].astype(jnp.float32),
+                          w0=w02, kh=kh2, kw=kh2, pt=pt2, pl_=pt2,
+                          qo=q3["qin"], qlo=0.0, halo_out="zero2")
+        return si8.d3_s8_site(qd3, q3["w"].reshape(5, C, -1), q3["ws"],
+                              p["d3_b"].astype(jnp.float32), w0=w02)
     r2 = si8.site_s8(yd, w2, q2["ws"], p["d2_b"].astype(jnp.float32),
                      w0=w02, kh=kh2, kw=kh2, pt=pt2, pl_=pt2)
     return jax.nn.relu(r2.astype(jnp.float32)).astype(dt)
@@ -523,6 +538,27 @@ def _t7_dec_quant_xla(y, p, quant, c0):
     if p["n_d2"] is None:
         return jax.nn.relu(r2)
     return _defer_norm(r2, p["n_d2"], 4, c0)
+
+
+def _t7_tail_quant_xla(y, p, quant):
+    """XLA int8 tap-packed 9x9 output conv — the parity reference for
+    the fused tail (_t7_dec_i8_s8(tail=True)). Mirrors the kernel's
+    rounding exactly: quantize the activated d2 output (ReLU in the
+    clamp floor), integer 1x5 rows conv (zero-SAME — t7 semantics),
+    per-K-element bf16 round, f32 dy-sum + bias, bf16 out."""
+    import jax.numpy as jnp
+
+    from ..ops.conv import conv2d_i8
+
+    q3 = quant["d3"]
+    H2 = y.shape[1]
+    qd3 = jnp.clip(jnp.round(y.astype(jnp.float32) * q3["qin"]),
+                   0.0, 127.0).astype(jnp.int8)
+    K = conv2d_i8(qd3, q3["w"], padding=((2, 2), (2, 2)))
+    K = (K.astype(jnp.float32) * q3["ws"]).astype(jnp.bfloat16)
+    y12 = sum(K[:, dy:dy + H2, :, dy * 12:(dy + 1) * 12].astype(jnp.float32)
+              for dy in range(5))
+    return (y12 + p["d3_b"].astype(jnp.float32)).astype(jnp.bfloat16)
 
 
 def _t7_dec_i8(y, p, quant, c0):
@@ -684,7 +720,8 @@ def quantize_t7(p: dict, act_scales: dict) -> dict:
             if site in act_scales:
                 q[site] = qsite(np.asarray(rp[wk], np.float32),
                                 act_scales[site])
-    for site, wk in (("c2", "c2_w"), ("d1", "d1_w"), ("d2", "d2_w")):
+    for site, wk in (("c2", "c2_w"), ("d1", "d1_w"), ("d2", "d2_w"),
+                     ("d3", "d3_w")):
         if site in act_scales:
             q[site] = qsite(np.asarray(p[wk], np.float32), act_scales[site])
     return q
@@ -812,8 +849,14 @@ def t7_fast_apply(p: dict, x, *, tap=None, quant=None, fused_sites=(),
                       and si8.res_supported(2 * y.shape[1], 2 * y.shape[2])
                       and _dec_kform(p["d1_pad"]) is not None
                       and _dec_kform(p["d2_pad"]) is not None)
+    use_tail_s8 = False
+    if use_dec_s8 and "tail_s8" in fused_sites and "d3" in quant:
+        from ..models import s2d2_sites_i8 as si8
+        # grid the tail runs at: (H/2, W/2) — 2x the res grid
+        use_tail_s8 = si8.d3s8_supported(2 * y.shape[1], 2 * w0_res)
     if use_dec_s8:
-        y = _t7_dec_i8_s8(y, p, quant, c0, w0_res, dt_res)
+        y = _t7_dec_i8_s8(y, p, quant, c0, w0_res, dt_res,
+                          tail=use_tail_s8)
     elif use_dec_i8:
         y = _t7_dec_i8(y, p, quant, c0)
     elif (quant is not None and "d1" in quant and "d2" in quant
@@ -829,10 +872,18 @@ def t7_fast_apply(p: dict, x, *, tap=None, quant=None, fused_sites=(),
         pd = p["d2_pad"]
         y = na("n_d2", conv2d(y, p["d2_w"], p["d2_b"], padding=(pd, pd)),
                p["n_d2"], 4, c0)
-    rows = conv2d(y, p["d3_w"], padding=(2, 2))         # (B, H/2+4, W/2, 60)
-    y = sum(rows[:, dy : dy + hb, :, dy * 12 : (dy + 1) * 12]
-            for dy in range(5))
-    y = y + p["d3_b"].astype(y.dtype)
+    if use_tail_s8:
+        pass                                    # y IS the 12-lane tensor
+    elif (quant is not None and "d3" in quant
+          and "tail_xla_i8" in fused_sites):
+        # parity/CPU reference branch for the fused s8 tail
+        y = _t7_tail_quant_xla(y, p, quant)
+    else:
+        tap("d3", y)
+        rows = conv2d(y, p["d3_w"], padding=(2, 2))     # (B, H/2+4, W/2, 60)
+        y = sum(rows[:, dy : dy + hb, :, dy * 12 : (dy + 1) * 12]
+                for dy in range(5))
+        y = y + p["d3_b"].astype(y.dtype)
     out = d2s(y, 2, 3)
     if bool(p["tanh"]):
         out = jnp.tanh(out)
