@@ -441,7 +441,7 @@ def _backend_int8_fps():
         qn = {k: v for k, v in nstf.quantize_net(
             pn32, nstf.calibrate_act_scales(
                 pn32, xc1, static_stats=stats_n)).items()
-            if k.startswith("r") or k in ("d1", "d2")}
+            if k.startswith("r") or k in ("d1", "d2", "d3")}
 
         def nst_s8_step(x01):
             y = nstf.apply(pnb, iop.preprocess("raw_01", x01), quant=qn,
@@ -452,6 +452,17 @@ def _backend_int8_fps():
             nst_s8_step, lambda s: _rand_img(s, B, H, W), B)
         _log(f"nst int8-static s8 "
              f"{out['nst_int8_static_s8_fps_1080']:.1f} fps")
+
+        def nst_tail_step(x01):
+            y = nstf.apply(pnb, iop.preprocess("raw_01", x01), quant=qn,
+                           static_stats=stats_n,
+                           fused_sites=s8_sites + ("tail_s8",))
+            return jnp.clip(iop.postprocess("raw_01", y), 0.0, 1.0)
+
+        out["nst_int8_static_tails8_fps_1080"] = _fps(
+            nst_tail_step, lambda s: _rand_img(s, B, H, W), B)
+        _log(f"nst int8-static tail-s8 "
+             f"{out['nst_int8_static_tails8_fps_1080']:.1f} fps")
     except Exception as e:
         _log(f"nst int8-static s8 FAILED: {type(e).__name__}: {e}")
     try:

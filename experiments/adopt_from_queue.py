@@ -99,7 +99,9 @@ FILES = {
         rows={"i8-static+dec": frozenset({"dec_i8"}),
               "i8-s8c": frozenset({"res_s8"}),
               "i8-s8c+dec": frozenset({"res_s8", "dec_i8"}),
-              "i8-s8c+ds8": frozenset({"res_s8", "dec_s8", "dec_i8"})}),
+              "i8-s8c+ds8": frozenset({"res_s8", "dec_s8", "dec_i8"}),
+              "i8-s8c+tail": frozenset({"res_s8", "dec_s8", "dec_i8",
+                                        "tail_s8"})}),
     "mk34_reco_in_static": dict(
         file="mk34_reco_in", target="reco_static", base="i8-static",
         rows={"i8-static+dec": frozenset({"dec_i8"}),

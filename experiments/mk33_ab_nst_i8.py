@@ -77,6 +77,15 @@ def main():
                                                 "dec_s8", "dec_i8")),
                         0.0, 1.0)
 
+    def step_i8_s8c_tail(x):
+        # + the fused s8 output-conv tail (d2 emits the tap-packed 1x5
+        # conv's s8 input, frozen in5 folded; dy-sum in VMEM)
+        return jnp.clip(nstf.apply(pb, x, quant=quant_s, static_stats=stats,
+                                   fused_sites=("res_s8", "res_i8",
+                                                "dec_s8", "dec_i8",
+                                                "tail_s8")),
+                        0.0, 1.0)
+
     def step_xla_i8(x):
         return jnp.clip(nstf.apply(pb, x, quant=quant), 0.0, 1.0)
 
@@ -113,7 +122,8 @@ def main():
                      ("i8-static+dec", step_i8_static_dec),
                      ("i8-s8c", step_i8_s8c),
                      ("i8-s8c+dec", step_i8_s8c_dec),
-                     ("i8-s8c+ds8", step_i8_s8c_ds8)):
+                     ("i8-s8c+ds8", step_i8_s8c_ds8),
+                     ("i8-s8c+tail", step_i8_s8c_tail)):
         d = np.abs(yg - np.asarray(jax.jit(fn)(xg), np.float32))
         print(f"quality {name}: MAE {d.mean():.5f} max {d.max():.4f}",
               flush=True)
@@ -131,7 +141,8 @@ def main():
                          ("i8-static+dec", step_i8_static_dec),
                          ("i8-s8c", step_i8_s8c),
                          ("i8-s8c+dec", step_i8_s8c_dec),
-                         ("i8-s8c+ds8", step_i8_s8c_ds8)):
+                         ("i8-s8c+ds8", step_i8_s8c_ds8),
+                         ("i8-s8c+tail", step_i8_s8c_tail)):
             t = timed_step(fn, B, H, W)
             print(f"[{name} B{B}] {t*1e3:.1f} ms/batch  {B/t:.1f} fps",
                   flush=True)

@@ -242,7 +242,7 @@ def _res_chain_s8_static(y, p, quant, static_stats, emit_qo=None):
     return y.astype(dt)
 
 
-def _dec_s8_static(xq, p, quant, static_stats, w0c, dt):
+def _dec_s8_static(xq, p, quant, static_stats, w0c, dt, tail=False):
     """deconv1+deconv2 on an s8 carry with FROZEN norms ("dec_s8" under
     int8_static): deconv1 consumes the res chain's s8 output and emits
     deconv2's s8 input directly — the frozen in4 affine + ReLU fold into
@@ -252,7 +252,15 @@ def _dec_s8_static(xq, p, quant, static_stats, w0c, dt):
     ever exists in HBM as bf16. d2 emits the bf16 raw and the frozen in5
     affine + ReLU run in XLA. w0c: pre-pad content width of the res grid
     (non-%8 widths carry masked zero codes beyond sw, so the doubled d2
-    grid's content is 2·sw)."""
+    grid's content is 2·sw).
+
+    tail: "tail_s8" — d2 instead emits the tap-packed output conv's s8
+    input (frozen in5 affine + ReLU folded into the emit quantize,
+    "zero2" zero-SAME layout; masked codes beyond the content width stay
+    zero, so the 1x5 conv reads true zero-SAME pads at the crop seam —
+    exactly what the XLA path sees after its crop) and the fused
+    d3_s8_site collapses the dy-sum in VMEM; returns the (B, hp/2,
+    2·w0c, 12) bf16 pre-d2s tensor."""
     from ..io.t7_fast import _dec_kform
     from . import s2d2_sites_i8 as si8
 
@@ -276,20 +284,39 @@ def _dec_s8_static(xq, p, quant, static_stats, w0c, dt):
     wps2 = si8._wps(w02)
     yd = jnp.pad(yd, ((0, 0), (0, 0), (1, wps2 - w02 - 1), (0, 0)))
     w2 = q2["w"].reshape(kh2 * kh2, 64, -1)
+    m5, inv5 = (s.astype(jnp.float32) for s in static_stats["in5"])
+    sc5 = p["in_d2"]["scale"].astype(jnp.float32)
+    bi5 = p["in_d2"]["bias"].astype(jnp.float32)
+    a5 = jnp.tile(inv5 * sc5, (1, 4))[0]                     # (128,)
+    b5 = jnp.tile(bi5[None] - m5 * inv5 * sc5, (1, 4))[0]
+    if tail:
+        q3 = quant["d3"]
+        qd3 = si8.site_s8(yd, w2, q2["ws"], p["d2_b"].astype(jnp.float32),
+                          w0=w02, kh=kh2, kw=kh2, pt=pt2, pl_=pt2,
+                          qa=(a5 * q3["qin"]).astype(jnp.float32),
+                          qc=(b5 * q3["qin"]).astype(jnp.float32),
+                          qlo=0.0, halo_out="zero2",
+                          sw=2 * sw if sw is not None else None)
+        y12 = si8.d3_s8_site(qd3, q3["w"].reshape(5, C, -1), q3["ws"],
+                             p["d3_b"].astype(jnp.float32), w0=w02)
+        return y12 if sw is None else y12[:, :, :2 * sw]
     r2 = si8.site_s8(yd, w2, q2["ws"], p["d2_b"].astype(jnp.float32),
                      w0=w02, kh=kh2, kw=kh2, pt=pt2, pl_=pt2)
     if sw is not None:
         r2 = r2[:, :, :2 * sw]
-    m5, inv5 = (s.astype(jnp.float32) for s in static_stats["in5"])
-    sc5 = p["in_d2"]["scale"].astype(jnp.float32)
-    bi5 = p["in_d2"]["bias"].astype(jnp.float32)
-    a2 = jnp.tile(inv5 * sc5, (1, 4))[:, None, None, :]
-    b2 = jnp.tile(bi5[None] - m5 * inv5 * sc5, (1, 4))[:, None, None, :]
-    return jax.nn.relu(r2.astype(jnp.float32) * a2 + b2).astype(dt)
+    return jax.nn.relu(r2.astype(jnp.float32) * a5[None, None, None]
+                       + b5[None, None, None]).astype(dt)
 
 
-def _dec_quant_xla(y, p, quant, static_stats=None):
-    """XLA int8 deconv1+deconv2 — the parity reference for _dec_i8."""
+def _dec_quant_xla(y, p, quant, static_stats=None, tail=False):
+    """XLA int8 deconv1+deconv2 — the parity reference for _dec_i8.
+
+    tail: continue as the parity reference for the fused s8 tail —
+    quantize the output conv's input from the d2 RAW with the frozen
+    in5 affine folded (one f32 affine, mirroring the kernel's emit;
+    quantizing the *activated bf16* instead would double-round), then
+    the integer 1x5 rows conv + f32 dy-sum; returns the 12-lane
+    pre-d2s tensor."""
     from ..ops.conv import conv2d_i8
 
     q1, q2 = quant["d1"], quant["d2"]
@@ -310,6 +337,22 @@ def _dec_quant_xla(y, p, quant, static_stats=None):
     r2 = (conv2d_i8(rq, q2["w"], padding=(pd2, pd2)).astype(jnp.float32)
           * q2["ws"] + p["d2_b"].astype(jnp.float32)).astype(y.dtype)
     m2, inv2 = _frozen(static_stats, "in5") or _in_stats(r2, 4, 32)
+    if tail:
+        q3 = quant["d3"]
+        sc2 = p["in_d2"]["scale"].astype(jnp.float32)
+        bi2 = p["in_d2"]["bias"].astype(jnp.float32)
+        a5 = jnp.tile((inv2 * sc2) * q3["qin"], (1, 4))      # (1, 128)
+        b5 = jnp.tile((bi2[None] - m2 * inv2 * sc2) * q3["qin"], (1, 4))
+        qd3 = jnp.clip(jnp.round(r2.astype(jnp.float32)
+                                 * a5[:, None, None, :]
+                                 + b5[:, None, None, :]),
+                       0.0, 127.0).astype(jnp.int8)
+        K = conv2d_i8(qd3, q3["w"], padding=((2, 2), (2, 2)))
+        K = (K.astype(jnp.float32) * q3["ws"]).astype(jnp.bfloat16)
+        H2 = r2.shape[1]
+        y12 = sum(K[:, dy:dy + H2, :, dy * 12:(dy + 1) * 12]
+                  .astype(jnp.float32) for dy in range(5))
+        return (y12 + p["d3_b"].astype(jnp.float32)).astype(jnp.bfloat16)
     return _apply_in_relu(r2, m2, inv2, p["in_d2"]["scale"],
                           p["in_d2"]["bias"], 4)
 
@@ -424,7 +467,8 @@ def quantize_net(p: dict, act_scales: dict) -> dict:
             if site in act_scales:
                 q[site] = qsite(np.asarray(rp[ck]["w"], np.float32),
                                 act_scales[site])
-    for site, wk in (("c2", "c2_w"), ("d1", "d1_w"), ("d2", "d2_w")):
+    for site, wk in (("c2", "c2_w"), ("d1", "d1_w"), ("d2", "d2_w"),
+                     ("d3", "d3_w")):
         if site in act_scales:
             q[site] = qsite(np.asarray(p[wk], np.float32), act_scales[site])
     return q
@@ -529,11 +573,18 @@ def apply(params: dict, x: jnp.ndarray, *, tap=None, quant=None,
                       and si8._pick_ts(2 * y.shape[1]) is not None
                       and _dec_kform(p["d1_pad"]) is not None
                       and _dec_kform(p["d2_pad"]) is not None)
+    use_tail_s8 = False
+    if use_dec_s8 and "tail_s8" in fused_sites and "d3" in quant:
+        from . import s2d2_sites_i8 as si8
+        # tail grid: (hp/2, 2·w0) — w0 is the %8-padded res width
+        use_tail_s8 = si8.d3s8_supported(
+            2 * y.shape[1], 2 * (((y.shape[2] + 7) // 8) * 8))
     if use_dec_s8:
         w0c, dtv = y.shape[2], y.dtype
         xq = _res_chain_s8_static(y, p, quant, static_stats,
                                   emit_qo=quant["d1"]["qin"])
-        y = _dec_s8_static(xq, p, quant, static_stats, w0c, dtv)
+        y = _dec_s8_static(xq, p, quant, static_stats, w0c, dtv,
+                           tail=use_tail_s8)
     elif use_res_s8:
         y = _res_chain_s8_static(y, p, quant, static_stats)
     elif use_res_i8:
@@ -569,12 +620,14 @@ def apply(params: dict, x: jnp.ndarray, *, tap=None, quant=None,
                           and _dec_kform(p["d1_pad"]) is not None
                           and _dec_kform(p["d2_pad"]) is not None)
         use_dec_xla = not use_dec_i8 and "dec_xla_i8" in fused_sites
+    use_tail_xla = (use_dec_xla and "tail_xla_i8" in fused_sites
+                    and quant is not None and "d3" in quant)
     if use_dec_s8:
         pass  # deconv1/2 already ran on the s8 carry above
     elif use_dec_i8:
         y = _dec_i8(y, p, quant, static_stats)
     elif use_dec_xla:
-        y = _dec_quant_xla(y, p, quant, static_stats)
+        y = _dec_quant_xla(y, p, quant, static_stats, tail=use_tail_xla)
     else:
         tap("d1", y)
         pd = p["d1_pad"]
@@ -591,9 +644,13 @@ def apply(params: dict, x: jnp.ndarray, *, tap=None, quant=None,
                            p["in_d2"]["bias"], 4)
 
     hb = hp // 2
-    rows = conv2d(y, p["d3_w"], padding=(2, 2))   # [B, hp/2+4, wp/2, 60]
-    y = sum(rows[:, dy : dy + hb, :, dy * 12 : (dy + 1) * 12]
-            for dy in range(5))
-    y = y + p["d3_b"].astype(y.dtype)
+    if use_tail_s8 or use_tail_xla:
+        pass                                      # y IS the 12-lane tensor
+    else:
+        tap("d3", y)
+        rows = conv2d(y, p["d3_w"], padding=(2, 2))  # [B, hp/2+4, wp/2, 60]
+        y = sum(rows[:, dy : dy + hb, :, dy * 12 : (dy + 1) * 12]
+                for dy in range(5))
+        y = y + p["d3_b"].astype(y.dtype)
     out = d2s(y, 2, 3)                            # [B, hp, wp, 3]
     return out[:, _PAD : _PAD + h, _PAD : _PAD + w, :]

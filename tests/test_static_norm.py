@@ -360,6 +360,13 @@ def test_nst_s8_static_chain(nst_fast, shape):
                                fused_sites=("dec_xla_i8",))
         y_ds8 = nstf.apply(pb, xb, quant=quant, static_stats=stats,
                            fused_sites=("res_s8", "dec_s8"))
+        # + the tail extension: d2 emits the output conv's s8 input
+        # (frozen in5 + ReLU folded, "zero2" layout, sw-masked codes at
+        # the crop seam) and the fused d3 site runs the dy-sum in VMEM
+        y_xla_tail = nstf.apply(pb, xb, quant=quant, static_stats=stats,
+                                fused_sites=("dec_xla_i8", "tail_xla_i8"))
+        y_ts8 = nstf.apply(pb, xb, quant=quant, static_stats=stats,
+                           fused_sites=("res_s8", "dec_s8", "tail_s8"))
         # res_s8 must NOT engage without static stats (dynamic scales):
         # ("res_i8", "res_s8") under dynamic stats == the res_i8 chain
         y_i8d = nstf.apply(pb, xb,
@@ -388,6 +395,15 @@ def test_nst_s8_static_chain(nst_fast, shape):
     dscale = np.abs(np.asarray(y_xla_dec, np.float32)).mean() + 1e-6
     assert dd.mean() / dscale < 2e-4, (dd.mean(), dd.max(), dscale)
     assert dd.max() < 0.1, dd.max()
+    dt_ = np.abs(np.asarray(y_xla_tail, np.float32)
+                 - np.asarray(y_ts8, np.float32))
+    tscale = np.abs(np.asarray(y_xla_tail, np.float32)).mean() + 1e-6
+    # one quantize stage deeper than the dec gate: the res chain's ~1%
+    # 1-ulp boundary flips (non-calibration frames) each flip a d3 input
+    # code too, so the accumulated fraction roughly triples (measured
+    # 3.5e-4 on the B=2 frame; each diff is still a single code step)
+    assert dt_.mean() / tscale < 6e-4, (dt_.mean(), dt_.max(), tscale)
+    assert dt_.max() < 0.1, dt_.max()
     assert np.array_equal(np.asarray(y_i8d, np.float32),
                           np.asarray(y_bothd, np.float32))
 
