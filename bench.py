@@ -692,6 +692,12 @@ def main() -> None:
     extras = {}
     i8_res: dict = {}
     static_res: dict = {}
+    # Wall-clock budget: the driver bounds the whole bench run, and the
+    # JSON line prints LAST — a timeout mid-extras would lose the round's
+    # headline. Sections are ordered headline-deciders first; once elapsed
+    # time crosses the budget the remaining sections are skipped so the
+    # line always lands. BENCH_BUDGET_S=0 disables the guard.
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "2100"))
     if os.environ.get("BENCH_EXTRAS", "1") != "0":
         for name, fn in [
             ("int8", lambda: i8_res.update(
@@ -711,6 +717,9 @@ def main() -> None:
             ("flow", lambda: _flow_video(extras, bparams)),
             ("e2e", lambda: _e2e_video(extras)),
         ]:
+            if budget_s and time.perf_counter() - t_start > budget_s:
+                _log(f"section {name} SKIPPED (over {budget_s:.0f}s budget)")
+                continue
             try:
                 t0 = time.perf_counter()
                 fn()

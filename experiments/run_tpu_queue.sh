@@ -68,6 +68,11 @@ run mk34_reco_skip 1800 NORM=in RECO_SKIP=1 BATCHES=16 python -u experiments/mk3
 #    XLA<->Pallas boundary/relayout tax (the next headline lever).
 run mk25_trace 1500 python -u experiments/mk25_trace_int8.py bf16 pallas
 
+# 7b. DIS per-stage attribution — where the ~68 ms/pair sits (blur / VF /
+#     GN iterations / pyramid+extract+densify floor), @1080p and ds2,
+#     B8+B16. Informs the route to the <=50 ms flow target.
+run mk36_dis 1500 python -u experiments/mk36_dis_breakdown.py
+
 # 8. Full bench sweep (headline + int8 + latency + backends + ladder +
 #    gram + deeplab + magenta + flow e2e) — captures every BASELINE config
 #    number in one relay window even before any adoption flips.
