@@ -55,6 +55,7 @@ Set BENCH_EXTRAS=0 to print only the headline metric.
 
 import json
 import os
+import signal
 import sys
 import time
 
@@ -66,6 +67,11 @@ H, W = 1080, 1920
 BATCH = 48
 CHAIN = 8
 REPEATS = 2
+# Per-run input salt: the axon relay memoizes identical (executable, args)
+# calls ACROSS runs too — fixed seeds made round-2/round-3 headlines
+# byte-identical (416.1 ms twice; VERDICT round-3 Weak #2). Salting the
+# seed stream makes cached-result reuse provably impossible.
+SALT = (time.time_ns() // 1000) % 1_000_000_007
 
 
 def _log(msg):
@@ -98,7 +104,7 @@ def _fps(fn, make_input, batch, chain=4, repeats=1):
 
 
 def _rand_img(seed, b, h, w, dtype=jnp.bfloat16):
-    return jax.random.uniform(jax.random.key(seed), (b, h, w, 3), dtype)
+    return jax.random.uniform(jax.random.key(seed + SALT), (b, h, w, 3), dtype)
 
 
 def _headline(bparams):
@@ -109,8 +115,12 @@ def _headline(bparams):
 
     d_chain = _chain_time(step, lambda s: _rand_img(s, BATCH, H, W), CHAIN, REPEATS)
     d_one = _chain_time(step, lambda s: _rand_img(s, BATCH, H, W), 1, REPEATS)
+    if d_chain <= d_one:
+        _log(f"WARNING: chain{CHAIN} ({d_chain:.4f}s) <= chain1 ({d_one:.4f}s)"
+             " — relay memoization suspected despite per-run salt")
     per_batch = max(1e-9, (d_chain - d_one) / (CHAIN - 1))
-    _log(f"headline per-batch{BATCH}: {per_batch * 1000:.1f} ms")
+    _log(f"headline per-batch{BATCH}: {per_batch * 1000:.1f} ms "
+         f"(chain{CHAIN} {d_chain:.3f}s, chain1 {d_one:.3f}s, salt {SALT})")
     return BATCH / per_batch
 
 
@@ -243,7 +253,9 @@ def _latency_p50(bparams, h, w):
         t0 = time.perf_counter()
         float(g(x))
         ts.append(time.perf_counter() - t0)
-    return float(np.median(ts) * 1000.0)
+    p50 = float(np.median(ts) * 1000.0)
+    _log(f"latency p50 @{h}x{w}: {p50:.1f} ms (B1, incl. relay round trip)")
+    return p50
 
 
 def _t7_layers(rng):
@@ -341,11 +353,13 @@ def _backend_fps():
 
 
 def _backend_int8_fps():
-    """--quantize int8 on the .t7 fast path (the fastest backend; engine
-    fused set = _I8_FUSED_T7, Pallas zero-halo res sites). Separate guarded
-    section — the zero-halo kernels' first real-TPU compile happens here."""
+    """--quantize int8 on the .t7 fast path (the fastest backend; the graph
+    here is BN-folded, so the engine set is _I8_FUSED_T7_BN — mk32
+    2026-08-19 adopted plain XLA-i8 = () for that form). Separate guarded
+    section — any Pallas kernels' first real-TPU compile happens here."""
     import numpy as np
-    from neuralstyletransferv1_tpu.engine.stylizer import _I8_FUSED_T7
+    from neuralstyletransferv1_tpu.engine.stylizer import (
+        _I8_FUSED_T7_BN as _I8_FUSED_T7)
     from neuralstyletransferv1_tpu.io import t7_fast
     from neuralstyletransferv1_tpu.models import io_presets as iop
 
@@ -626,12 +640,14 @@ def _flow_video(extras, bparams):
 
         return step
 
-    extras["flow_video_fps_1080"] = _fps(
-        make_step(1), lambda s: _rand_img(s, B, H, W, jnp.float32), B, chain=3)
-    _log(f"flow pipeline {extras['flow_video_fps_1080']:.1f} fps")
+    # ds2 first: it is the production default candidate and the round-3
+    # run was killed before it landed (VERDICT round-3 Weak #3).
     extras["flow_video_fps_1080_ds2"] = _fps(
         make_step(2), lambda s: _rand_img(s, B, H, W, jnp.float32), B, chain=3)
     _log(f"flow pipeline ds2 {extras['flow_video_fps_1080_ds2']:.1f} fps")
+    extras["flow_video_fps_1080"] = _fps(
+        make_step(1), lambda s: _rand_img(s, B, H, W, jnp.float32), B, chain=3)
+    _log(f"flow pipeline {extras['flow_video_fps_1080']:.1f} fps")
 
 
 def _e2e_video(extras):
@@ -671,6 +687,30 @@ def _e2e_video(extras):
          f"{extras['e2e_video_fps_1080']:.1f} fps over {nframes} frames")
 
 
+class _SectionTimeout(Exception):
+    pass
+
+
+def _emit(fps, cfg, extras):
+    """Print the driver-contract JSON line (repeatable: the driver takes the
+    LAST parseable line, so a provisional emission after the
+    headline-deciding sections guarantees the round records a number even
+    if the run is killed mid-extras — VERDICT round-3 Missing #1)."""
+    print(
+        json.dumps(
+            {
+                "metric": "stylized_1080p_frames_per_sec_per_chip",
+                "value": round(fps, 2),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / BASELINE_FPS, 3),
+                "config": cfg,
+                "extras": {k: round(float(v), 6) for k, v in extras.items()},
+            }
+        ),
+        flush=True,
+    )
+
+
 def main() -> None:
     from neuralstyletransferv1_tpu import config
     from neuralstyletransferv1_tpu.models import transformer_net, transformer_net_s2d2 as s2d
@@ -692,13 +732,40 @@ def main() -> None:
     extras = {}
     i8_res: dict = {}
     static_res: dict = {}
-    # Wall-clock budget: the driver bounds the whole bench run, and the
-    # JSON line prints LAST — a timeout mid-extras would lose the round's
-    # headline. Sections are ordered headline-deciders first; once elapsed
-    # time crosses the budget the remaining sections are skipped so the
-    # line always lands. BENCH_BUDGET_S=0 disables the guard.
-    budget_s = float(os.environ.get("BENCH_BUDGET_S", "2100"))
+
+    def _pick():
+        # Headline = best config meeting BASELINE's quality gate (per-frame
+        # MAE <= 1e-2): the opt-in int8 fused-site mode is a measured in-net
+        # win (PERF.md round-3) and far inside the gate (~3e-5), and the
+        # static-norm modes gate on intra-video drift (see _static_norm) —
+        # the fastest gated config IS the production operating point.
+        bf, bc = fps, cfg
+        if i8_res and i8_res.get("mae", 1.0) <= 1e-2 and i8_res["fps"] > bf:
+            bf, bc = i8_res["fps"], "int8-fused-sites"
+        if static_res.get("cfg") and static_res["fps"] > bf:
+            bf, bc = static_res["fps"], static_res["cfg"]
+        return bf, bc
+
+    # Wall-clock budget + per-section hard timeout: the driver bounds the
+    # whole bench run; round 3 lost its number when ONE long section (flow)
+    # blew through the window before the JSON line printed. Three guards:
+    # (a) a provisional JSON line is emitted as soon as the
+    #     headline-deciding sections are done (and refreshed after each
+    #     later section), so the last parseable line always reflects
+    #     completed work;
+    # (b) each section gets a SIGALRM timeout so a hung relay call can't
+    #     absorb the rest of the window;
+    # (c) once elapsed time crosses BENCH_BUDGET_S the remaining sections
+    #     are skipped. BENCH_BUDGET_S=0 disables guard (c).
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "1500"))
+    section_to = int(os.environ.get("BENCH_SECTION_TIMEOUT_S", "600"))
+    headline_deciders = {"int8", "static_norm"}
+    emitted = False
     if os.environ.get("BENCH_EXTRAS", "1") != "0":
+        def _alarm(signum, frame):
+            raise _SectionTimeout()
+
+        old = signal.signal(signal.SIGALRM, _alarm)
         for name, fn in [
             ("int8", lambda: i8_res.update(
                 zip(("fps", "mae"), _int8(extras, bparams, bparams32)))),
@@ -717,39 +784,30 @@ def main() -> None:
             ("flow", lambda: _flow_video(extras, bparams)),
             ("e2e", lambda: _e2e_video(extras)),
         ]:
+            if name not in headline_deciders and not emitted:
+                _emit(*_pick(), extras)  # provisional: deciders done
+                emitted = True
             if budget_s and time.perf_counter() - t_start > budget_s:
                 _log(f"section {name} SKIPPED (over {budget_s:.0f}s budget)")
                 continue
             try:
                 t0 = time.perf_counter()
+                signal.alarm(section_to)
                 fn()
                 _log(f"section {name} took {time.perf_counter() - t0:.0f}s")
+            except _SectionTimeout:
+                _log(f"section {name} TIMED OUT ({section_to}s)")
             except Exception as e:  # one section must not kill the bench
                 _log(f"section {name} FAILED: {type(e).__name__}: {e}")
+            finally:
+                signal.alarm(0)
+            if emitted:
+                _emit(*_pick(), extras)  # refresh: last line = latest state
+        signal.signal(signal.SIGALRM, old)
 
-    # Headline = best config meeting BASELINE's quality gate (per-frame
-    # MAE <= 1e-2): the opt-in int8 fused-site mode is a measured in-net
-    # win (PERF.md round-3) and far inside the gate (~3e-5), and the
-    # static-norm modes gate on intra-video drift (see _static_norm) — the
-    # fastest gated config IS the production operating point.
-    if i8_res and i8_res.get("mae", 1.0) <= 1e-2 and i8_res["fps"] > fps:
-        fps, cfg = i8_res["fps"], "int8-fused-sites"
-    if static_res.get("cfg") and static_res["fps"] > fps:
-        fps, cfg = static_res["fps"], static_res["cfg"]
-
+    fps, cfg = _pick()
     _log(f"total bench {time.perf_counter() - t_start:.0f}s")
-    print(
-        json.dumps(
-            {
-                "metric": "stylized_1080p_frames_per_sec_per_chip",
-                "value": round(fps, 2),
-                "unit": "frames/s",
-                "vs_baseline": round(fps / BASELINE_FPS, 3),
-                "config": cfg,
-                "extras": {k: round(float(v), 6) for k, v in extras.items()},
-            }
-        )
-    )
+    _emit(fps, cfg, extras)
 
 
 if __name__ == "__main__":

@@ -42,13 +42,16 @@ MARGIN = 1.02          # adopt only on a >2% fps win on every batch size
 MAE_GATE = 5e-2        # harness model-space quality gate
 BENCH_MARGIN = 0.99    # post-adoption headline must stay within 1%
 
-#: canonical token order for printing / the written tuples
+#: canonical token order for printing / the written tuples. ``xla_only`` is
+#: a pseudo-token: when it wins, the target's fused-site tuple becomes ()
+#: (quantized convs ride plain XLA int8 — the mk32 BN-form winner).
 ORDER = ("res_i8", "res_s8", "dec_s8", "dec_i8", "c2_i8", "head_i8",
-         "tail_s8")
+         "tail_s8", "xla_only")
 #: token -> carry tokens that mask it at runtime (no veto where masked)
 MASKS = {"dec_i8": {"dec_s8"}}
 TARGET_NAME = {"sites": "_I8_FUSED_SITES", "sites_static": "_I8_FUSED_STATIC",
-               "t7": "_I8_FUSED_T7", "nst": "_I8_FUSED_NST",
+               "t7": "_I8_FUSED_T7", "t7_bn": "_I8_FUSED_T7_BN",
+               "nst": "_I8_FUSED_NST",
                "reco": "_I8_FUSED_RECO", "nst_static": "_I8_FUSED_NST_STATIC",
                "reco_static": "_I8_FUSED_RECO_STATIC"}
 
@@ -68,8 +71,9 @@ FILES = {
               "i8-s8c+full": frozenset({"res_s8", "dec_s8", "head_i8",
                                         "tail_s8"})}),
     "mk32_t7_bn": dict(
-        target="t7", base="pal-i8",
+        target="t7_bn", base="pal-i8",
         rows={
+            "xla-i8": frozenset({"xla_only"}),
             "pal+dec": frozenset({"dec_i8"}),
             "pal+all": frozenset({"dec_i8", "c2_i8"}),
             "s8c+dec": frozenset({"res_s8", "dec_i8"}),
@@ -80,18 +84,22 @@ FILES = {
         }),
     "mk32_t7_in": dict(
         target="t7", base="pal-i8",
-        rows={"pal+dec": frozenset({"dec_i8"}),
+        rows={"xla-i8": frozenset({"xla_only"}),
+              "pal+dec": frozenset({"dec_i8"}),
               "pal+all": frozenset({"dec_i8", "c2_i8"})}),
     "mk33_nst": dict(
         target="nst", base="pal-i8",
-        rows={"pal+dec": frozenset({"dec_i8"}),
+        rows={"xla-i8": frozenset({"xla_only"}),
+              "pal+dec": frozenset({"dec_i8"}),
               "pal+all": frozenset({"dec_i8", "c2_i8"})}),
     "mk34_reco_in": dict(
         target="reco", base="pal-i8",
-        rows={"pal+dec": frozenset({"dec_i8"})}),
+        rows={"xla-i8": frozenset({"xla_only"}),
+              "pal+dec": frozenset({"dec_i8"})}),
     "mk34_reco_frn": dict(
         target="reco", base="pal-i8",
-        rows={"pal+dec": frozenset({"dec_i8"})}),
+        rows={"xla-i8": frozenset({"xla_only"}),
+              "pal+dec": frozenset({"dec_i8"})}),
     # the static-norm rows in the same harness files target the *_STATIC
     # sets ("file" reuses the stem's output; base = the default static set)
     "mk33_nst_static": dict(
@@ -233,10 +241,13 @@ def decide(out_dir: str):
         chosen_by_file[stem] = _eval_file(stem, spec, d, lines)
 
     config: dict = {}
-    for target in ("sites", "sites_static", "t7", "nst", "reco",
+    not_run: set[str] = set()
+    for target in ("sites", "sites_static", "t7", "t7_bn", "nst", "reco",
                    "nst_static", "reco_static"):
         stems = [s for s, sp in FILES.items() if sp["target"] == target]
         ran = [s for s in stems if chosen_by_file.get(s) is not None]
+        if not ran:
+            not_run.add(target)
         adopted: set[str] = set()
         for s in ran:
             adopted |= chosen_by_file[s]  # type: ignore[arg-type]
@@ -252,7 +263,12 @@ def decide(out_dir: str):
                                  f"{s} ran it without a win")
                     break
         base = set(adopt_overrides.DEFAULTS[target])
-        final = tuple(t for t in ORDER if t in (base | adopted))
+        if "xla_only" in adopted:
+            # pseudo-token: the winning variant ran with NO fused sites —
+            # the adopted tuple is empty (plain XLA int8 on quant sites)
+            final: tuple = ()
+        else:
+            final = tuple(t for t in ORDER if t in (base | adopted))
         if set(final) != base:
             config[target] = list(final)
 
@@ -265,7 +281,7 @@ def decide(out_dir: str):
         h = bench_headline(b)
         if h is not None:
             lines.append(f"== bench_full headline: {h:.2f} fps")
-    return lines, (config or None)
+    return lines, (config or None), not_run
 
 
 def bench_headline(path) -> float | None:
@@ -285,16 +301,25 @@ def bench_headline(path) -> float | None:
 
 
 def main(out_dir: str, apply: bool = False) -> int:
-    lines, config = decide(out_dir)
+    lines, config, not_run = decide(out_dir)
     print("\n".join(lines) if lines else f"no queue dir at {out_dir}")
     if not pathlib.Path(out_dir).is_dir():
         return 2
-    if config is None:
+    # a target whose harness produced no usable rows this window keeps its
+    # PREVIOUSLY adopted value (a truncated/crashed rerun must not silently
+    # revert a measured adoption); a target that ran and shows no win is
+    # deliberately absent = back to defaults.
+    prev = adopt_overrides._load()
+    kept = {k: v for k, v in prev.items()
+            if k in not_run and k not in (config or {})}
+    if config is None and not kept:
         print("\nNo flips clear the margin+quality gates; defaults stand.")
         return 0
+    config = {**kept, **(config or {})}
     print("\nAdoption plan:")
     for k, v in sorted(config.items()):
-        print(f"  {k} = {v}")
+        tag = " (kept: harness not run this window)" if k in kept else ""
+        print(f"  {k} = {v}{tag}")
     if apply:
         config["source"] = f"adopt_from_queue --apply @ {out_dir}"
         adopt_overrides.PATH.write_text(json.dumps(config, indent=1) + "\n")

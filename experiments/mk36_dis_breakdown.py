@@ -19,9 +19,17 @@ batched engine path runs B-1 pairs per batch), and at flow_downscale 2
 
 Protocol per CLAUDE.md: fresh inputs each timed call (relay memoizes),
 in-graph chain minus 1-chain, scalar fetch.
+
+CRASH ISOLATION: the 2026-08-19 window run died on its FIRST cell with
+"TPU worker process crashed or restarted" and took the whole harness (and
+the worker) down. The driver now runs every (size, batch, row) cell in a
+fresh subprocess (`--cell` mode) with a timeout, so a kernel fault or OOM
+costs one cell, not the window; a crashed cell is retried once after a
+60 s worker-recovery pause.
 """
 
 import functools
+import subprocess
 import sys
 import time
 
@@ -83,20 +91,59 @@ ROWS = [
 ]
 
 
+SIZES = [(1080, 1920, "1080p"), (540, 960, "540p-ds2")]
+
+
+def run_cell(h, w, sl, b, name):
+    kw = dict(ROWS)[name]
+    t = bench(f"{sl} B{b} {name}", h, w, b, **kw)
+    # machine-readable line the driver parses back out of the subprocess
+    print(f"CELL {sl} {b} {name} {t * 1e3:.4f}", flush=True)
+
+
 def main():
-    print("device:", jax.devices()[0], flush=True)
     import os
 
     batches = [int(x) for x in os.environ.get("BATCHES", "8,16").split(",")]
-    sizes = [(1080, 1920, "1080p"), (540, 960, "540p-ds2")]
+    cell_to = int(os.environ.get("CELL_TIMEOUT_S", "420"))
     res = {}
-    for h, w, sl in sizes:
+    for h, w, sl in SIZES:
         for b in batches:
-            for name, kw in ROWS:
-                res[(sl, b, name)] = bench(f"{sl} B{b} {name}", h, w, b, **kw)
+            for name, _ in ROWS:
+                for attempt in (1, 2):
+                    try:
+                        p = subprocess.run(
+                            [sys.executable, "-u", __file__, "--cell",
+                             sl, str(b), name],
+                            capture_output=True, text=True,
+                            timeout=cell_to + 60)
+                    except subprocess.TimeoutExpired:
+                        print(f"[{sl} B{b} {name}] TIMEOUT attempt {attempt}",
+                              flush=True)
+                        continue
+                    out = p.stdout
+                    line = next((l for l in out.splitlines()
+                                 if l.startswith("CELL ")), None)
+                    if line is not None:
+                        res[(sl, b, name)] = float(line.split()[-1]) / 1e3
+                        print(f"[{sl} B{b} {name}] "
+                              f"{res[(sl, b, name)] * 1e3:.2f} ms/frame-pair",
+                              flush=True)
+                        break
+                    tail = (out + p.stderr).strip().splitlines()[-3:]
+                    print(f"[{sl} B{b} {name}] CRASHED attempt {attempt} "
+                          f"(rc={p.returncode}): {' | '.join(tail)}",
+                          flush=True)
+                    if attempt == 1:
+                        time.sleep(60)  # give the TPU worker time to restart
     print("\n--- attribution (ms/pair) ---", flush=True)
-    for h, w, sl in sizes:
+    for h, w, sl in SIZES:
         for b in batches:
+            if any((sl, b, n) not in res for n, _ in ROWS):
+                print(f"{sl} B{b}: INCOMPLETE "
+                      f"({[n for n, _ in ROWS if (sl, b, n) not in res]})",
+                      flush=True)
+                continue
             g = lambda n: res[(sl, b, n)] * 1e3
             print(
                 f"{sl} B{b}: blur {g('full') - g('no_blur'):.2f} | "
@@ -110,4 +157,10 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--cell":
+        sl, b, name = sys.argv[2], int(sys.argv[3]), sys.argv[4]
+        h, w = next((h, w) for h, w, s in SIZES if s == sl)
+        print("device:", jax.devices()[0], flush=True)
+        run_cell(h, w, sl, b, name)
+    else:
+        main()

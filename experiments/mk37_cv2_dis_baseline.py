@@ -5,9 +5,10 @@ The reference's temporally-coherent video mode computes flow per frame on
 CPU (/root/reference/pipeline.py:1906-1917: DISOpticalFlow_create(
 PRESET_FAST), full-res or its own --flow_downscale). This is the number
 BASELINE config #5 competes against; the reference assumed a 24-thread
-host (docker-compose), so scale the single-thread figure accordingly —
-cv2 DIS is single-threaded per call either way (its parallelism is
-per-call setNumThreads over rows; recorded both ways below).
+host (docker-compose). cv2's DIS implementation DOES parallelize a call
+over row stripes (setNumThreads), so the threads=1 and threads=N rows
+below are distinct measurements — compare each against its own host
+assumption rather than scaling one from the other.
 
 Run anywhere (pure CPU, no relay needed):
     python experiments/mk37_cv2_dis_baseline.py

@@ -14,16 +14,22 @@ probe() { # is the relay still answering? (cheap; guards each step so a
     > /dev/null 2>&1
 }
 
-run() { # name timeout cmd...
-  local name=$1 to=$2; shift 2
-  if ! probe; then
-    echo "=== RELAY LOST before $name — aborting queue (rerun next window) ==="
-    touch "$OUT/ABORTED"
-    exit 75
-  fi
-  echo "=== $name ==="
-  timeout "$to" env "$@" > "$OUT/$name.txt" 2>&1
-  echo "rc=$? -> $OUT/$name.txt"
+run() { # name timeout cmd...   (a crashed row retries ONCE if the relay
+        #  still answers — a mid-row relay HTTP 500 must not strand the row
+        #  for a whole round; VERDICT round-3 next-6)
+  local name=$1 to=$2 rc; shift 2
+  for attempt in 1 2; do
+    if ! probe; then
+      echo "=== RELAY LOST before $name — aborting queue (rerun next window) ==="
+      touch "$OUT/ABORTED"
+      exit 75
+    fi
+    echo "=== $name (attempt $attempt) ==="
+    timeout "$to" env "$@" > "$OUT/$name.txt" 2>&1
+    rc=$?
+    echo "rc=$rc -> $OUT/$name.txt"
+    [ "$rc" -eq 0 ] && break
+  done
   tail -n 12 "$OUT/$name.txt"
 }
 rm -f "$OUT/ABORTED"
@@ -76,7 +82,7 @@ run mk36_dis 1500 python -u experiments/mk36_dis_breakdown.py
 # 8. Full bench sweep (headline + int8 + latency + backends + ladder +
 #    gram + deeplab + magenta + flow e2e) — captures every BASELINE config
 #    number in one relay window even before any adoption flips.
-run bench_full 3000 BENCH_EXTRAS=1 python -u bench.py
+run bench_full 3000 BENCH_EXTRAS=1 BENCH_BUDGET_S=0 python -u bench.py
 
 echo "=== queue done; summary ==="
 grep -H "fps\|quality" "$OUT"/*.txt | tail -60

@@ -34,7 +34,13 @@ DEFAULTS: dict[str, tuple | bool] = {
     # int8_static mode (frozen norms); "res_s8" (s8-carry chain) is the
     # mk35-measured candidate
     "sites_static": ("res_i8", "dec_i8"),
-    "t7": ("res_i8",),
+    # t7 splits by graph form: BN-folded graphs (zero runtime norms, static
+    # quantize scales) measure differently from IN graphs — mk32 2026-08-19
+    # showed plain XLA-int8 beating every Pallas chain on the BN form
+    # (145.4 vs 131.2 fps B16, 181.2 vs 168.3 B48) while the IN form ties.
+    # An empty tuple = quantized convs ride XLA int8 with no fused sites.
+    "t7": ("res_i8",),       # IN-form .t7 graphs
+    "t7_bn": ("res_i8",),    # BN-folded .t7 graphs (adoption: mk32 rows)
     "nst": ("res_i8",),
     "reco": ("res_i8",),
     # static-norm (frozen IN/FRN) int8 variants for the NST / ReCoNet

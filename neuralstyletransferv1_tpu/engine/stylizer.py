@@ -41,7 +41,10 @@ _I8_FUSED_SITES = _adopt.sites("sites")
 _I8_FUSED_STATIC = _adopt.sites("sites_static")  # int8_static (frozen norms)
 _I8_QUANT_KEEP = {"d1", "d2"}  # + every r{i}{a,b}; c2/c3 iff head_i8 lands
 
-_I8_FUSED_T7 = _adopt.sites("t7")
+_I8_FUSED_T7 = _adopt.sites("t7")        # IN-form .t7 graphs
+_I8_FUSED_T7_BN = _adopt.sites("t7_bn")  # BN-folded .t7 graphs (incl. the
+#                                          static-norm folded path); () =
+#                                          plain XLA int8, no Pallas sites
 _I8_FUSED_NST = _adopt.sites("nst")
 _I8_FUSED_RECO = _adopt.sites("reco")
 # static-norm (frozen IN/FRN) int8 variants of the NST/ReCoNet sets
@@ -250,6 +253,14 @@ def jit_stylizer(model: StyleModel, *, dtype=jnp.float32, optimize: bool = True,
                    (s2d_params, t7_fast_params, nst_fast_params,
                     reco_fast_params))
 
+    t7_is_bn = False
+    if t7_fast_params is not None:
+        from ..io import t7_fast as _t7f
+        # BN-folded graphs have no deferred (runtime) norms — their int8
+        # fused-site set is adopted separately (mk32: XLA-i8 wins the BN
+        # form while Pallas sites win the IN form's geometry).
+        t7_is_bn = not _t7f.has_deferred_norms(t7_fast_params32)
+
     def fast_apply(x, quant=None, static_stats=None, t7_params=None):
         """Fast f=2 forms; x must have H, W divisible by 4."""
         from ..models import transformer_net_s2d2 as tns2d
@@ -280,7 +291,11 @@ def jit_stylizer(model: StyleModel, *, dtype=jnp.float32, optimize: bool = True,
 
             fused = ()
             if quant is not None and jax.default_backend() == "tpu":
-                fused = _I8_FUSED_T7
+                # the static path passes a folded (BN-form) graph via
+                # t7_params, so it rides the BN set too
+                fused = (_I8_FUSED_T7_BN
+                         if (t7_is_bn or t7_params is not None)
+                         else _I8_FUSED_T7)
             xin = iop.preprocess(m.io_preset, x)
             return iop.postprocess(
                 m.io_preset,

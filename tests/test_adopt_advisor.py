@@ -54,41 +54,64 @@ def _rows(name_fps: dict[str, float], b: int = 16) -> str:
 
 
 def test_decide_picks_best_winning_variant(tmp_path):
-    # s8c+ds8 (+10%) beats pal+dec (+4%); both clear the margin
+    # s8c+ds8 (+10%) beats pal+dec (+4%); both clear the margin. The BN
+    # file targets the split _I8_FUSED_T7_BN constant.
     (tmp_path / "mk32_t7_bn.txt").write_text(
         _rows({"pal-i8": 180.0, "pal+dec": 187.5, "s8c+ds8": 198.0}))
-    _, config = decide(str(tmp_path))
-    assert config["t7"] == ["res_i8", "res_s8", "dec_s8"]
+    _, config, _ = decide(str(tmp_path))
+    assert config["t7_bn"] == ["res_i8", "res_s8", "dec_s8"]
+
+
+def test_decide_t7_split_bn_in_are_independent(tmp_path):
+    # BN's xla-i8 win must not be vetoed by the IN sibling (separate
+    # targets since the mk32 2026-08-19 measurement), and IN's dec_i8
+    # win lands on its own constant.
+    (tmp_path / "mk32_t7_bn.txt").write_text(
+        _rows({"pal-i8": 180.0, "xla-i8": 198.0, "pal+dec": 179.0}))
+    (tmp_path / "mk32_t7_in.txt").write_text(
+        _rows({"pal-i8": 100.0, "xla-i8": 100.2, "pal+dec": 106.0}))
+    _, config, _ = decide(str(tmp_path))
+    assert config["t7_bn"] == []          # xla_only -> empty fused set
+    assert config["t7"] == ["res_i8", "dec_i8"]
 
 
 def test_decide_sibling_veto_drops_shared_token(tmp_path):
-    # bn adopts dec_i8+c2_i8; the IN sibling ran c2_i8 rows without a win
-    # -> c2_i8 is vetoed (shared tuple), dec_i8 survives (IN's dec wins).
-    (tmp_path / "mk32_t7_bn.txt").write_text(
-        _rows({"pal-i8": 180.0, "pal+all": 195.0}))
-    (tmp_path / "mk32_t7_in.txt").write_text(
-        _rows({"pal-i8": 100.0, "pal+dec": 106.0, "pal+all": 100.5}))
-    lines, config = decide(str(tmp_path))
-    assert config["t7"] == ["res_i8", "dec_i8"]
-    assert any("(veto) c2_i8" in ln for ln in lines)
+    # reco IN adopts dec_i8; the FRN sibling ran the dec rows without a
+    # win -> dec_i8 is vetoed (shared _I8_FUSED_RECO tuple).
+    (tmp_path / "mk34_reco_in.txt").write_text(
+        _rows({"pal-i8": 50.0, "pal+dec": 55.0}))
+    (tmp_path / "mk34_reco_frn.txt").write_text(
+        _rows({"pal-i8": 50.0, "pal+dec": 50.2}))
+    lines, config, _ = decide(str(tmp_path))
+    assert config is None or "reco" not in config
+    assert any("(veto) dec_i8" in ln for ln in lines)
 
 
-def test_decide_mask_exempts_dec_i8_under_dec_s8(tmp_path):
-    # bn chooses the s8 carry chain (dec_s8 masks dec_i8 there); IN's
-    # dec_i8 win must still land — no veto from the bn file.
-    (tmp_path / "mk32_t7_bn.txt").write_text(
+def test_decide_mask_exempts_dec_i8_under_dec_s8(tmp_path, monkeypatch):
+    # File A chooses a dec_s8 carry (dec_i8 masked there); file B's dec_i8
+    # win must still land — no veto from A. Synthetic spec: the current
+    # tables have no shared-target pair where a ds8 row omits dec_i8.
+    import experiments.adopt_from_queue as afq
+    monkeypatch.setattr(afq, "FILES", {
+        "fa": dict(target="reco", base="pal-i8",
+                   rows={"s8c+ds8": frozenset({"res_s8", "dec_s8"}),
+                         "pal+dec": frozenset({"dec_i8"})}),
+        "fb": dict(target="reco", base="pal-i8",
+                   rows={"pal+dec": frozenset({"dec_i8"})}),
+    })
+    (tmp_path / "fa.txt").write_text(
         _rows({"pal-i8": 180.0, "pal+dec": 179.0, "s8c+ds8": 198.0}))
-    (tmp_path / "mk32_t7_in.txt").write_text(
+    (tmp_path / "fb.txt").write_text(
         _rows({"pal-i8": 100.0, "pal+dec": 106.0}))
-    _, config = decide(str(tmp_path))
-    assert config["t7"] == ["res_i8", "res_s8", "dec_s8", "dec_i8"]
+    _, config, _ = decide(str(tmp_path))
+    assert config["reco"] == ["res_i8", "res_s8", "dec_s8", "dec_i8"]
 
 
 def test_decide_quality_gate_blocks_adoption(tmp_path):
     (tmp_path / "mk33_nst.txt").write_text(
         "quality pal+dec: MAE 0.30000 max 1.0\n"
         + _rows({"pal-i8": 100.0, "pal+dec": 120.0}))
-    lines, config = decide(str(tmp_path))
+    lines, config, _ = decide(str(tmp_path))
     assert config is None
     assert any("quality-fail" in ln for ln in lines)
 
@@ -99,7 +122,7 @@ def test_decide_cross_file_pair_d2(tmp_path):
     (tmp_path / "mk24_paird2_on.txt").write_text(
         "quality pallas+dec: MAE 0.00010 max 0.001\n"
         + _rows({"i8-pal+dec": 126.0}))
-    _, config = decide(str(tmp_path))
+    _, config, _ = decide(str(tmp_path))
     assert config == {"pair_d2": True}  # head_i8 at +0.8% stays out
 
 
@@ -107,7 +130,7 @@ def test_decide_multi_batch_requires_win_on_every_batch(tmp_path):
     (tmp_path / "mk33_nst.txt").write_text(
         _rows({"pal-i8": 100.0, "pal+dec": 110.0}, b=16)
         + _rows({"pal-i8": 100.0, "pal+dec": 100.5}, b=48))
-    _, config = decide(str(tmp_path))
+    _, config, _ = decide(str(tmp_path))
     assert config is None
 
 
@@ -115,7 +138,7 @@ def test_decide_static_s8c_adoption(tmp_path):
     (tmp_path / "mk35_static.txt").write_text(
         "quality i8-s8c: MAE 0.00020 max 0.002 (indep MAE 0.00100)\n"
         + _rows({"i8-static": 130.0, "i8-s8c": 141.0}))
-    _, config = decide(str(tmp_path))
+    _, config, _ = decide(str(tmp_path))
     assert config == {"sites_static": ["res_i8", "res_s8", "dec_i8"]}
 
 
@@ -125,7 +148,7 @@ def test_decide_static_head_adoption(tmp_path):
     (tmp_path / "mk35_static.txt").write_text(
         "quality i8-s8c+head: MAE 0.00030 max 0.003 (indep MAE 0.00200)\n"
         + _rows({"i8-static": 130.0, "i8-s8c": 141.0, "i8-s8c+head": 150.0}))
-    _, config = decide(str(tmp_path))
+    _, config, _ = decide(str(tmp_path))
     assert config == {"sites_static": ["res_i8", "res_s8", "dec_s8",
                                       "dec_i8", "head_i8"]}
 
@@ -140,7 +163,7 @@ def test_decide_backend_s8c_rows(tmp_path):
     (tmp_path / "mk34_reco_in.txt").write_text(
         "quality i8-s8c: MAE 0.00050 max 0.005\n"
         + _rows({"pal-i8": 50.0, "i8-static": 60.0, "i8-s8c": 63.0}))
-    _, config = decide(str(tmp_path))
+    _, config, _ = decide(str(tmp_path))
     assert config == {
         "nst_static": ["res_i8", "res_s8", "dec_s8", "dec_i8"],
         "reco_static": ["res_i8", "res_s8"]}
@@ -156,7 +179,7 @@ def test_decide_backend_static_rows_target_static_sets(tmp_path):
     (tmp_path / "mk34_reco_in.txt").write_text(
         _rows({"pal-i8": 50.0, "pal+dec": 53.0,
                "i8-static": 60.0, "i8-static+dec": 60.2}))
-    _, config = decide(str(tmp_path))
+    _, config, _ = decide(str(tmp_path))
     assert config == {"nst_static": ["res_i8", "dec_i8"],
                       "reco": ["res_i8", "dec_i8"]}
 
@@ -167,9 +190,10 @@ def test_apply_writes_json_and_loader_rides_it(tmp_path, monkeypatch, capsys):
     try:
         assert main(str(tmp_path), apply=True) == 0
         data = json.loads((tmp_path / "i8_adopt.json").read_text())
-        assert data["t7"] == ["res_i8", "res_s8", "dec_s8"]
+        assert data["t7_bn"] == ["res_i8", "res_s8", "dec_s8"]
         adopt_overrides.reload()
-        assert adopt_overrides.sites("t7") == ("res_i8", "res_s8", "dec_s8")
+        assert adopt_overrides.sites("t7_bn") == ("res_i8", "res_s8",
+                                                  "dec_s8")
         assert adopt_overrides.sites("sites") == ("res_i8", "dec_i8")  # default
         # flag precedence: env var beats the json
         (tmp_path / "i8_adopt.json").write_text(json.dumps({"pair_d2": True}))
@@ -177,6 +201,27 @@ def test_apply_writes_json_and_loader_rides_it(tmp_path, monkeypatch, capsys):
         assert adopt_overrides.flag("pair_d2", env="PAIR_D2") is True
         monkeypatch.setenv("PAIR_D2", "0")
         assert adopt_overrides.flag("pair_d2", env="PAIR_D2") is False
+    finally:
+        monkeypatch.undo()
+        adopt_overrides.reload()
+
+
+def test_apply_keeps_prior_adoption_when_harness_not_run(tmp_path,
+                                                         monkeypatch,
+                                                         capsys):
+    """A truncated window (harness produced no rows) must NOT silently
+    revert a previously measured adoption for that target."""
+    monkeypatch.setattr(adopt_overrides, "PATH", tmp_path / "i8_adopt.json")
+    (tmp_path / "i8_adopt.json").write_text(json.dumps(
+        {"sites_static": ["res_i8", "res_s8", "dec_i8"]}))
+    # this window only ran mk32_t7_bn; mk35 (sites_static) did not run
+    (tmp_path / "mk32_t7_bn.txt").write_text(SAMPLE)
+    try:
+        assert main(str(tmp_path), apply=True) == 0
+        data = json.loads((tmp_path / "i8_adopt.json").read_text())
+        assert data["t7_bn"] == ["res_i8", "res_s8", "dec_s8"]
+        assert data["sites_static"] == ["res_i8", "res_s8", "dec_i8"]
+        assert "kept" in capsys.readouterr().out
     finally:
         monkeypatch.undo()
         adopt_overrides.reload()
