@@ -158,6 +158,16 @@ def main():
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--cell":
+        # ITER=xla flips the GN iteration engine off Pallas for the cell:
+        # the 2026-08-19 window showed the vmapped-chain mk36 graph
+        # kernel-faults the TPU worker with the Pallas engine at 1080p B8
+        # (bench.py's flow graph with the same vmapped dis_flow is fine),
+        # so attribution runs on the XLA engine and a single pallas-vs-xla
+        # cell pins the engine delta.
+        import os as _os
+
+        if _os.environ.get("ITER", "pallas") == "xla":
+            D._ITER_PALLAS = False
         sl, b, name = sys.argv[2], int(sys.argv[3]), sys.argv[4]
         h, w = next((h, w) for h, w, s in SIZES if s == sl)
         print("device:", jax.devices()[0], flush=True)
