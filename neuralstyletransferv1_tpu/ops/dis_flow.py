@@ -446,14 +446,23 @@ def variational_refine(
 
     Minimizes Σ Ψ(I1(x+u) − I0) + α Σ Ψ(|∇u|²) with Charbonnier Ψ via
     lagged-diffusivity fixed point (the role cv2's VariationalRefinement
-    plays after DIS inverse search). Each iteration relinearizes at the
-    warped position, computes robust data/smoothness weights, and takes a
-    Jacobi step toward the stationary point — all in-graph.
+    plays after DIS inverse search). Like cv2, I1 is warped ONCE at the
+    input flow and every fixed-point iteration works on that fixed
+    linearization (cv2's VariationalRefinement::calc warps a single time
+    and its fixed-point loop only re-estimates the robust weights); the
+    data residual at u is it0 + ∇I·(u − u0). This also removes the
+    per-iteration dense gather — mk36 measured the re-warping form at
+    ~21 ms/pair of the 42 ms DIS budget @1080p B8 (batched gathers under
+    vmap are the slowest op class on TPU; PERF.md round-4).
     """
+    i1w = _warp_scalar(i1, flow)
+    gy0, gx0 = jnp.gradient(i1w)
+    it0 = i1w - i0
+    u0 = flow
+
     def step(k, u):
-        i1w = _warp_scalar(i1, u)
-        gy, gx = jnp.gradient(i1w)
-        it = i1w - i0
+        gx, gy = gx0, gy0
+        it = it0 + gx * (u[..., 0] - u0[..., 0]) + gy * (u[..., 1] - u0[..., 1])
         wd = jax.lax.rsqrt(it * it + eps)  # robust data weight
         # edge-aware diffusivity from flow gradients
         duy, dux = jnp.gradient(u[..., 0])
@@ -524,8 +533,15 @@ def dis_flow(
         b = resize_bilinear(i1[..., None], (lh, lw))[..., 0]
         flow = variational_refine(a, b, flow, fixed_point_iters=refine_iters)
 
-    scale = H / flow.shape[0]
-    flow = resize_bilinear(flow, (H, W)) * scale
+    # Output smoothing runs at the FINEST PYRAMID LEVEL, before the
+    # upsample: the patch-grid blockiness it exists to remove (cv2 does not
+    # blur dis.calc output — smooth_sigma is our cv2-closeness smoothing)
+    # lives at the densification grid's resolution, and blurring there is
+    # 2^(2*finest_scale)x cheaper than at full res (mk36: the full-res blur
+    # was 3.7 ms of the 42 ms/pair @1080p). Blur commutes with the linear
+    # upsample+scale; the cv2 oracle tests hold at the same tolerances.
     if smooth_sigma > 0:
         flow = gaussian_blur(flow, smooth_sigma)
+    scale = H / flow.shape[0]
+    flow = resize_bilinear(flow, (H, W)) * scale
     return flow

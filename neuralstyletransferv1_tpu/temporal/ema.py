@@ -153,8 +153,22 @@ def temporal_postprocess_scan(
 
     ts = jnp.arange(T)
 
+    # Motion-adaptive blend alphas depend ONLY on the flows — hoist them out
+    # of the sequential scan so the |flow| maps and the sigma-3 blur run
+    # batched over T (one fused NHWC pass) instead of per scan step.
+    # Bitwise-identical to calling motion_adaptive_blend inside the step:
+    # gaussian_blur's NHWC path is the same depthwise conv the HW path
+    # wraps, applied per batch element.
+    if motion_blend:
+        mag = jnp.sqrt(flows[..., 0] ** 2 + flows[..., 1] ** 2)  # [T,H,W]
+        m = gaussian_blur(
+            jnp.clip(mag / MOTION_NORM, 0.0, 1.0)[..., None], GAUSS_SIGMA)
+        motion_alphas = blend - (blend - MIN_ALPHA) * m          # [T,H,W,1]
+    else:
+        motion_alphas = jnp.zeros((T, 1, 1, 1), jnp.float32)
+
     def step(state: TemporalState, inp):
-        t, curr, orig, flow, alpha, has_mask = inp
+        t, curr, orig, flow, alpha, has_mask, m_alpha = inp
         out = curr
         if flow_ema:
             fused = flow_ema_fuse(curr, state.prev_styled01, flow, flow_alpha)
@@ -180,7 +194,8 @@ def temporal_postprocess_scan(
                 else (orig * alpha + out * (1.0 - alpha))
             out = jnp.where(has_mask, comp, out)
         if motion_blend:
-            blended = motion_adaptive_blend(out, orig, flow, blend)
+            blended = jnp.clip(m_alpha * out + (1.0 - m_alpha) * orig,
+                               0.0, 1.0)
             skip = jnp.logical_and(t == 0, first_is_warmup)
             if use_mask:
                 skip = jnp.logical_or(skip, has_mask)
@@ -190,6 +205,7 @@ def temporal_postprocess_scan(
         return TemporalState(new_prev_styled, new_lab), out
 
     final_state, outs = jax.lax.scan(
-        step, init_state, (ts, styled01, orig01, flows, mask_alphas, mask_has)
+        step, init_state,
+        (ts, styled01, orig01, flows, mask_alphas, mask_has, motion_alphas)
     )
     return outs, final_state
