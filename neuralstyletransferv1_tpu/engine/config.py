@@ -73,7 +73,14 @@ def build_arg_parser() -> argparse.ArgumentParser:
     ap.add_argument("--flow_ema", action="store_true", default=False)
     ap.add_argument("--flow_alpha", type=float, default=0.85)
     ap.add_argument("--flow_method", choices=["farneback", "dis"], default="dis")
-    ap.add_argument("--flow_downscale", type=int, default=1)
+    # Deviation from the reference's fixed default 1 (pipeline.py:2232):
+    # 0 = auto — flow computes at half resolution when the frame is large
+    # enough to keep the full DIS pyramid depth (min dim >= 512). Measured:
+    # ds2 flow passes the full-res cv2 oracle at 0.26-0.36 px mean vs the
+    # 0.5 px bound (tests/test_dis_flow.py::test_dis_ds2_close_to_cv2)
+    # while costing ~1/6 of full-res DIS @1080p (PERF.md round-4). The
+    # orchestration apps still pass the reference's env default 1.
+    ap.add_argument("--flow_downscale", type=int, default=0)
     # slot A type + slots B..H
     ap.add_argument("--model_type", choices=MODEL_TYPES, default="transformer")
     for letter in "bcdefgh":

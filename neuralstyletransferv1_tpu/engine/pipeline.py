@@ -36,6 +36,22 @@ from .config import build_arg_parser
 _LETTERS = "abcdefgh"
 
 
+def effective_flow_downscale(flow_downscale: int, h: int, w: int) -> int:
+    """Resolve --flow_downscale 0 (auto) for a frame size.
+
+    Auto picks 2 when the half-res frame still supports the full DIS
+    pyramid depth (min dim >= 512 → 256 at ds2 → finest level 64, four
+    levels) and 1 otherwise, so tiny clips never silently lose their flow
+    (the pyramid builder returns zero flow when no level fits). ds2 flow
+    passes the full-res cv2 oracle at 0.26-0.36 px mean (bound 0.5) and
+    costs ~1/6 of full-res DIS @1080p — PERF.md round-4. Explicit values
+    pass through unchanged (reference: pipeline.py:2232 default 1).
+    """
+    if flow_downscale <= 0:
+        return 2 if min(h, w) >= 512 else 1
+    return flow_downscale
+
+
 def _rss_mb() -> float:
     """Resident set size in MB (reference: pipeline.py:481-496)."""
     try:
@@ -355,7 +371,7 @@ def _make_batched_core(args, frames_dir: Path):
     else:
         _flow_fn = farneback_flow
     flow_pairs = jax.jit(jax.vmap(partial(_flow_fn)))
-    flow_ds = max(1, int(args.flow_downscale))
+    flow_ds_arg = int(args.flow_downscale)
 
     @jax.jit
     def blend_batch(outs_stacked):
@@ -402,8 +418,9 @@ def _make_batched_core(args, frames_dir: Path):
             # boundary included) so the sharded chunk seams warp with the
             # true cross-boundary flow.
             prevs = jnp.concatenate([prev_gray[None], grays[:-1]], 0)
+            H, W = grays.shape[1], grays.shape[2]
+            flow_ds = effective_flow_downscale(flow_ds_arg, H, W)
             if flow_ds > 1:
-                H, W = grays.shape[1], grays.shape[2]
                 hs, ws = H // flow_ds, W // flow_ds
                 f_small = flow_pairs(
                     resize_bilinear(prevs[..., None], (hs, ws))[..., 0],
@@ -882,7 +899,7 @@ def style_frames(args, frames_dir: Path, image_mode: bool, save_map: dict[int, s
         gray = jit_gray(x_orig_j)
         flow = None
         if args.flow_ema and prev_gray is not None and prev_styled01 is not None:
-            ds = max(1, int(args.flow_downscale))
+            ds = effective_flow_downscale(int(args.flow_downscale), H0, W0)
             if ds > 1:
                 g_small = resize_bilinear(gray[..., None], (H0 // ds, W0 // ds))[..., 0]
                 pg_small = resize_bilinear(prev_gray[..., None], (H0 // ds, W0 // ds))[..., 0]

@@ -98,6 +98,35 @@ def test_dis_close_to_cv2_rotation_zoom(reference_path, angle, scale):
     assert d.mean() < 0.5, (angle, scale, d.mean())
 
 
+def test_dis_ds2_close_to_cv2(reference_path):
+    """The engine's --flow_downscale auto rule (0 → ds2 on large frames)
+    rests on this: half-res flow, upsampled and scaled, still meets the
+    FULL-RES cv2 oracle bound. Measured 0.26-0.36 px mean across
+    translation/zoom/rotation (PERF.md round-4)."""
+    cv2 = pytest.importorskip("cv2")
+    from neuralstyletransferv1_tpu.ops.resize import resize_bilinear
+
+    prev, curr = _pair()
+    i0 = resize_bilinear(jnp.asarray(prev)[..., None], (72, 128))[..., 0]
+    i1 = resize_bilinear(jnp.asarray(curr)[..., None], (72, 128))[..., 0]
+    ours = np.asarray(resize_bilinear(dis_flow(i0, i1), (144, 256)) * 2.0)
+    dis = cv2.DISOpticalFlow_create(cv2.DISOPTICAL_FLOW_PRESET_FAST)
+    ref = dis.calc(prev.astype(np.uint8), curr.astype(np.uint8), None)
+    d = np.abs(ours - ref)[24:-24, 24:-24]
+    assert d.mean() < 0.5, d.mean()
+
+
+def test_effective_flow_downscale_auto():
+    from neuralstyletransferv1_tpu.engine.pipeline import (
+        effective_flow_downscale,
+    )
+
+    assert effective_flow_downscale(0, 1080, 1920) == 2
+    assert effective_flow_downscale(0, 480, 854) == 1   # pyramid would thin
+    assert effective_flow_downscale(1, 1080, 1920) == 1  # explicit wins
+    assert effective_flow_downscale(3, 1080, 1920) == 3
+
+
 @pytest.mark.slow
 def test_variational_refine_reduces_residual(reference_path):
     """Refinement must reduce the warped photometric residual."""
