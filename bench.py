@@ -604,6 +604,19 @@ def _magenta(extras):
         step, lambda s: _rand_img(s, B, H, W, jnp.float32), B, chain=3)
     _log(f"magenta tiled {extras['magenta_tiled_fps_1080']:.1f} fps")
 
+    # bf16 tile transform (CIN stats stay f32) — candidate, MAE-gated
+    def step16(x01):
+        return magenta.stylize_tiled_batch(params, x01, style,
+                                           compute_dtype=jnp.bfloat16)
+
+    xq = _rand_img(9_991, 2, H, W, jnp.float32)
+    mae = float(jnp.mean(jnp.abs(jax.jit(step16)(xq) - jax.jit(step)(xq))))
+    extras["magenta_bf16_mae"] = mae
+    extras["magenta_tiled_bf16_fps_1080"] = _fps(
+        step16, lambda s: _rand_img(s, B, H, W, jnp.float32), B, chain=3)
+    _log(f"magenta tiled bf16 {extras['magenta_tiled_bf16_fps_1080']:.1f} fps "
+         f"(MAE {mae:.1e} vs f32)")
+
 
 def _flow_video(extras, bparams):
     """Config #5: stylize + DIS flow + full temporal chain, one graph."""

@@ -112,9 +112,18 @@ def _cin(x, emb, site):
     return y.astype(x.dtype)
 
 
-def transform(params: dict, content01: jnp.ndarray, emb: jnp.ndarray) -> jnp.ndarray:
-    """content NHWC [0,1] + style embedding → stylized NHWC [0,1] (sigmoid)."""
+def transform(params: dict, content01: jnp.ndarray, emb: jnp.ndarray,
+              *, dtype=None) -> jnp.ndarray:
+    """content NHWC [0,1] + style embedding → stylized NHWC [0,1] (sigmoid).
+
+    ``dtype=jnp.bfloat16`` runs the convs on the native MXU path (weights
+    cast at use — XLA folds the casts); CIN stats stay f32 either way. The
+    default keeps the checkpoint dtype for parity with the TF graph.
+    """
     net, cin = params["net"], params["cin"]
+    if dtype is not None:
+        net = jax.tree.map(lambda a: a.astype(dtype), net)
+        content01 = content01.astype(dtype)
     y = content01
     for name, _ci, _co, k, s in _ENC:
         y = reflect_pad_2d(y, k // 2)
@@ -135,7 +144,7 @@ def transform(params: dict, content01: jnp.ndarray, emb: jnp.ndarray) -> jnp.nda
         y = jax.nn.relu(_cin(y, emb, cin[name]))
     y = reflect_pad_2d(y, _OUT[3] // 2)
     y = conv2d(y, net["out"]["w"], net["out"]["b"])
-    return jax.nn.sigmoid(y)
+    return jax.nn.sigmoid(y.astype(jnp.float32))
 
 
 # ---------------------------------------------------------------------------
@@ -155,6 +164,21 @@ def _feather_mask(tile_size: int, overlap: int) -> np.ndarray:
     return mask
 
 
+def _stitch_weight(H: int, W: int, ys: tuple, xs: tuple,
+                   tile_size: int, overlap: int) -> np.ndarray:
+    """The feather-stitch weight map is data-independent (mask sums at
+    static tile offsets) — build it once on host instead of accumulating
+    ~nt full-frame slice-adds on device per call."""
+    mask = _feather_mask(tile_size, overlap)
+    weight = np.zeros((H, W, 1), np.float32)
+    for y in ys:
+        for x in xs:
+            h = min(tile_size, H - y)
+            w = min(tile_size, W - x)
+            weight[y : y + h, x : x + w] += mask[:h, :w]
+    return weight
+
+
 def stylize_tiled(
     params: dict | None,
     content01: jnp.ndarray,
@@ -163,6 +187,7 @@ def stylize_tiled(
     tile_size: int = 256,
     overlap: int = 32,
     transfer_fn=None,
+    compute_dtype=None,
 ) -> jnp.ndarray:
     """Tile → batched transform → feather stitch, all on device.
 
@@ -192,18 +217,18 @@ def stylize_tiled(
     else:
         emb = predict_style(params, style01[None])
         embs = jnp.broadcast_to(emb, (tiles.shape[0], emb.shape[-1]))
-        styled = transform(params, tiles, embs)
+        styled = transform(params, tiles, embs, dtype=compute_dtype)
 
     mask = jnp.asarray(_feather_mask(tile_size, overlap))
     out = jnp.zeros((H, W, 3), jnp.float32)
-    weight = jnp.zeros((H, W, 1), jnp.float32)
+    weight = jnp.asarray(
+        _stitch_weight(H, W, tuple(ys), tuple(xs), tile_size, overlap))
     i = 0
     for y in ys:
         for x in xs:
             h = min(tile_size, H - y)
             w = min(tile_size, W - x)
             out = out.at[y : y + h, x : x + w].add(styled[i, :h, :w] * mask[:h, :w])
-            weight = weight.at[y : y + h, x : x + w].add(mask[:h, :w])
             i += 1
     return jnp.clip(out / jnp.maximum(weight, 1e-6), 0.0, 1.0)
 
@@ -216,6 +241,7 @@ def stylize_tiled_batch(
     tile_size: int = 256,
     overlap: int = 32,
     transfer_fn=None,
+    compute_dtype=None,
 ) -> jnp.ndarray:
     """``stylize_tiled`` over a whole FRAME batch: tiles from every frame run
     as ONE transform batch (B·nt tiles), then feather-stitch per frame.
@@ -249,12 +275,13 @@ def stylize_tiled_batch(
     else:
         emb = predict_style(params, style01[None])
         embs = jnp.broadcast_to(emb, (flat.shape[0], emb.shape[-1]))
-        styled = transform(params, flat, embs)
+        styled = transform(params, flat, embs, dtype=compute_dtype)
     styled = styled.reshape((B, nt) + styled.shape[1:])
 
     mask = jnp.asarray(_feather_mask(tile_size, overlap))
     out = jnp.zeros((B, H, W, 3), jnp.float32)
-    weight = jnp.zeros((H, W, 1), jnp.float32)
+    weight = jnp.asarray(
+        _stitch_weight(H, W, tuple(ys), tuple(xs), tile_size, overlap))
     i = 0
     for y in ys:
         for x in xs:
@@ -262,7 +289,6 @@ def stylize_tiled_batch(
             w = min(tile_size, W - x)
             out = out.at[:, y : y + h, x : x + w].add(
                 styled[:, i, :h, :w] * mask[:h, :w])
-            weight = weight.at[y : y + h, x : x + w].add(mask[:h, :w])
             i += 1
     return jnp.clip(out / jnp.maximum(weight, 1e-6), 0.0, 1.0)
 
