@@ -115,6 +115,7 @@ def temporal_postprocess_scan(
     mask_has: jnp.ndarray | None = None,
     composite_keep: bool = True,
     warmup: jnp.ndarray | bool | None = None,
+    split: bool = True,
 ) -> tuple[jnp.ndarray, TemporalState]:
     """Run the full per-frame temporal chain over a THWC batch in one scan.
 
@@ -139,6 +140,17 @@ def temporal_postprocess_scan(
     if not use_mask:
         mask_alphas = jnp.zeros((T, 1, 1, 1), jnp.float32)
         mask_has = jnp.zeros((T,), bool)
+
+    if split:
+        return _temporal_postprocess_split(
+            styled01, orig01, flows,
+            flow_ema=flow_ema, flow_alpha=flow_alpha,
+            smooth_lightness=smooth_lightness, smooth_chroma=smooth_chroma,
+            smooth_alpha=smooth_alpha, chroma_alpha=chroma_alpha,
+            motion_blend=motion_blend, blend=blend, init=init,
+            mask_alphas=mask_alphas, mask_has=mask_has,
+            composite_keep=composite_keep, warmup=warmup,
+            use_lab=use_lab, use_mask=use_mask)
 
     # ``warmup``: frame 0 has no real predecessor — skip its flow fusion and
     # seed the LAB EMA from itself. Defaults from ``init`` presence; pass a
@@ -209,3 +221,84 @@ def temporal_postprocess_scan(
         (ts, styled01, orig01, flows, mask_alphas, mask_has, motion_alphas)
     )
     return outs, final_state
+
+
+def _temporal_postprocess_split(
+    styled01, orig01, flows, *,
+    flow_ema, flow_alpha, smooth_lightness, smooth_chroma, smooth_alpha,
+    chroma_alpha, motion_blend, blend, init, mask_alphas, mask_has,
+    composite_keep, warmup, use_lab, use_mask,
+) -> tuple[jnp.ndarray, TemporalState]:
+    """Split form of the temporal chain — same math, minimal scans.
+
+    The monolithic scan (``split=False``) pays per-frame XLA kernel launches
+    for work that doesn't depend on the recurrence: the LAB round trip, mask
+    composite, and blends are elementwise in t. Here only the two true
+    recurrences stay sequential — the flow-EMA warp scan (a bilinear gather
+    per frame; the frame t-1 output is its input) and the tiny LAB EMA
+    multiply-add scan — and everything else runs batched over T in fused
+    NHWC passes. Outputs match ``split=False`` exactly (same elementwise
+    ops in the same per-element order; tests/test_temporal.py pins it).
+    """
+    T = styled01.shape[0]
+    if init is None:
+        init_state = TemporalState(styled01[0], rgb_to_lab_u8(styled01[0]))
+        first_is_warmup = True if warmup is None else warmup
+    else:
+        init_state = init
+        first_is_warmup = False if warmup is None else warmup
+    skip0 = jnp.logical_and(jnp.arange(T) == 0, first_is_warmup)  # [T]
+    skip0_b = skip0[:, None, None, None]
+
+    # Stage 1 — flow EMA: the only heavy recurrence. Scan body is just
+    # warp + blend + clip.
+    if flow_ema:
+        def fstep(prev, inp):
+            curr, flow, skip = inp
+            fused = flow_ema_fuse(curr, prev, flow, flow_alpha)
+            out = jnp.where(skip, curr, fused)
+            return out, out
+
+        last_fused, fused = jax.lax.scan(
+            fstep, init_state.prev_styled01, (styled01, flows, skip0))
+    else:
+        fused = styled01
+        last_fused = styled01[-1]
+
+    # Stage 2 — LAB EMA: batched round trip, scalar-alpha scan in between.
+    if use_lab:
+        lab = rgb_to_lab_u8(fused)                                 # [T,H,W,3]
+        a_l = smooth_alpha if smooth_lightness else 1.0
+        a_c = chroma_alpha if smooth_chroma else 1.0
+        alphas = jnp.array([a_l, a_c, a_c], jnp.float32)
+        prev0 = jnp.where(first_is_warmup, lab[0], init_state.prev_lab)
+
+        def lstep(prev, lab_t):
+            sm = alphas * lab_t + (1.0 - alphas) * prev
+            return sm, sm
+
+        last_lab, sm = jax.lax.scan(lstep, prev0, lab)
+        out = lab_u8_to_rgb(jnp.clip(sm, 0.0, 255.0))
+    else:
+        out = fused
+        last_lab = init_state.prev_lab
+
+    # Stage 3 — mask composite + blends: fully batched over T.
+    if use_mask:
+        comp = (out * mask_alphas + orig01 * (1.0 - mask_alphas)) \
+            if composite_keep \
+            else (orig01 * mask_alphas + out * (1.0 - mask_alphas))
+        out = jnp.where(mask_has[:, None, None, None], comp, out)
+    if motion_blend:
+        mag = jnp.sqrt(flows[..., 0] ** 2 + flows[..., 1] ** 2)
+        m = gaussian_blur(
+            jnp.clip(mag / MOTION_NORM, 0.0, 1.0)[..., None], GAUSS_SIGMA)
+        m_alpha = blend - (blend - MIN_ALPHA) * m                  # [T,H,W,1]
+        blended = jnp.clip(m_alpha * out + (1.0 - m_alpha) * orig01, 0.0, 1.0)
+        skip = skip0_b
+        if use_mask:
+            skip = jnp.logical_or(skip, mask_has[:, None, None, None])
+        out = jnp.where(skip, uniform_blend(out, orig01, blend), blended)
+    else:
+        out = uniform_blend(out, orig01, blend)
+    return out, TemporalState(last_fused, last_lab)

@@ -1,0 +1,93 @@
+"""Split-form temporal chain == monolithic scan, bit-for-bit(-ish).
+
+``temporal_postprocess_scan(split=True)`` (the default) restructures the
+per-frame chain so only the flow-EMA warp and the LAB EMA multiply-add stay
+sequential; every elementwise stage runs batched over T. The math is
+identical — outputs must match the monolithic ``split=False`` scan to float
+roundoff (same ops in the same per-element order; tolerance covers XLA
+fusion-order FMA flips only).
+"""
+
+import itertools
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from neuralstyletransferv1_tpu.temporal.ema import (
+    TemporalState,
+    temporal_postprocess_scan,
+)
+
+
+def _data(T=6, H=13, W=17, seed=0, with_mask=True):
+    rng = np.random.default_rng(seed)
+    styled = jnp.asarray(rng.random((T, H, W, 3)), jnp.float32)
+    orig = jnp.asarray(rng.random((T, H, W, 3)), jnp.float32)
+    flows = jnp.asarray(rng.normal(0, 1.5, (T, H, W, 2)), jnp.float32)
+    alphas = jnp.asarray(rng.random((T, H, W, 1)), jnp.float32) if with_mask else None
+    has = jnp.asarray(rng.random(T) > 0.5) if with_mask else None
+    state = TemporalState(
+        jnp.asarray(rng.random((H, W, 3)), jnp.float32),
+        jnp.asarray(rng.random((H, W, 3)) * 255.0, jnp.float32),
+    )
+    return styled, orig, flows, alphas, has, state
+
+
+@pytest.mark.parametrize(
+    "flow_ema,lab,blend_mode,with_mask,with_init",
+    [
+        (True, True, "motion", True, False),
+        (True, True, "motion", False, True),
+        (True, False, "uniform", False, False),
+        (False, True, "motion", True, True),
+        (False, False, "none", False, False),
+        (True, True, "uniform", True, True),
+    ],
+)
+def test_split_matches_monolithic(flow_ema, lab, blend_mode, with_mask, with_init):
+    styled, orig, flows, alphas, has, state = _data(with_mask=with_mask)
+    kw = dict(
+        flow_ema=flow_ema, flow_alpha=0.6,
+        smooth_lightness=lab, smooth_chroma=False,
+        smooth_alpha=0.7, chroma_alpha=0.85,
+        motion_blend=(blend_mode == "motion"),
+        blend={"motion": 0.9, "uniform": 0.8, "none": 1.0}[blend_mode],
+        mask_alphas=alphas, mask_has=has,
+        init=state if with_init else None,
+    )
+    out_m, st_m = temporal_postprocess_scan(styled, orig, flows, split=False, **kw)
+    out_s, st_s = temporal_postprocess_scan(styled, orig, flows, split=True, **kw)
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_m), atol=2e-6)
+    np.testing.assert_allclose(
+        np.asarray(st_s.prev_styled01), np.asarray(st_m.prev_styled01), atol=2e-6)
+    np.testing.assert_allclose(
+        np.asarray(st_s.prev_lab), np.asarray(st_m.prev_lab), atol=2e-4)
+
+
+@pytest.mark.parametrize("warmup,chroma", list(itertools.product([True, False], [True, False])))
+def test_split_warmup_and_chroma(warmup, chroma):
+    styled, orig, flows, alphas, has, state = _data(seed=3)
+    kw = dict(
+        flow_ema=True, flow_alpha=0.5,
+        smooth_lightness=True, smooth_chroma=chroma,
+        smooth_alpha=0.7, chroma_alpha=0.85,
+        motion_blend=True, blend=0.9,
+        mask_alphas=alphas, mask_has=has,
+        init=state, warmup=warmup,
+    )
+    out_m, st_m = temporal_postprocess_scan(styled, orig, flows, split=False, **kw)
+    out_s, st_s = temporal_postprocess_scan(styled, orig, flows, split=True, **kw)
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_m), atol=2e-6)
+    np.testing.assert_allclose(
+        np.asarray(st_s.prev_lab), np.asarray(st_m.prev_lab), atol=2e-4)
+
+
+def test_split_single_frame():
+    styled, orig, flows, alphas, has, state = _data(T=1, seed=5)
+    kw = dict(flow_ema=True, flow_alpha=0.6, smooth_lightness=True,
+              motion_blend=True, blend=0.9, mask_alphas=alphas, mask_has=has)
+    out_m, _ = temporal_postprocess_scan(styled, orig, flows, split=False, **kw)
+    out_s, _ = temporal_postprocess_scan(styled, orig, flows, split=True, **kw)
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_m), atol=2e-6)
