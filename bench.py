@@ -805,7 +805,11 @@ def main() -> None:
                 continue
             try:
                 t0 = time.perf_counter()
-                signal.alarm(section_to)
+                # deciders pick the headline config — on slow-relay days
+                # (compiles 5-10x the usual latency) give them extra room
+                # rather than losing the int8/static winner to the alarm
+                signal.alarm(max(section_to, 900) if name in headline_deciders
+                             else section_to)
                 fn()
                 _log(f"section {name} took {time.perf_counter() - t0:.0f}s")
             except _SectionTimeout:

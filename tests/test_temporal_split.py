@@ -58,7 +58,8 @@ def test_split_matches_monolithic(flow_ema, lab, blend_mode, with_mask, with_ini
         init=state if with_init else None,
     )
     out_m, st_m = temporal_postprocess_scan(styled, orig, flows, split=False, **kw)
-    out_s, st_s = temporal_postprocess_scan(styled, orig, flows, split=True, **kw)
+    out_s, st_s = temporal_postprocess_scan(
+        styled, orig, flows, split=True, fast_warp=False, **kw)
     np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_m), atol=2e-6)
     np.testing.assert_allclose(
         np.asarray(st_s.prev_styled01), np.asarray(st_m.prev_styled01), atol=2e-6)
@@ -78,7 +79,8 @@ def test_split_warmup_and_chroma(warmup, chroma):
         init=state, warmup=warmup,
     )
     out_m, st_m = temporal_postprocess_scan(styled, orig, flows, split=False, **kw)
-    out_s, st_s = temporal_postprocess_scan(styled, orig, flows, split=True, **kw)
+    out_s, st_s = temporal_postprocess_scan(
+        styled, orig, flows, split=True, fast_warp=False, **kw)
     np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_m), atol=2e-6)
     np.testing.assert_allclose(
         np.asarray(st_s.prev_lab), np.asarray(st_m.prev_lab), atol=2e-4)
@@ -89,5 +91,18 @@ def test_split_single_frame():
     kw = dict(flow_ema=True, flow_alpha=0.6, smooth_lightness=True,
               motion_blend=True, blend=0.9, mask_alphas=alphas, mask_has=has)
     out_m, _ = temporal_postprocess_scan(styled, orig, flows, split=False, **kw)
-    out_s, _ = temporal_postprocess_scan(styled, orig, flows, split=True, **kw)
+    out_s, _ = temporal_postprocess_scan(
+        styled, orig, flows, split=True, fast_warp=False, **kw)
     np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_m), atol=2e-6)
+
+
+def test_fast_warp_close():
+    """Default split path uses the packed bf16 warp — bounded drift only."""
+    styled, orig, flows, alphas, has, state = _data(seed=7)
+    kw = dict(flow_ema=True, flow_alpha=0.6, smooth_lightness=True,
+              motion_blend=True, blend=0.9, mask_alphas=alphas, mask_has=has)
+    out_m, _ = temporal_postprocess_scan(styled, orig, flows, split=False, **kw)
+    out_f, _ = temporal_postprocess_scan(styled, orig, flows, split=True, **kw)
+    d = np.abs(np.asarray(out_f) - np.asarray(out_m))
+    assert d.mean() < 2e-3, d.mean()
+    assert d.max() < 2e-2, d.max()
