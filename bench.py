@@ -628,7 +628,10 @@ def _flow_video(extras, bparams):
     from neuralstyletransferv1_tpu.ops.resize import resize_bilinear
     from neuralstyletransferv1_tpu.temporal.ema import temporal_postprocess_scan
 
-    B = 8
+    # B16 matches the production batched path's --frame_batch and amortizes
+    # DIS+stylize over the scan's serialized per-frame warp (round-4: B8
+    # 26.3 -> B16 30.7 fps with the split+packed temporal chain)
+    B = 16
 
     def make_step(ds):
         def step(x01):
