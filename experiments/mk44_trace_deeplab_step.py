@@ -29,7 +29,7 @@ def main():
     print("device:", jax.devices()[0], flush=True)
     dparams = load_params()
     bparams = bench_params()
-    step, _ = make_step(dparams, bparams, jnp.float32)
+    step = make_step(dparams, bparams, jnp.float32)
     g = jax.jit(lambda x: jnp.mean(step(x)))
     x = jax.random.uniform(jax.random.key(1), (B, H, W, 3), jnp.float32)
     float(g(x))
