@@ -62,6 +62,11 @@ import time
 import jax
 import jax.numpy as jnp
 
+sys.path.insert(0, str(os.path.dirname(os.path.abspath(__file__))))
+from neuralstyletransferv1_tpu.compile_cache import enable as _cc_enable
+
+_CC_DIR = _cc_enable()  # persistent XLA cache — repeat runs compile warm
+
 BASELINE_FPS = 200.0  # north-star target, BASELINE.json
 H, W = 1080, 1920
 BATCH = 48
@@ -191,18 +196,15 @@ def _static_norm(extras, bparams, bparams32):
 
     best = (0.0, 1.0, None)
     # candidates: (extras key, headline config tag, fused-site set or None
-    # for bf16). The s8c/tail rows measure the mk35-candidate s8-carry
-    # chains (res_s8/dec_s8/tail_s8) even when no adoption window ran —
-    # bench's in-run pick IS an in-net A/B under the same protocol, so
-    # the headline may ride them without a constant flip.
+    # for bf16). SLIMMED to the adopted winner + the bf16 reference only
+    # (VERDICT round-4 Weak #1: the old 4-row sweep burned the driver
+    # budget before BASELINE configs #2-#5 ran). The mk32/mk35 xla-only
+    # form (QUANT_SITES on plain XLA int8, frozen-norm affines folded) was
+    # the last open candidate and is now a MEASURED NEGATIVE on the s2d2
+    # geometry: 119.8 fps B48 vs the Pallas s8-carry chain's 145.0
+    # (PERF.md round-5 mk35) — the t7_bn insight does not transfer.
     cands = [("bf16_static", "bf16-static-norm", None),
              ("int8_static", "int8-static-norm", _I8_FUSED_STATIC)]
-    if not set(_I8_FUSED_STATIC) >= {"res_s8", "dec_s8"}:
-        cands.append(("int8_static_s8c", "int8-static-s8c",
-                      ("res_s8", "res_i8", "dec_s8", "dec_i8")))
-    if "tail_s8" not in _I8_FUSED_STATIC:
-        cands.append(("int8_static_s8c_tail", "int8-static-s8c-tail",
-                      ("res_s8", "res_i8", "dec_s8", "dec_i8", "tail_s8")))
     scales_s = None
     for name, tag, fused in cands:
         try:
@@ -687,20 +689,32 @@ def _e2e_video(extras):
     vw.release()
 
     ckpt = Path(__file__).resolve().parent / "_testdata" / "test_johnson.pth"
-    t0 = time.perf_counter()
-    rc = pipe_main([
-        "--input_video", str(tmp / "in.mp4"),
-        "--output_video", str(tmp / "out.mp4"),
-        "--model", str(ckpt), "--io_preset", "raw_255",
-        "--frame_batch", "16", "--compute_dtype", "bfloat16",
-        "--no-smooth_lightness", "--blend", "1.0",
-        "--fps", "24", "--work_dir", str(tmp / "w"),
-    ])
-    wall = time.perf_counter() - t0
-    assert rc == 0
-    extras["e2e_video_fps_1080"] = nframes / wall
-    _log(f"e2e video (decode→style→encode, incl. compile) "
+
+    def run(tag):
+        t0 = time.perf_counter()
+        rc = pipe_main([
+            "--input_video", str(tmp / "in.mp4"),
+            "--output_video", str(tmp / f"out_{tag}.mp4"),
+            "--model", str(ckpt), "--io_preset", "raw_255",
+            "--frame_batch", "16", "--compute_dtype", "bfloat16",
+            "--no-smooth_lightness", "--blend", "1.0",
+            "--fps", "24", "--work_dir", str(tmp / f"w_{tag}"),
+        ])
+        wall = time.perf_counter() - t0
+        assert rc == 0
+        return nframes / wall
+
+    # cold = first invocation (includes XLA compiles — mitigated across
+    # PROCESSES by the persistent compile cache, neuralstyletransferv1_tpu/
+    # compile_cache.py); warm = repeat invocation, the resident-service
+    # number the reference's load-once process model prices
+    # (/root/reference/pipeline.py:571-621).
+    extras["e2e_video_fps_1080"] = run("cold")
+    _log(f"e2e video cold (decode→style→encode, incl. compile) "
          f"{extras['e2e_video_fps_1080']:.1f} fps over {nframes} frames")
+    extras["e2e_video_fps_1080_warm"] = run("warm")
+    _log(f"e2e video warm {extras['e2e_video_fps_1080_warm']:.1f} fps "
+         f"over {nframes} frames")
 
 
 class _SectionTimeout(Exception):
@@ -774,7 +788,13 @@ def main() -> None:
     # (c) once elapsed time crosses BENCH_BUDGET_S the remaining sections
     #     are skipped. BENCH_BUDGET_S=0 disables guard (c).
     budget_s = float(os.environ.get("BENCH_BUDGET_S", "1500"))
-    section_to = int(os.environ.get("BENCH_SECTION_TIMEOUT_S", "600"))
+    env_to = os.environ.get("BENCH_SECTION_TIMEOUT_S")
+    section_to = int(env_to) if env_to else 600
+    # deciders pick the headline config — on slow-relay days (compiles
+    # 5-10x the usual latency) give them extra room rather than losing the
+    # int8/static winner to the alarm. Only raise the floor when the user
+    # did NOT explicitly lower the section timeout (ADVICE round-4).
+    decider_to = section_to if env_to else max(section_to, 900)
     headline_deciders = {"int8", "static_norm"}
     emitted = False
     if os.environ.get("BENCH_EXTRAS", "1") != "0":
@@ -782,6 +802,11 @@ def main() -> None:
             raise _SectionTimeout()
 
         old = signal.signal(signal.SIGALRM, _alarm)
+        # Order (VERDICT round-4 #3): slimmed deciders first, then ONE
+        # representative line per BASELINE config (latency=#1, ladder=#2,
+        # gram=#3, deeplab=#4, flow=#5, plus magenta+e2e) BEFORE the
+        # backends variant sweeps — so BENCH_rN carries every product
+        # number even when the driver budget bites.
         for name, fn in [
             ("int8", lambda: i8_res.update(
                 zip(("fps", "mae"), _int8(extras, bparams, bparams32)))),
@@ -791,14 +816,14 @@ def main() -> None:
             ("latency", lambda: extras.update(
                 latency_ms_p50_512=_latency_p50(bparams, 512, 512),
                 latency_ms_p50_1080=_latency_p50(bparams, H, W))),
-            ("backends", lambda: extras.update(_backend_fps())),
-            ("backends_int8", lambda: extras.update(_backend_int8_fps())),
             ("ladder", lambda: _ladder(extras)),
             ("gram_nst", lambda: _gram_nst(extras)),
             ("deeplab", lambda: _deeplab_masked(extras, bparams)),
-            ("magenta", lambda: _magenta(extras)),
             ("flow", lambda: _flow_video(extras, bparams)),
+            ("magenta", lambda: _magenta(extras)),
             ("e2e", lambda: _e2e_video(extras)),
+            ("backends", lambda: extras.update(_backend_fps())),
+            ("backends_int8", lambda: extras.update(_backend_int8_fps())),
         ]:
             if name not in headline_deciders and not emitted:
                 _emit(*_pick(), extras)  # provisional: deciders done
@@ -808,15 +833,16 @@ def main() -> None:
                 continue
             try:
                 t0 = time.perf_counter()
-                # deciders pick the headline config — on slow-relay days
-                # (compiles 5-10x the usual latency) give them extra room
-                # rather than losing the int8/static winner to the alarm
-                signal.alarm(max(section_to, 900) if name in headline_deciders
-                             else section_to)
+                eff_to = (decider_to if name in headline_deciders
+                          else section_to)
+                if budget_s:  # never let one section outlive the budget
+                    eff_to = max(60, min(eff_to, int(
+                        budget_s - (time.perf_counter() - t_start)) + 30))
+                signal.alarm(eff_to)
                 fn()
                 _log(f"section {name} took {time.perf_counter() - t0:.0f}s")
             except _SectionTimeout:
-                _log(f"section {name} TIMED OUT ({section_to}s)")
+                _log(f"section {name} TIMED OUT ({eff_to}s)")
             except Exception as e:  # one section must not kill the bench
                 _log(f"section {name} FAILED: {type(e).__name__}: {e}")
             finally:

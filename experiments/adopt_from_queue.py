@@ -69,7 +69,11 @@ FILES = {
               "i8-s8c+head": frozenset({"res_s8", "dec_s8", "head_i8"}),
               "i8-s8c+tail": frozenset({"res_s8", "dec_s8", "tail_s8"}),
               "i8-s8c+full": frozenset({"res_s8", "dec_s8", "head_i8",
-                                        "tail_s8"})}),
+                                        "tail_s8"}),
+              # the mk32 BN-form configuration on the flagship: no Pallas
+              # sites, every XLA-safe site (QUANT_SITES) on plain XLA int8
+              # with the frozen-norm quantize affines constant-folded
+              "i8-xla": frozenset({"xla_only"})}),
     "mk32_t7_bn": dict(
         target="t7_bn", base="pal-i8",
         rows={

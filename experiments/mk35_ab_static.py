@@ -116,12 +116,39 @@ def main():
                                                 "dec_i8", "tail_s8")),
                         0.0, 1.0)
 
+    # the mk32 BN-form insight applied to the flagship: with frozen norms
+    # every quantize affine is a compile-time constant XLA folds into conv
+    # epilogues — NO Pallas sites, quantized convs ride plain XLA int8
+    # (t7_bn measured 181.2 fps B48 this way vs 168.3 for its best Pallas
+    # chain). d3 stays bf16 (XLA-i8 d3 is a measured catastrophe — s32
+    # materialization, PERF.md), conv1 stays bf16 (shallow 12-ch).
+    quant_xla = {k: v for k, v in quant_s_full.items()
+                 if k in s2d2.QUANT_SITES}
+
+    def step_i8_xla(x):
+        return jnp.clip(s2d2.apply(bp, x, quant=quant_xla,
+                                   static_stats=stats, fused_sites=()),
+                        0.0, 1.0)
+
+    def step_i8_xla_res(x):
+        # XLA-i8 only where the Pallas chains run today (r* + d1/d2):
+        # isolates kernel-vs-XLA on identical quantized site sets
+        return jnp.clip(s2d2.apply(bp, x, quant=quant_s,
+                                   static_stats=stats, fused_sites=()),
+                        0.0, 1.0)
+
     variants = [("bf16-static", step_bf16_static),
                 ("i8-pal+dec", step_i8), ("i8-static", step_i8_static),
                 ("i8-s8c", step_i8_s8c), ("i8-s8c+ds8", step_i8_s8c_ds8),
                 ("i8-s8c+head", step_i8_s8c_head),
                 ("i8-s8c+tail", step_i8_s8c_tail),
-                ("i8-s8c+full", step_i8_s8c_full)]
+                ("i8-s8c+full", step_i8_s8c_full),
+                ("i8-xla", step_i8_xla),
+                ("i8-xla-res", step_i8_xla_res)]
+    only = os.environ.get("VARIANTS")
+    if only:
+        want = {v.strip() for v in only.split(",") if v.strip()}
+        variants = [(n, f) for n, f in variants if n in want]
 
     k1, k2 = jax.random.split(jax.random.key(42))
     xg = jnp.clip(xc.astype(jnp.bfloat16)

@@ -106,8 +106,10 @@ def main():
 
     batches = [int(x) for x in os.environ.get("BATCHES", "8,16").split(",")]
     cell_to = int(os.environ.get("CELL_TIMEOUT_S", "420"))
+    sizes = [s for s in SIZES
+             if s[2] in os.environ.get("SIZES", "1080p,540p-ds2").split(",")]
     res = {}
-    for h, w, sl in SIZES:
+    for h, w, sl in sizes:
         for b in batches:
             for name, _ in ROWS:
                 for attempt in (1, 2):
@@ -137,7 +139,7 @@ def main():
                     if attempt == 1:
                         time.sleep(60)  # give the TPU worker time to restart
     print("\n--- attribution (ms/pair) ---", flush=True)
-    for h, w, sl in SIZES:
+    for h, w, sl in sizes:
         for b in batches:
             if any((sl, b, n) not in res for n, _ in ROWS):
                 print(f"{sl} B{b}: INCOMPLETE "

@@ -81,6 +81,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
     # while costing ~1/6 of full-res DIS @1080p (PERF.md round-4). The
     # orchestration apps still pass the reference's env default 1.
     ap.add_argument("--flow_downscale", type=int, default=0)
+    # Deviation knob (ADVICE round-4): the batched/sharded temporal chain
+    # defaults to the corner-packed bf16 warp (2.3x faster, bounded drift —
+    # temporal.ema docstring). --exact_warp recovers bit-parity with the
+    # per-frame/reference warp on those paths.
+    ap.add_argument("--exact_warp", action="store_true", default=False)
     # slot A type + slots B..H
     ap.add_argument("--model_type", choices=MODEL_TYPES, default="transformer")
     for letter in "bcdefgh":

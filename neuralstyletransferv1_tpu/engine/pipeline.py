@@ -407,6 +407,7 @@ def _make_batched_core(args, frames_dir: Path):
         smooth_alpha=args.smooth_alpha, chroma_alpha=args.chroma_alpha,
         motion_blend=args.motion_blend, blend=args.blend,
         composite_keep=composite_keep,
+        fast_warp=not getattr(args, "exact_warp", False),
     )
 
     @partial(jax.jit, static_argnames=("first",))
@@ -1216,6 +1217,8 @@ def _lab_blend(args, outputs, num_models, rgb_to_lab_u8, lab_u8_to_rgb, jnp):
 
 
 def main(argv=None) -> int:
+    from ..compile_cache import enable as _cc_enable
+    _cc_enable()  # persistent XLA cache: repeat invocations compile warm
     args = build_arg_parser().parse_args(argv)
     if args.pattern is None:
         args.pattern = f"*.{args.image_ext}"

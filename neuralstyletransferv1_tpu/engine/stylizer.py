@@ -58,9 +58,18 @@ def _s2d2_site_filter(scales: dict, xc, sites=None) -> dict:
     site — a measured LOSS (PERF.md int8 section) — so anything without an
     adopted kernel stays bf16 (conv1, c2, c3, d3). ``sites`` is the fused
     set in effect (defaults to the dynamic engine set; the static-norm
-    path passes _I8_FUSED_STATIC)."""
+    path passes _I8_FUSED_STATIC).
+
+    An EMPTY adopted set means the mk32 BN-form configuration: no Pallas
+    sites at all, every XLA-safe site (QUANT_SITES — c2/c3/res/d1/d2, never
+    d3/conv1) quantized through plain XLA int8. Only reachable under static
+    norms, where the quantize affines are compile-time constants XLA folds
+    into conv epilogues (dynamic norms measured this a loss)."""
     if sites is None:
         sites = _I8_FUSED_SITES
+    if not sites:
+        from ..models import transformer_net_s2d2 as _s2d
+        return {k: v for k, v in scales.items() if k in _s2d.QUANT_SITES}
     keep = set(_I8_QUANT_KEEP)
     if "head_i8" in sites:
         from ..models import s2d2_sites_i8 as _si8

@@ -131,6 +131,18 @@ def temporal_postprocess_scan(
     (reference: pipeline.py:2074 ``not mask_used``). ``composite_keep``:
     keep = stylize masked region, replace = stylize unmasked
     (reference: pipeline.py:2040-2043).
+
+    ``split`` (default True) runs the mathematically identical split form
+    (_temporal_postprocess_split): only the two true recurrences stay
+    sequential, everything elementwise in t runs batched over T.
+    ``fast_warp`` (default True) uses the corner-packed bf16 warp
+    (ops.warp.warp_flow_packed) in the flow-EMA step — 2.3x the exact
+    warp's speed (PERF.md mk39) with a bounded quality cost: exact away
+    from the right/bottom source edges, 0.1% pre-clamp blend there, and
+    2^-9 bf16 corner rounding (contract pinned in tests/test_warp.py;
+    long-sequence accumulation bounded in tests/test_temporal_split.py).
+    Pass ``fast_warp=False`` (engine: ``--exact_warp``) for bit-parity
+    with the per-frame/reference path.
     """
     T = styled01.shape[0]
     use_lab = smooth_lightness or smooth_chroma
@@ -239,7 +251,9 @@ def _temporal_postprocess_split(
     per frame; the frame t-1 output is its input) and the tiny LAB EMA
     multiply-add scan — and everything else runs batched over T in fused
     NHWC passes. Outputs match ``split=False`` exactly (same elementwise
-    ops in the same per-element order; tests/test_temporal.py pins it).
+    ops in the same per-element order; tests/test_temporal_split.py pins
+    it — with ``fast_warp=False``; fast_warp trades the bounded warp
+    drift documented on temporal_postprocess_scan).
     """
     T = styled01.shape[0]
     if init is None:

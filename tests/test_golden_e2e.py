@@ -168,6 +168,103 @@ def test_golden_multimodel_rgb_blend(nets, content, torch, tmp_path):
     assert _mae(want, out) < 1e-2
 
 
+@pytest.mark.slow
+def test_golden_composed_flow_chain(nets, torch, tmp_path):
+    """The COMPOSED temporal chain vs the reference's math over a real
+    sequence (VERDICT round-4 #8): cv2 DIS (PRESET_FAST, downscale-2 form)
+    → cv2.remap replicate warp → flow-EMA fuse → PIL LAB lightness EMA →
+    motion-adaptive blend (reference: pipeline.py:1884-2092), against the
+    engine's BATCHED path with its production defaults live — split-form
+    temporal scan, packed bf16 fast warp, ds2 flow (forced via
+    --flow_downscale 2 here: the auto rule only fires at min-dim ≥512,
+    which is CPU-intractable in this suite; the code path is identical),
+    carry across --frame_batch boundaries. Budget: BASELINE's ≤1e-2 MAE
+    per frame, all 32 frames."""
+    cv2 = pytest.importorskip("cv2")
+    johnson, _, jp, _ = nets
+    T, H, W = 32, 192, 256
+    blend, flow_alpha, smooth_alpha = 0.9, 0.85, 0.7
+
+    base = np.asarray(
+        Image.open("/root/reference/input/frame.jpeg").convert("RGB")
+        .resize((W, H)), np.uint8)
+    in_dir, out_dir = tmp_path / "in", tmp_path / "out"
+    in_dir.mkdir()
+    pils = []
+    for t in range(T):
+        fr = np.roll(np.roll(base, 3 * t, axis=1), t, axis=0)
+        pil = Image.fromarray(fr)
+        pil.save(in_dir / f"frame_{t + 1:04d}.png")
+        pils.append(pil)
+
+    _run_engine([
+        "--input_dir", str(in_dir), "--output_dir", str(out_dir),
+        "--pattern", "*.png", "--model", str(jp), "--io_preset", "raw_255",
+        "--flow_ema", "--flow_method", "dis", "--flow_downscale", "2",
+        "--flow_alpha", str(flow_alpha), "--motion_blend",
+        "--blend", str(blend), "--frame_batch", "8",
+        "--work_dir", str(tmp_path / "_w"),
+    ])
+
+    # reference-math oracle, frame by frame (pipeline.py:1884-2092)
+    sys.path.insert(0, "/root/reference")
+    try:
+        from pipeline import _warp_with_flow
+    except Exception:  # TF import chain — inline the 8-line helper's math
+        sys.path.remove("/root/reference")
+
+        def _warp_with_flow(prev_img01, flow):
+            hh, ww = flow.shape[:2]
+            gx, gy = np.meshgrid(np.arange(ww, dtype=np.float32),
+                                 np.arange(hh, dtype=np.float32))
+            return cv2.remap(prev_img01, (gx + flow[..., 0]).astype(np.float32),
+                             (gy + flow[..., 1]).astype(np.float32),
+                             interpolation=cv2.INTER_LINEAR,
+                             borderMode=cv2.BORDER_REPLICATE)
+    else:
+        sys.path.remove("/root/reference")
+
+    prev_gray = prev_styled = prev = None
+    for t, pil in enumerate(pils):
+        y01 = _oracle_forward(torch, johnson, pil, "raw_255")
+        curr = y01.permute(1, 2, 0).numpy().astype(np.float32)
+        gray = np.array(pil.convert("L"), dtype=np.uint8)
+        last_flow = None
+        if prev_gray is not None:
+            gs = cv2.resize(gray, (W // 2, H // 2),
+                            interpolation=cv2.INTER_AREA)
+            pgs = cv2.resize(prev_gray, (W // 2, H // 2),
+                             interpolation=cv2.INTER_AREA)
+            dis = cv2.DISOpticalFlow_create(cv2.DISOPTICAL_FLOW_PRESET_FAST)
+            fs = dis.calc(pgs, gs, None)
+            flow = cv2.resize(fs, (W, H),
+                              interpolation=cv2.INTER_LINEAR) * 2.0
+            warped = _warp_with_flow(prev_styled, flow.astype(np.float32))
+            curr = np.clip(flow_alpha * curr + (1 - flow_alpha) * warped,
+                           0.0, 1.0).astype(np.float32)
+            last_flow = flow
+        prev_gray, prev_styled = gray, curr
+        want, prev = _oracle_lab_ema(
+            torch, torch.from_numpy(curr).permute(2, 0, 1), prev,
+            smooth_alpha=smooth_alpha)
+        s = np.asarray(want, np.float32) / 255.0
+        o = np.asarray(pil, np.float32) / 255.0
+        if last_flow is not None:
+            mag = np.sqrt(last_flow[..., 0] ** 2 + last_flow[..., 1] ** 2)
+            m = cv2.GaussianBlur(np.clip(mag / 8.0, 0, 1).astype(np.float32),
+                                 (0, 0), 3.0)
+            am = (blend - (blend - 0.40) * m)[..., None]
+            final = np.clip(am * s + (1 - am) * o, 0.0, 1.0)
+        else:
+            final = np.clip(blend * s + (1 - blend) * o, 0.0, 1.0)
+
+        got = np.asarray(
+            Image.open(out_dir / f"styled_frame_{t + 1:04d}.png"),
+            np.float32) / 255.0
+        mae = np.abs(final - got).mean()
+        assert mae < 1e-2, (t, mae)
+
+
 def test_golden_lab_ema_sequence(nets, content, torch, tmp_path):
     """4-frame sequence through batch-dir mode: lightness+chroma EMA chain
     must track the reference recurrences within 1e-2 per frame."""
