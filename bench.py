@@ -566,26 +566,36 @@ def _deeplab_masked(extras, bparams):
     sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
     del model
 
+    from neuralstyletransferv1_tpu.engine.masked_stylize import (
+        make_masked_stylize_step)
     from neuralstyletransferv1_tpu.models import deeplab as dl
-    from neuralstyletransferv1_tpu.models import transformer_net_s2d2 as s2d
-    from neuralstyletransferv1_tpu.ops.resize import resize_bilinear
 
     dparams, _nc = dl.import_deeplab(sd)
 
     B = 4
-
-    def step(x01):
-        small = resize_bilinear(x01.astype(jnp.float32), (513, 513))
-        logits = dl.apply(dparams, small * 2.0 - 1.0)
-        alpha = (jnp.argmax(logits, -1) != 0).astype(jnp.float32)[..., None]
-        alpha = resize_bilinear(alpha, (H, W))
-        styled = jnp.clip(s2d.apply(bparams, x01.astype(jnp.bfloat16)), 0.0, 1.0)
-        return (styled.astype(jnp.float32) * alpha
-                + x01.astype(jnp.float32) * (1.0 - alpha))
-
-    extras["deeplab_masked_fps"] = _fps(
-        step, lambda s: _rand_img(s, B, H, W, jnp.float32), B, chain=3)
-    _log(f"deeplab masked stylize {extras['deeplab_masked_fps']:.1f} fps")
+    # bf16 glue end-to-end (mk44: the f32 form was ~90% data movement —
+    # copy 69 + fusion 61 of 213 ms/B4; the nets are ~5 ms). Gate: mask
+    # disagreement vs the f32 form on a shared batch — argmax flips only
+    # boundary pixels; composite error is bounded by the flip fraction.
+    step16 = make_masked_stylize_step(dparams, bparams, (H, W),
+                                      compute_dtype=jnp.bfloat16)
+    step32 = make_masked_stylize_step(dparams, bparams, (H, W),
+                                      compute_dtype=jnp.float32)
+    xq = _rand_img(77, 2, H, W, jnp.float32)
+    d = float(jnp.mean(jnp.abs(jax.jit(step16)(xq) - jax.jit(step32)(xq))))
+    extras["deeplab_bf16_vs_f32_mae"] = d
+    f16 = _fps(step16, lambda s: _rand_img(s, B, H, W, jnp.float32), B,
+               chain=3)
+    extras["deeplab_masked_bf16_fps"] = f16
+    if d <= 1e-2:
+        extras["deeplab_masked_fps"] = f16
+        _log(f"deeplab masked stylize {f16:.1f} fps (bf16 glue, "
+             f"MAE {d:.2e} vs f32)")
+    else:  # gate failed — fall back to the f32 form for the headline key
+        extras["deeplab_masked_fps"] = _fps(
+            step32, lambda s: _rand_img(s, B, H, W, jnp.float32), B, chain=3)
+        _log(f"deeplab masked stylize {extras['deeplab_masked_fps']:.1f} fps "
+             f"(f32; bf16 FAILED gate, MAE {d:.2e})")
 
 
 def _magenta(extras):
