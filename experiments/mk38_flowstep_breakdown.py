@@ -34,8 +34,10 @@ import jax.numpy as jnp
 
 sys.path.insert(0, "/root/repo")
 
+import os
+
 H, W = 1080, 1920
-B = 8
+B = int(os.environ.get("B", "8"))
 CHAIN = 2  # compile cost of the DIS+scan graph scales with the chain; 2 is
 #            the minimum that still cancels dispatch overhead
 SALT = (time.time_ns() // 1000) % 1_000_000_007
