@@ -131,6 +131,55 @@ def warp_flow_packed(
     return (top * (1 - fy) + bot * fy).astype(img.dtype)
 
 
+def warp_flow_packed_u8(img: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
+    """Fastest replicate-border flow warp for [0,1]-ranged images.
+
+    Same corner-packing idea as ``warp_flow_packed`` but each channel's four
+    bilinear corners are quantized to uint8 and bit-packed into ONE int32 —
+    the gather moves [H*W, C] i32 rows (12 B/row for RGB vs bf16x12's 24)
+    and the unpack is VPU shifts. mk46 @1080p serialized chain:
+    bf16x12 16.0 ms/warp, u8x12 12.0, **i32x3 10.2** — row bytes and lane
+    count both price the gather.
+
+    Quality: corners round to u8 (max 1/510 ≈ 2e-3 per corner on [0,1])
+    on top of ``warp_flow_packed``'s border contract (exact >=1px inside
+    the right/bottom source edges; 0.1% pre-clamp blend at them). Inputs
+    are clipped to [0,1] before quantization. mk46 measured MAE 6.2e-4 vs
+    the exact warp on uniform noise (the bf16 form: 4.4e-4). For
+    quality-gated paths only (the temporal flow-EMA scan rides it;
+    ``--exact_warp`` recovers ``warp_flow``).
+    """
+    h, w = flow.shape[0], flow.shape[1]
+    c = img.shape[-1]
+    gx = jnp.arange(w, dtype=jnp.float32)[None, :]
+    gy = jnp.arange(h, dtype=jnp.float32)[:, None]
+    x = jnp.clip(gx + flow[..., 0], 0.0, w - 1.001)
+    y = jnp.clip(gy + flow[..., 1], 0.0, h - 1.001)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+
+    px = jnp.concatenate(
+        [img, jnp.concatenate([img[:, 1:], img[:, -1:]], axis=1)], axis=-1)
+    p = jnp.concatenate(
+        [px, jnp.concatenate([px[1:], px[-1:]], axis=0)], axis=-1)
+    q = jnp.round(jnp.clip(p, 0.0, 1.0) * 255.0).astype(jnp.int32)
+    packed = (q[..., :c] | (q[..., c:2 * c] << 8)
+              | (q[..., 2 * c:3 * c] << 16) | (q[..., 3 * c:] << 24))
+
+    idx = (y0.astype(jnp.int32) * w + x0.astype(jnp.int32)).reshape(-1)
+    g = jnp.take(packed.reshape(h * w, c), idx, axis=0).reshape(h, w, c)
+    s = jnp.float32(1.0 / 255.0)
+    v00 = (g & 0xFF).astype(jnp.float32) * s
+    v01 = ((g >> 8) & 0xFF).astype(jnp.float32) * s
+    v10 = ((g >> 16) & 0xFF).astype(jnp.float32) * s
+    v11 = ((g >> 24) & 0xFF).astype(jnp.float32) * s
+    top = v00 * (1 - fx) + v01 * fx
+    bot = v10 * (1 - fx) + v11 * fx
+    return (top * (1 - fy) + bot * fy).astype(img.dtype)
+
+
 def rotate_image(
     img: jnp.ndarray,
     angle_deg: jnp.ndarray | float,

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 
 from ..ops.blur import gaussian_blur
 from ..ops.color import lab_u8_to_rgb, rgb_to_lab_u8
-from ..ops.warp import warp_flow, warp_flow_packed
+from ..ops.warp import warp_flow, warp_flow_packed_u8
 
 MOTION_NORM = 8.0
 MIN_ALPHA = 0.40
@@ -135,12 +135,13 @@ def temporal_postprocess_scan(
     ``split`` (default True) runs the mathematically identical split form
     (_temporal_postprocess_split): only the two true recurrences stay
     sequential, everything elementwise in t runs batched over T.
-    ``fast_warp`` (default True) uses the corner-packed bf16 warp
-    (ops.warp.warp_flow_packed) in the flow-EMA step — 2.3x the exact
-    warp's speed (PERF.md mk39) with a bounded quality cost: exact away
-    from the right/bottom source edges, 0.1% pre-clamp blend there, and
-    2^-9 bf16 corner rounding (contract pinned in tests/test_warp.py;
-    long-sequence accumulation bounded in tests/test_temporal_split.py).
+    ``fast_warp`` (default True) uses the u8-corner i32-packed warp
+    (ops.warp.warp_flow_packed_u8) in the flow-EMA step — 3.5x the exact
+    warp's speed (PERF.md mk39/mk46) with a bounded quality cost: exact
+    coords away from the right/bottom source edges (0.1% pre-clamp blend
+    there) and u8 corner quantization (<=2e-3 max, ~6e-4 mean on [0,1]
+    pixels; contract pinned in tests/test_warp.py, long-sequence
+    accumulation bounded in tests/test_temporal_split.py).
     Pass ``fast_warp=False`` (engine: ``--exact_warp``) for bit-parity
     with the per-frame/reference path.
     """
@@ -273,9 +274,10 @@ def _temporal_postprocess_split(
         def fstep(prev, inp):
             curr, flow, skip = inp
             if fast_warp:
-                # quality-gated path: corner-packed bf16 gather, 2.3x the
-                # exact warp's speed (mk39; <=2e-3 border / 2^-9 rounding)
-                prev_warp = warp_flow_packed(prev, flow)
+                # quality-gated path: i32-packed u8-corner gather, 3.5x the
+                # exact warp's speed (mk39/mk46: 35.8 -> 16.0 -> 10.2
+                # ms/warp @1080p; u8 corner rounding <=2e-3, mean 6e-4)
+                prev_warp = warp_flow_packed_u8(prev, flow)
                 fused = jnp.clip(a * curr + (1.0 - a) * prev_warp, 0.0, 1.0)
             else:
                 fused = flow_ema_fuse(curr, prev, flow, flow_alpha)

@@ -10,7 +10,8 @@ import numpy as np
 
 import jax.numpy as jnp
 
-from neuralstyletransferv1_tpu.ops.warp import warp_flow, warp_flow_packed
+from neuralstyletransferv1_tpu.ops.warp import (
+    warp_flow, warp_flow_packed, warp_flow_packed_u8)
 
 
 def _data(h=64, w=96, seed=0, scale=3.0):
@@ -52,6 +53,34 @@ def test_packed_large_displacement():
     base = np.asarray(warp_flow(img, flow))
     fast = np.asarray(warp_flow_packed(img, flow, dtype=jnp.float32))
     assert np.abs(fast - base).max() < 2e-3
+
+
+def test_packed_u8_bounded():
+    """The i32-packed u8-corner warp (the production fast path, mk46):
+    u8 corner quantization <= 1/510 per corner + the border epsilon."""
+    img, flow = _data(seed=4)
+    base = np.asarray(warp_flow(img, flow))
+    fast = np.asarray(warp_flow_packed_u8(img, flow))
+    d = np.abs(fast - base)
+    assert d[8:-8, 8:-8].max() < 1 / 510 + 1e-4, d[8:-8, 8:-8].max()
+    assert d.max() < 4e-3, d.max()
+    assert d.mean() < 1.5e-3, d.mean()
+
+
+def test_packed_u8_zero_flow_roundtrip():
+    """Zero flow reproduces the u8-rounded image off the clamp edges."""
+    img, _ = _data(seed=5)
+    flow = jnp.zeros(img.shape[:2] + (2,), jnp.float32)
+    out = np.asarray(warp_flow_packed_u8(img, flow))
+    ref = np.round(np.asarray(img) * 255.0) / 255.0
+    np.testing.assert_allclose(out[:-1, :-1], ref[:-1, :-1], atol=1e-6)
+
+
+def test_packed_u8_large_displacement():
+    img, flow = _data(seed=6, scale=40.0)
+    base = np.asarray(warp_flow(img, flow))
+    fast = np.asarray(warp_flow_packed_u8(img, flow))
+    assert np.abs(fast - base).max() < 4e-3
 
 
 def test_packed_zero_flow_identity():
