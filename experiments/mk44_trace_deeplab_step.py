@@ -29,7 +29,13 @@ def main():
     print("device:", jax.devices()[0], flush=True)
     dparams = load_params()
     bparams = bench_params()
-    step = make_step(dparams, bparams, jnp.float32)
+    if len(sys.argv) > 1 and sys.argv[1] == "engine":
+        # trace the production fused step (engine/masked_stylize, bf16)
+        from neuralstyletransferv1_tpu.engine.masked_stylize import (
+            make_masked_stylize_step)
+        step = make_masked_stylize_step(dparams, bparams, (H, W))
+    else:
+        step = make_step(dparams, bparams, jnp.float32)
     g = jax.jit(lambda x: jnp.mean(step(x)))
     x = jax.random.uniform(jax.random.key(1), (B, H, W, 3), jnp.float32)
     float(g(x))

@@ -22,15 +22,32 @@ import jax
 import jax.numpy as jnp
 
 
+_BN_KEYS = {"scale", "bias", "mean", "var"}
+
+
 def cast_params(params, dtype):
-    """Cast floating-point leaves (DeepLab BN stats stay f32 inside
-    models/deeplab._bn, which upcasts internally)."""
-    return jax.tree.map(
-        lambda a: a.astype(dtype)
-        if hasattr(a, "astype") and jnp.issubdtype(a.dtype, jnp.floating)
-        else a,
-        params,
-    )
+    """Cast conv weights to ``dtype``; keep BN running stats f32.
+
+    models/deeplab._bn folds its stats into a per-channel affine in f32
+    and applies it in the activation dtype — feeding it bf16 stats would
+    compute rsqrt(var) at bf16 precision for no speed gain (the [C]
+    vectors are tiny)."""
+    def walk(node):
+        if isinstance(node, dict):
+            return {
+                k: (v if k in _BN_KEYS and not isinstance(v, (dict, list,
+                                                              tuple))
+                    else walk(v))
+                for k, v in node.items()
+            }
+        if isinstance(node, (list, tuple)):
+            return type(node)(walk(v) for v in node)
+        if hasattr(node, "astype") and jnp.issubdtype(node.dtype,
+                                                      jnp.floating):
+            return node.astype(dtype)
+        return node
+
+    return walk(params)
 
 
 def make_masked_stylize_step(dl_params, style_params, out_hw,

@@ -32,9 +32,19 @@ _MG_BLOCKS = [1, 2, 4]
 
 
 def _bn(x, p, eps=1e-5):
+    """Inference BN as a folded per-channel affine, applied in x.dtype.
+
+    scale/shift are computed in f32 from the (f32) running stats, then the
+    single FMA runs in the activation dtype so it fuses into the producing
+    conv's epilogue — the pre-round-5 form upcast every activation tensor
+    to f32 per BN, which mk44 traced as the dominant cost of the fused
+    masked-stylize step (copies + convert_multiply, not convs). Same
+    affine as (x-mean)*inv*scale+bias up to f32 re-association.
+    """
     inv = lax.rsqrt(p["var"].astype(jnp.float32) + eps)
-    y = (x.astype(jnp.float32) - p["mean"]) * inv
-    return (y * p["scale"] + p["bias"]).astype(x.dtype)
+    scale = (p["scale"] * inv).astype(x.dtype)
+    shift = (p["bias"] - p["mean"] * p["scale"] * inv).astype(x.dtype)
+    return x * scale + shift
 
 
 def _conv_bn_relu(x, conv_p, bn_p, *, stride=1, padding=0, dilation=1, relu=True):

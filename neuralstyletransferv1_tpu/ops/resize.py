@@ -53,11 +53,13 @@ def resize_bilinear_align_corners(x: jnp.ndarray, out_hw: tuple[int, int]) -> jn
     x0 = jnp.floor(xs).astype(jnp.int32)
     y1 = jnp.clip(y0 + 1, 0, h - 1)
     x1 = jnp.clip(x0 + 1, 0, w - 1)
-    fy = (ys - y0)[None, :, None, None]
-    fx = (xs - x0)[None, None, :, None]
-    xf = x.astype(jnp.float32)
-    top = xf[:, y0][:, :, x0] * (1 - fx) + xf[:, y0][:, :, x1] * fx
-    bot = xf[:, y1][:, :, x0] * (1 - fx) + xf[:, y1][:, :, x1] * fx
+    # interpolate in the input dtype (weights cast like jax.image.resize
+    # does): a bf16 input stays bf16 end-to-end instead of materializing
+    # f32 intermediates at full resolution (mk44)
+    fy = (ys - y0)[None, :, None, None].astype(x.dtype)
+    fx = (xs - x0)[None, None, :, None].astype(x.dtype)
+    top = x[:, y0][:, :, x0] * (1 - fx) + x[:, y0][:, :, x1] * fx
+    bot = x[:, y1][:, :, x0] * (1 - fx) + x[:, y1][:, :, x1] * fx
     out = top * (1 - fy) + bot * fy
     if nd == 3:
         out = out[0]
